@@ -1,0 +1,54 @@
+"""toast_tpu — TPU-native time-ordered astrophysics framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of hpc4cmb/toast
+(simulation and map-making for CMB telescope time-ordered data), designed
+for TPU device meshes instead of MPI clusters.
+
+Public API mirrors the reference top level (``src/toast/__init__.py:62-79``).
+"""
+
+from ._version import __version__
+
+# utils
+from .utils import Environment, GlobalTimers, Logger, Timer
+from .utils.units import Quantity, Unit
+
+# parallel
+from .parallel import Comm, get_world
+from .parallel.mesh import MeshDist, create_mesh
+
+# data model
+from .models import (
+    Data,
+    Focalplane,
+    GroundSite,
+    IntervalList,
+    Observation,
+    Session,
+    SpaceSite,
+    Telescope,
+    fake_hexagon_focalplane,
+    interval_dtype,
+)
+
+# config
+from .config import create_from_config, load_config, parse_config
+
+# instrument helpers
+from .models.noise import AnalyticNoise, Noise
+
+from . import math
+from .math import qarray, rng
+from .math import healpix as healpix_mod
+
+
+def tests_run(*args, **kwargs):
+    """Run the bundled test suite (mirrors ``toast.tests.run()``)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).parent.parent
+    return subprocess.call(
+        [sys.executable, "-m", "pytest", str(root / "tests"), "-q"]
+    )

@@ -1,0 +1,206 @@
+"""Synthetic focalplane generation.
+
+Rebuild of ``src/toast/instrument_sim.py`` (``hex_layout:176``,
+``rhombus_layout:410``, ``fake_hexagon_focalplane:679``,
+``fake_rhombihex_focalplane:803``, ``fake_boresight_focalplane:932``):
+hexagonal/rhombic close-packed pixel layouts, two orthogonal polarization
+detectors per pixel, and fake noise/band parameters — the fixture used by
+the whole test suite and the benchmark workflows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..math import qarray as qa
+from ..utils import units as u
+from ..utils.units import Quantity
+from .instrument import Focalplane
+
+XAXIS = np.array([1.0, 0.0, 0.0])
+YAXIS = np.array([0.0, 1.0, 0.0])
+ZAXIS = np.array([0.0, 0.0, 1.0])
+
+
+def hex_nring(n_pix):
+    """Number of hex rings (center counts as ring 1) holding >= n_pix pixels."""
+    nring = 1
+    total = 1
+    while total < n_pix:
+        total += 6 * nring
+        nring += 1
+    return nring
+
+
+def hex_layout_positions(n_pix):
+    """(x, y) offsets of hexagonally packed pixels in units of pixel pitch.
+
+    Center pixel first, then concentric rings walked counter-clockwise —
+    same ordering contract as the reference hex_layout.
+    """
+    pos = [(0.0, 0.0)]
+    ring = 1
+    while len(pos) < n_pix:
+        # start at the "east" vertex of the ring, walk CCW
+        corners = [
+            (np.cos(np.radians(60 * k)), np.sin(np.radians(60 * k)))
+            for k in range(6)
+        ]
+        for k in range(6):
+            x0, y0 = corners[k]
+            x1, y1 = corners[(k + 1) % 6]
+            for step in range(ring):
+                f = step / ring
+                pos.append(
+                    (
+                        ring * (x0 + f * (x1 - x0)),
+                        ring * (y0 + f * (y1 - y0)),
+                    )
+                )
+                if len(pos) == n_pix:
+                    return np.array(pos)
+    return np.array(pos[:n_pix])
+
+
+def rhombus_layout_positions(n_pix):
+    """(x, y) offsets of a rhombus grid (dimension = sqrt(n_pix))."""
+    dim = int(round(np.sqrt(n_pix)))
+    pos = []
+    for row in range(2 * dim - 1):
+        ncol = dim - abs(row - (dim - 1))
+        y = (dim - 1 - row) * np.sqrt(3.0) / 2.0
+        for col in range(ncol):
+            x = col - (ncol - 1) / 2.0
+            pos.append((x, y))
+    return np.array(pos[:n_pix])
+
+
+def pixels_to_quats(xy, width_rad):
+    """Project flat (x, y) pitch offsets into boresight-frame quaternions.
+
+    Each pixel is rotated from the boresight (z axis) by its radial offset;
+    the quaternion also carries zero orientation (psi from detector pol
+    handled separately).
+    """
+    xy = np.asarray(xy, dtype=np.float64)
+    if len(xy) > 1:
+        extent = np.max(np.sqrt(np.sum(xy**2, axis=-1)))
+        scale = 0.5 * width_rad / extent if extent > 0 else 0.0
+    else:
+        scale = 0.0
+    quats = []
+    for x, y in xy:
+        r = np.sqrt(x * x + y * y) * scale
+        phi = np.arctan2(y, x)
+        quats.append(qa.from_iso_angles(r, phi, -phi))
+    return np.array(quats)
+
+
+def fake_hexagon_focalplane(
+    n_pix=7,
+    width=Quantity(5.0, u.deg),
+    sample_rate=Quantity(1.0, u.Hz),
+    epsilon=0.0,
+    fwhm=Quantity(10.0, u.arcmin),
+    bandcenter=Quantity(150.0, u.GHz),
+    bandwidth=Quantity(20.0, u.GHz),
+    psd_net=Quantity(0.1, u.K_sqrt_s),
+    psd_fmin=Quantity(1e-5, u.Hz),
+    psd_alpha=1.0,
+    psd_fknee=Quantity(0.05, u.Hz),
+    fwhm_sigma=Quantity(0.0, u.arcmin),
+    bandcenter_sigma=None,
+    bandwidth_sigma=None,
+    random_seed=123456,
+):
+    """Hexagonal fake focalplane with two orthogonal detectors per pixel."""
+    width_rad = (
+        width.to_value(u.rad) if isinstance(width, Quantity) else np.radians(width)
+    )
+    xy = hex_layout_positions(n_pix)
+    pix_quats = pixels_to_quats(xy, width_rad)
+
+    names = []
+    quats = []
+    gammas = []
+    pols = []
+    pixels = []
+    # polarization angle pattern: alternating 0/45 by pixel, A/B orthogonal
+    for p in range(n_pix):
+        base_ang = 0.0 if p % 2 == 0 else np.pi / 4
+        for ab, pol_ang in (("A", base_ang), ("B", base_ang + np.pi / 2)):
+            names.append(f"D{p:03d}{ab}")
+            quats.append(
+                qa.mult(pix_quats[p], qa.rotation(ZAXIS, pol_ang))
+            )
+            gammas.append(pol_ang)
+            pols.append(ab)
+            pixels.append(p)
+
+    n_det = len(names)
+    rng = np.random.default_rng(random_seed)
+    fwhm_val = fwhm.to_value(u.arcmin) + fwhm_sigma.to_value(u.arcmin) * rng.normal(
+        size=n_det
+    )
+    detector_data = {
+        "name": np.array(names, dtype=object),
+        "quat": np.array(quats),
+        "gamma": np.array(gammas),
+        "pol": np.array(pols, dtype=object),
+        "pixel": np.array(pixels),
+        "pol_leakage": np.full(n_det, float(epsilon)),
+        "fwhm": fwhm_val,
+        "bandcenter": np.full(n_det, bandcenter.to_value(u.GHz)),
+        "bandwidth": np.full(n_det, bandwidth.to_value(u.GHz)),
+        "psd_net": np.full(n_det, psd_net.to_value(u.K_sqrt_s)),
+        "psd_fmin": np.full(n_det, psd_fmin.to_value(u.Hz)),
+        "psd_fknee": np.full(n_det, psd_fknee.to_value(u.Hz)),
+        "psd_alpha": np.full(n_det, float(psd_alpha)),
+    }
+    return Focalplane(
+        detector_data=detector_data,
+        sample_rate=sample_rate,
+        field_of_view=1.1 * width if isinstance(width, Quantity) else Quantity(1.1 * width, u.deg),
+    )
+
+
+def fake_boresight_focalplane(
+    n_pix=1,
+    sample_rate=Quantity(1.0, u.Hz),
+    fwhm=Quantity(10.0, u.arcmin),
+    psd_net=Quantity(0.1, u.K_sqrt_s),
+    psd_fmin=Quantity(1e-5, u.Hz),
+    psd_alpha=1.0,
+    psd_fknee=Quantity(0.05, u.Hz),
+):
+    """All detectors exactly at the boresight (reference ``:932``)."""
+    names = []
+    quats = []
+    gammas = []
+    for p in range(n_pix):
+        ang = np.pi / 4 * (p % 4)
+        names.append(f"D{p:03d}A")
+        quats.append(qa.rotation(ZAXIS, ang))
+        gammas.append(ang)
+    n_det = len(names)
+    detector_data = {
+        "name": np.array(names, dtype=object),
+        "quat": np.array(quats),
+        "gamma": np.array(gammas),
+        "pol": np.array(["A"] * n_det, dtype=object),
+        "pixel": np.arange(n_det),
+        "pol_leakage": np.zeros(n_det),
+        "fwhm": np.full(n_det, fwhm.to_value(u.arcmin)),
+        "psd_net": np.full(n_det, psd_net.to_value(u.K_sqrt_s)),
+        "psd_fmin": np.full(n_det, psd_fmin.to_value(u.Hz)),
+        "psd_fknee": np.full(n_det, psd_fknee.to_value(u.Hz)),
+        "psd_alpha": np.full(n_det, float(psd_alpha)),
+    }
+    return Focalplane(detector_data=detector_data, sample_rate=sample_rate)
+
+
+def fake_rhombihex_focalplane(n_pix_rhombus=16, width=Quantity(5.0, u.deg), **kwargs):
+    """Three rhombi arranged in a hexagon (simplified reference ``:803``)."""
+    # Build as a hexagon with 3*n_pix_rhombus pixels — detector naming and
+    # noise parameters follow fake_hexagon_focalplane.
+    return fake_hexagon_focalplane(n_pix=3 * n_pix_rhombus, width=width, **kwargs)

@@ -1,0 +1,109 @@
+"""Process-level communicator hierarchy on top of the JAX runtime.
+
+Rebuild of the reference ``Comm`` (``src/toast/mpi.py:113-272``) without MPI:
+the "world" is the set of JAX processes (``jax.distributed`` / multi-host),
+split into ``ngroups`` groups that each own a disjoint subset of
+observations (observation/data parallelism).  Within a process, device-level
+parallelism is expressed with a :class:`~toast_tpu.parallel.mesh.DeviceMesh`
+rather than a process grid — ICI collectives inside jitted code replace the
+reference's intra-observation MPI communicators.
+
+Host-side metadata collectives (broadcast/gather of python objects) use
+``jax.experimental.multihost_utils`` when more than one process exists; in
+the common single-process case they are no-ops, mirroring the reference's
+``comm is None`` serial fallbacks.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..utils.logging import Logger
+
+
+class Comm:
+    """Two-level process layout: world -> observation groups."""
+
+    def __init__(self, world=None, groupsize=0):
+        log = Logger.get()
+        self._wsize = jax.process_count()
+        self._wrank = jax.process_index()
+        if groupsize <= 0 or groupsize > self._wsize:
+            groupsize = self._wsize
+        if self._wsize % groupsize != 0:
+            msg = (
+                f"world size {self._wsize} is not divisible by group size "
+                f"{groupsize}"
+            )
+            log.error(msg)
+            raise RuntimeError(msg)
+        self._gsize = groupsize
+        self._ngroups = self._wsize // groupsize
+        self._group = self._wrank // groupsize
+        self._grank = self._wrank % groupsize
+
+    @property
+    def world_size(self):
+        return self._wsize
+
+    @property
+    def world_rank(self):
+        return self._wrank
+
+    @property
+    def ngroups(self):
+        return self._ngroups
+
+    @property
+    def group(self):
+        return self._group
+
+    @property
+    def group_size(self):
+        return self._gsize
+
+    @property
+    def group_rank(self):
+        return self._grank
+
+    # Reference-compatible aliases (mpi.py exposes comm objects; we expose
+    # None to signal "serial" to code with comm is None fallbacks, matching
+    # the reference convention when MPI is disabled).
+    @property
+    def comm_world(self):
+        return None if self._wsize == 1 else self
+
+    @property
+    def comm_group(self):
+        return None if self._gsize == 1 else self
+
+    @property
+    def comm_group_rank(self):
+        return None if self._ngroups == 1 else self
+
+    def barrier(self):
+        if self._wsize > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("toast_comm_barrier")
+
+    def bcast(self, obj, root=0):
+        if self._wsize == 1:
+            return obj
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.broadcast_one_to_all(obj)
+
+    def close(self):
+        pass
+
+    def __repr__(self):
+        return (
+            f"<Comm world={self._wsize} ngroups={self._ngroups} "
+            f"groupsize={self._gsize} rank={self._wrank}>"
+        )
+
+
+def get_world():
+    """Return (world process count, this process index)."""
+    return jax.process_count(), jax.process_index()
