@@ -7,9 +7,17 @@ path and benches on a real chip).  Environment must be set before JAX import.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("TOAST_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("TOAST_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin (sitecustomize) programmatically forces
+# jax_platforms="axon,cpu", overriding the environment variable.  Re-force
+# the requested platform before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)

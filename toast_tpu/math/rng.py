@@ -197,13 +197,8 @@ def random_multi(samples, keys, counters, sampler="gaussian"):
     ]
 
 
-def uniform01_jax(samples, key, counter=(0, 0), dtype=jnp.float32):
-    """Uniform (0,1) stream on device; bitwise-matches the numpy path.
-
-    ``samples`` must be static under jit.  ``counter[1]`` is either a python
-    int or a traced ``(hi, lo)`` uint32 pair (for dynamic sample offsets
-    inside jitted kernels).
-    """
+def _top24_jax(samples, key, counter=(0, 0)):
+    """Top 24 bits of the x0 output for each counter, as int32."""
     idx = jnp.arange(samples, dtype=jnp.uint32)
     if isinstance(counter[1], tuple):
         c1h0 = jnp.asarray(counter[1][0], dtype=jnp.uint32)
@@ -217,12 +212,27 @@ def uniform01_jax(samples, key, counter=(0, 0), dtype=jnp.float32):
     x0h, _x0l, _x1h, _x1l = threefry2x64_jax(
         key, (jnp.full_like(idx, c0h), jnp.full_like(idx, c0l), c1h, c1l)
     )
-    top = (x0h >> jnp.uint32(8)).astype(dtype)
+    return (x0h >> jnp.uint32(8)).astype(jnp.int32)
+
+
+def uniform01_jax(samples, key, counter=(0, 0), dtype=jnp.float32):
+    """Uniform (0,1) stream on device; bitwise-matches the numpy path.
+
+    ``samples`` must be static under jit.  ``counter[1]`` is either a python
+    int or a traced ``(hi, lo)`` uint32 pair (for dynamic sample offsets
+    inside jitted kernels).
+    """
+    top = _top24_jax(samples, key, counter).astype(dtype)
     return (top + dtype(0.5)) * dtype(_INV24)
 
 
 def gaussian_jax(samples, key, counter=(0, 0), dtype=jnp.float32):
-    """Gaussian stream on device via inverse CDF of the shared uniform."""
-    u = uniform01_jax(samples, key, counter, dtype=jnp.float32)
-    g = jnp.sqrt(jnp.float32(2.0)) * _jerfinv(2.0 * u - 1.0)
+    """Gaussian stream on device via inverse CDF of the shared uniform.
+
+    The erfinv argument is built exactly from the 24-bit integer so it never
+    rounds to +-1.0 in float32 (which would produce infinities).
+    """
+    top = _top24_jax(samples, key, counter)
+    x = (2 * top + (1 - (1 << 24))).astype(jnp.float32) * _INV24
+    g = jnp.sqrt(jnp.float32(2.0)) * _jerfinv(x)
     return g.astype(dtype)

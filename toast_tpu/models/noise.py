@@ -27,7 +27,7 @@ class Noise:
     """
 
     def __init__(self, detectors=(), freqs=None, psds=None, mixmatrix=None, indices=None):
-        self._dets = list(detectors)
+        self._dets = list(sorted(detectors))
         freqs = freqs or {}
         psds = psds or {}
         self._freqs = {
@@ -55,7 +55,12 @@ class Noise:
                 keyset.update(self._mix[d].keys())
             self._keys = sorted(keyset, key=lambda k: list(self._psds.keys()).index(k) if k in self._psds else 0)
         if indices is None:
-            self._indices = {k: i for i, k in enumerate(self._keys)}
+            # stream index = stable hash of the stream name, so RNG streams
+            # are reproducible under any detector distribution (reference
+            # noise.py:78)
+            from ..utils.misc import name_UID
+
+            self._indices = {k: int(name_UID(k)) for k in self._keys}
         else:
             self._indices = dict(indices)
         self._detweights = None

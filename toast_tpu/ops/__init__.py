@@ -1,0 +1,18 @@
+"""Operator library (rebuild of ``src/toast/ops/``)."""
+
+from .mapmaker_binning import BinMap
+from .mapmaker_utils import (
+    BuildHitMap,
+    BuildInverseCovariance,
+    BuildNoiseWeighted,
+    CovarianceAndHits,
+    NoiseWeight,
+)
+from .noise_model import DefaultNoiseModel
+from .operator import Operator, Pipeline
+from .pixels_healpix import PixelsHealpix
+from .pointing_detector import PointingDetectorSimple
+from .scan_map import ScanMap, ScanMask, ScanScale
+from .sim_noise import SimNoise
+from .sim_satellite import SimSatellite
+from .stokes_weights import StokesWeights

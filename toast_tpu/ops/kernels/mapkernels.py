@@ -1,0 +1,169 @@
+"""Map-domain accumulation kernels: tod2map, map2tod, covariance accumulation.
+
+TPU-native rebuilds of the reference hot loops
+(``src/toast/ops/mapmaker_utils/kernels.py:42-160``,
+``src/toast/ops/scan_map/kernels_numpy.py:11-58``,
+``src/libtoast/src/toast_map_cov.cpp:14-203``).
+
+Design notes (SURVEY §7 "hard parts"):
+* Maps are **dense** ``(n_pix, nnz)`` device arrays (replicated per device,
+  reduced with psum when the det/samp mesh axes are populated) — the
+  reference's submap compression + Alltoallv is unnecessary at TPU HBM
+  sizes (nside 2048 IQU float32 = 600 MB).
+* tod2map is a scatter-add (``.at[].add``).  XLA lowers scatter on TPU to a
+  deterministic (sorted) update — **no atomics** — so binned maps are
+  bitwise stable across repeated executions, which the PCG solver requires.
+* map2tod is a gather + weighted reduction, fused by XLA with the weight
+  computation when called inside a jitted pipeline.
+* Flagged samples carry pixel index -1; we redirect them to pixel 0 with
+  zero value rather than branching (branch-free masking).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask):
+    good = pixels >= 0
+    if det_flags is not None:
+        good &= (det_flags.astype(jnp.uint32) & jnp.uint32(det_flag_mask)) == 0
+    if shared_flags is not None:
+        good &= (
+            (shared_flags.astype(jnp.uint32) & jnp.uint32(shared_flag_mask)) == 0
+        )[None, :]
+    return good
+
+
+@jax.jit
+def build_noise_weighted(
+    zmap,
+    pixels,
+    weights,
+    det_data,
+    det_scale,
+    det_flags,
+    det_flag_mask,
+    shared_flags,
+    shared_flag_mask,
+):
+    """Accumulate noise-weighted map: zmap[p] += scale_d * d_t * w_t.
+
+    Args:
+        zmap: (n_pix, nnz) accumulation target.
+        pixels: (n_det, n_samp) int32, -1 for flagged.
+        weights: (n_det, n_samp, nnz).
+        det_data: (n_det, n_samp).
+        det_scale: (n_det,) per-detector scale (e.g. noise weight x cal).
+        det_flags/shared_flags: flag arrays or None.
+
+    Returns:
+        updated zmap.
+    """
+    good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    pix = jnp.where(good, pixels, 0)
+    vals = det_data * det_scale[:, None] * good
+    contrib = weights * vals[..., None]  # (n_det, n_samp, nnz)
+    return zmap.at[pix.reshape(-1)].add(
+        contrib.reshape(-1, contrib.shape[-1]),
+        indices_are_sorted=False,
+        unique_indices=False,
+    )
+
+
+@jax.jit
+def cov_accum_diag_hits(
+    hits, pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask
+):
+    """Accumulate hit counts: hits[p] += 1 for each good sample."""
+    good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    pix = jnp.where(good, pixels, 0)
+    ones = good.astype(hits.dtype)
+    return hits.at[pix.reshape(-1)].add(ones.reshape(-1))
+
+
+def _triangle_indices(nnz):
+    """(row, col) pairs of the packed upper triangle, reference order:
+    (0,0),(0,1),...,(0,nnz-1),(1,1),...,(nnz-1,nnz-1)."""
+    rows = []
+    cols = []
+    for i in range(nnz):
+        for j in range(i, nnz):
+            rows.append(i)
+            cols.append(j)
+    return tuple(rows), tuple(cols)
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def cov_accum_diag_invnpp(
+    invnpp,
+    pixels,
+    weights,
+    det_scale,
+    det_flags,
+    det_flag_mask,
+    shared_flags,
+    shared_flag_mask,
+    nnz,
+):
+    """Accumulate inverse pixel covariance: N_pp^-1[p] += scale * w w^T.
+
+    invnpp stores the packed upper triangle (nnz*(nnz+1)/2 values/pixel),
+    same packing as the reference ``toast_map_cov.cpp:97``.
+    """
+    good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    pix = jnp.where(good, pixels, 0)
+    rows, cols = _triangle_indices(nnz)
+    outer = (
+        weights[..., rows]
+        * weights[..., cols]
+        * (det_scale[:, None] * good)[..., None]
+    )
+    return invnpp.at[pix.reshape(-1)].add(outer.reshape(-1, outer.shape[-1]))
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def scan_map(
+    mapdata,
+    pixels,
+    weights,
+    det_data,
+    data_scale=1.0,
+    mode="accum",
+):
+    """map2tod: tod <op>= data_scale * sum_nnz map[p, :] * w.
+
+    Args:
+        mapdata: (n_pix, nnz).
+        pixels: (n_det, n_samp) int32, -1 flagged.
+        weights: (n_det, n_samp, nnz).
+        det_data: (n_det, n_samp) input/output TOD.
+        mode: "accum" | "subtract" | "replace" | "scale"
+            (reference scan_map zero/subtract/scale variants).
+
+    Returns:
+        updated det_data.
+    """
+    good = pixels >= 0
+    pix = jnp.where(good, pixels, 0)
+    gathered = mapdata[pix]  # (n_det, n_samp, nnz)
+    local = data_scale * jnp.sum(gathered * weights, axis=-1)
+    local = jnp.where(good, local, 0.0)
+    if mode == "accum":
+        return det_data + local
+    if mode == "subtract":
+        return det_data - local
+    if mode == "replace":
+        return jnp.where(good, local, det_data)
+    if mode == "scale":
+        return jnp.where(good, det_data * local, det_data)
+    raise ValueError(f"unknown mode {mode}")
+
+
+@jax.jit
+def noise_weight(det_data, det_weights):
+    """Apply per-detector inverse noise variance (reference noise_weight)."""
+    return det_data * det_weights[:, None]

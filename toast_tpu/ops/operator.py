@@ -70,6 +70,14 @@ class Operator(TraitConfig):
         return f"/operators/{cls.__qualname__}"
 
 
+def single_obs_view(data, ob):
+    """A Data view containing a single observation (shared globals)."""
+    view = type(data)(comm=data.comm, view=True)
+    view._internal = data._internal
+    view.obs.append(ob)
+    return view
+
+
 class Pipeline(Operator):
     """Run a list of operators, optionally batching detectors.
 

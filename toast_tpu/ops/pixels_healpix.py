@@ -1,0 +1,112 @@
+"""HEALPix pixelization operator.
+
+Rebuild of ``src/toast/ops/pixels_healpix/pixels_healpix.py:19``: converts
+detector quaternions to HEALPix pixel indices and (optionally) tracks hit
+submaps for building a PixelDistribution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config.traits import Bool, Instance, Int, Unicode
+from ..models.defaults import default_values as defaults
+from ..pixels import PixelDistribution
+from ..utils.timing import function_timer
+from .kernels.pointing import pixels_healpix as k_pixels_healpix
+from .operator import Operator, single_obs_view
+
+
+class PixelsHealpix(Operator):
+    """Expand detector quaternions to HEALPix pixel numbers."""
+
+    detector_pointing = Instance(
+        klass=object, allow_none=True, help="PointingDetectorSimple instance"
+    )
+    nside = Int(64, help="HEALPix NSIDE")
+    nside_submap = Int(16, help="HEALPix NSIDE of the submap grid")
+    nest = Bool(True, help="Use NESTED ordering")
+    view = Unicode(None, allow_none=True, help="Restrict to this interval list")
+    quats = Unicode(defaults.quats, help="Detdata key for detector quaternions")
+    pixels = Unicode(defaults.pixels, help="Output detdata key for pixels")
+    create_dist = Unicode(
+        None, allow_none=True, help="Data key to store a PixelDistribution"
+    )
+    shared_flags = Unicode(
+        defaults.shared_flags, allow_none=True, help="Shared key for common flags"
+    )
+    shared_flag_mask = Int(
+        defaults.shared_mask_invalid, help="Bit mask for shared flags"
+    )
+
+    @property
+    def n_pix(self):
+        return 12 * self.nside * self.nside
+
+    @property
+    def n_pix_submap(self):
+        return 12 * self.nside_submap * self.nside_submap
+
+    @property
+    def n_submap(self):
+        return (self.nside // self.nside_submap) ** 2 * 12
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        if self.nside_submap > self.nside:
+            self.nside_submap = self.nside
+        hit_submaps = None
+        if self.create_dist is not None:
+            hit_submaps = np.zeros(self.n_submap, dtype=bool)
+
+        for ob in data.obs:
+            dets = ob.select_local_detectors(detectors)
+            if len(dets) == 0:
+                continue
+            if self.quats not in ob.detdata and self.detector_pointing is not None:
+                self.detector_pointing.exec(single_obs_view(data, ob), detectors=dets)
+            quats = ob.detdata[self.quats].data
+            if self.shared_flags is not None and self.shared_flags in ob.shared:
+                flags = ob.shared.jax_view(self.shared_flags)
+                mask = self.shared_flag_mask
+            else:
+                flags = jnp.zeros(ob.n_local_samples, dtype=jnp.uint8)
+                mask = 0
+            pix = k_pixels_healpix(quats, flags, mask, self.nside, self.nest)
+            ob.detdata.ensure(
+                self.pixels, sample_shape=(), dtype=np.int32, detectors=dets
+            )
+            ob.detdata[self.pixels].data = pix
+            if hit_submaps is not None:
+                # submap hit tracking: ratio of pixel spaces is a power of 4
+                sub = np.asarray(pix) // (self.n_pix // self.n_submap)
+                hit_submaps[np.unique(sub[sub >= 0])] = True
+
+        if self.create_dist is not None:
+            data[self.create_dist] = PixelDistribution(
+                n_pix=self.n_pix,
+                n_submap=self.n_submap,
+                local_submaps=np.nonzero(hit_submaps)[0],
+                comm=data.comm,
+            )
+
+    def _requires(self):
+        return {
+            "global": [],
+            "meta": [],
+            "detdata": [self.quats],
+            "shared": [],
+            "intervals": [] if self.view is None else [self.view],
+        }
+
+    def _provides(self):
+        prov = {
+            "global": [] if self.create_dist is None else [self.create_dist],
+            "meta": [],
+            "detdata": [self.pixels],
+            "shared": [],
+            "intervals": [],
+        }
+        return prov

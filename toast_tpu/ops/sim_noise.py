@@ -1,0 +1,112 @@
+"""Noise timestream simulation operator.
+
+Rebuild of ``src/toast/ops/sim_tod_noise.py:192`` (``SimNoise``): PSD-shaped
+noise generation via counter-based RNG streams and FFT shaping, with the
+noise model's mixing matrix applied to map streams onto detectors.  The
+per-observation batch of streams is generated in one jitted device program
+(:func:`toast_tpu.ops.kernels.simnoise.sim_noise_batch`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config.traits import Int, Unicode, Unit
+from ..models.defaults import default_values as defaults
+from ..utils import units as u
+from ..utils.misc import rate_from_times
+from ..utils.timing import function_timer
+from .kernels.simnoise import sim_noise_batch
+from .operator import Operator
+
+
+class SimNoise(Operator):
+    """Generate and accumulate noise timestreams."""
+
+    realization = Int(0, help="The noise realization index")
+    component = Int(0, help="The noise component index (RNG stream class)")
+    times = Unicode(defaults.times, help="Shared key for timestamps")
+    det_data = Unicode(defaults.det_data, help="Detdata key for output signal")
+    det_data_units = Unit(u.K, help="Output units, if creating the field")
+    noise_model = Unicode(
+        defaults.noise_model, help="Observation key for the noise model"
+    )
+    serial = Int(0, help="Unused (API compatibility)")
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        for ob in data.obs:
+            dets = ob.select_local_detectors(detectors)
+            if len(dets) == 0:
+                continue
+            if self.noise_model not in ob:
+                raise KeyError(
+                    f"Observation does not contain noise model '{self.noise_model}'"
+                )
+            nse = ob[self.noise_model]
+            sindx = int(ob.session.uid) & 0xFFFFFFFF
+            telescope = int(ob.telescope.uid) & 0xFFFF
+
+            ob.detdata.ensure(
+                self.det_data,
+                detectors=dets,
+                create_units=self.det_data_units,
+            )
+            (rate, _, _, _, _) = rate_from_times(np.asarray(ob.shared[self.times]))
+
+            # collect streams with nonzero weight for these detectors
+            keys = nse.all_keys_for_dets(dets)
+            if len(keys) == 0:
+                continue
+            freq0 = nse.freq(keys[0]).to_value(u.Hz)
+            psds = np.empty((len(keys), len(freq0)))
+            for i, k in enumerate(keys):
+                f = nse.freq(k).to_value(u.Hz)
+                if len(f) != len(freq0) or f[0] != freq0[0] or f[-1] != freq0[-1]:
+                    raise RuntimeError("All PSDs must share a frequency grid")
+                psds[i] = nse.psd(k).to_value(u.K2_s)
+
+            stream_indices = [nse.index(k) & 0xFFFFFFFF for k in keys]
+            noise = sim_noise_batch(
+                self.realization,
+                telescope,
+                self.component,
+                sindx,
+                stream_indices,
+                rate,
+                ob.local_index_offset,
+                ob.n_local_samples,
+                freq0,
+                psds,
+            )
+
+            # mixing matrix: detector tod += sum_k weight(det,k) * stream_k
+            mix = np.zeros((len(dets), len(keys)), dtype=np.float32)
+            for i, d in enumerate(dets):
+                for j, k in enumerate(keys):
+                    mix[i, j] = nse.weight(d, k)
+            det_noise = jnp.asarray(mix) @ noise
+
+            field = ob.detdata[self.det_data]
+            det_idx = np.array([field.index(d) for d in dets])
+            field.data = field.data.at[det_idx].add(det_noise)
+
+    def _requires(self):
+        return {
+            "global": [],
+            "meta": [self.noise_model],
+            "detdata": [],
+            "shared": [self.times],
+            "intervals": [],
+        }
+
+    def _provides(self):
+        return {
+            "global": [],
+            "meta": [],
+            "detdata": [self.det_data],
+            "shared": [],
+            "intervals": [],
+        }

@@ -1,0 +1,199 @@
+"""Distributed pixel-domain data.
+
+Rebuild of ``src/toast/pixels.py`` (``PixelDistribution:59``,
+``PixelData:436``).  TPU-first redesign:
+
+* The reference compresses the map to locally-hit submaps per MPI process
+  and synchronizes with Allreduce/Alltoallv.  On TPU, whole maps fit HBM
+  (nside 2048 IQU float32 = 0.6 GB), so :class:`PixelData` holds one dense
+  ``(n_pix, n_value)`` device array; reductions across the device mesh /
+  processes are ``psum`` / host allreduce of the dense array.
+* The submap vocabulary (n_submap, n_pix_submap, hit submaps) is preserved
+  because operators and the HDF5/FITS I/O layout depend on it — but
+  ``global2local`` is the identity here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import units as u
+from ..utils.units import Quantity
+
+
+class PixelDistribution:
+    """Description of the global pixel space and its submap grid."""
+
+    def __init__(self, n_pix=None, n_submap=1000, local_submaps=None, comm=None):
+        self._n_pix = int(n_pix)
+        if n_submap > self._n_pix:
+            n_submap = self._n_pix
+        self._n_submap = int(n_submap)
+        self._n_pix_submap = -(-self._n_pix // self._n_submap)
+        self._comm = comm
+        if local_submaps is None:
+            self._local_submaps = np.arange(self._n_submap, dtype=np.int64)
+        else:
+            self._local_submaps = np.asarray(local_submaps, dtype=np.int64)
+        self._hit_submaps = np.zeros(self._n_submap, dtype=bool)
+        self._hit_submaps[self._local_submaps] = True
+
+    @property
+    def comm(self):
+        return self._comm
+
+    @property
+    def n_pix(self):
+        return self._n_pix
+
+    @property
+    def n_submap(self):
+        return self._n_submap
+
+    @property
+    def n_pix_submap(self):
+        return self._n_pix_submap
+
+    @property
+    def n_local_submap(self):
+        return len(self._local_submaps)
+
+    @property
+    def local_submaps(self):
+        return self._local_submaps
+
+    @property
+    def global2local(self):
+        """Identity map on TPU (all submaps held locally)."""
+        return np.arange(self._n_submap, dtype=np.int64)
+
+    def global_pixel_to_submap(self, gl):
+        gl = np.asarray(gl)
+        return gl // self._n_pix_submap, gl % self._n_pix_submap
+
+    def global_pixel_to_local(self, gl):
+        return np.asarray(gl)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, PixelDistribution)
+            and self._n_pix == other._n_pix
+            and self._n_submap == other._n_submap
+        )
+
+    def __repr__(self):
+        return (
+            f"<PixelDistribution n_pix={self._n_pix} n_submap={self._n_submap} "
+            f"n_pix_submap={self._n_pix_submap}>"
+        )
+
+
+class PixelData:
+    """Dense pixel-domain array with units.
+
+    ``data`` is a JAX array of shape (n_pix_padded, n_value) — padded up to
+    a whole number of submaps so submap-structured I/O reshapes cleanly.
+    """
+
+    def __init__(self, dist, dtype=np.float32, n_value=1, units=u.dimensionless):
+        self._dist = dist
+        self.dtype = np.dtype(dtype)
+        self._n_value = int(n_value)
+        self.units = units
+        n_padded = dist.n_submap * dist.n_pix_submap
+        self._data = jnp.zeros((n_padded, self._n_value), dtype=self.dtype)
+
+    @property
+    def distribution(self):
+        return self._dist
+
+    @property
+    def n_value(self):
+        return self._n_value
+
+    @property
+    def data(self):
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        value = jnp.asarray(value, dtype=self.dtype)
+        if value.shape != self._data.shape:
+            raise ValueError(f"shape {value.shape} != {self._data.shape}")
+        self._data = value
+
+    def numpy(self):
+        """Host copy restricted to real pixels, shape (n_pix, n_value)."""
+        return np.asarray(self._data)[: self._dist.n_pix]
+
+    def submap_view(self):
+        """Host copy shaped (n_submap, n_pix_submap, n_value) for I/O."""
+        return np.asarray(self._data).reshape(
+            (self._dist.n_submap, self._dist.n_pix_submap, self._n_value)
+        )
+
+    def set_numpy(self, arr):
+        arr = np.asarray(arr)
+        full = np.zeros(self._data.shape, dtype=self.dtype)
+        full[: self._dist.n_pix] = arr.reshape((self._dist.n_pix, self._n_value))
+        self._data = jnp.asarray(full)
+
+    def zero(self):
+        self._data = jnp.zeros_like(self._data)
+
+    def duplicate(self):
+        out = PixelData(
+            self._dist, dtype=self.dtype, n_value=self._n_value, units=self.units
+        )
+        out._data = self._data
+        return out
+
+    def update_units(self, units):
+        self.units = units
+
+    # -- reductions --------------------------------------------------------
+    def sync_allreduce(self):
+        """Sum over processes (no-op in the single-process case).
+
+        Device-mesh reductions happen inside jitted accumulation kernels
+        via psum; this host-level path covers multi-process (DCN) sync.
+        """
+        comm = self._dist.comm
+        if comm is None or getattr(comm, "world_size", 1) == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        arr = multihost_utils.process_allgather(self._data)
+        self._data = jnp.sum(jnp.asarray(arr), axis=0)
+
+    # alltoallv path: on TPU dense maps make owner-scatter unnecessary;
+    # keep the API for workflow parity.
+    sync_alltoallv = sync_allreduce
+
+    def stats(self):
+        """Per-component mean/min/max/rms over nonzero pixels."""
+        arr = self.numpy()
+        out = {}
+        for m in range(self._n_value):
+            col = arr[:, m]
+            nz = col[col != 0]
+            if len(nz) == 0:
+                out[m] = {"mean": 0.0, "rms": 0.0, "min": 0.0, "max": 0.0, "nonzero": 0}
+            else:
+                out[m] = {
+                    "mean": float(np.mean(nz)),
+                    "rms": float(np.sqrt(np.mean(nz**2))),
+                    "min": float(np.min(nz)),
+                    "max": float(np.max(nz)),
+                    "nonzero": int(len(nz)),
+                }
+        return out
+
+    def __repr__(self):
+        return (
+            f"<PixelData {self._dist.n_pix} pix x {self._n_value} "
+            f"[{self.units}] {self.dtype}>"
+        )
