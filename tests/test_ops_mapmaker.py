@@ -1,0 +1,200 @@
+"""MapMaker destriping tests (reference tests/ops_mapmaker.py intent):
+scan a sky map into TOD, add 1/f noise, destripe, and verify the cleaned
+map is much closer to the input than the naive binned map."""
+
+import numpy as np
+import pytest
+
+from toast_tpu import ops
+from toast_tpu.pixels import PixelData
+from toast_tpu.templates import Offset
+from toast_tpu.utils import units as u
+from toast_tpu.utils.units import Quantity
+
+from helpers import create_satellite_data
+
+
+def _setup(nside=16, obs_time=30.0, n_pix_fp=7, fknee=1.0):
+    data = create_satellite_data(
+        n_pix=n_pix_fp, obs_time=Quantity(obs_time, u.minute), hwp_rpm=6.0
+    )
+    # stronger 1/f noise: raise fknee via focalplane columns
+    fp = data.obs[0].telescope.focalplane
+    fp.detector_data["psd_fknee"][:] = fknee
+    ops.DefaultNoiseModel().apply(data)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist",
+        pixel_pointing=pixels,
+        stokes_weights=weights,
+    )
+    return data, pixels, weights, binner
+
+
+def _fake_sky(data, nside, seed=7):
+    n_pix = 12 * nside * nside
+    rng = np.random.default_rng(seed)
+    fake = np.zeros((n_pix, 3), dtype=np.float32)
+    fake[:, 0] = rng.normal(0.0, 1.0, n_pix)
+    fake[:, 1] = rng.normal(0.0, 0.05, n_pix)
+    fake[:, 2] = rng.normal(0.0, 0.05, n_pix)
+    sky = PixelData(data["pixel_dist"], n_value=3, units=u.K)
+    sky.set_numpy(fake)
+    data["fake_sky"] = sky
+    return fake
+
+
+def test_offset_template_roundtrip():
+    """M and M^T are consistent: project(add(a)) scales by step_length."""
+    data, pixels, weights, binner = _setup()
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    tmpl = Offset(step_time=Quantity(10.0, u.second))
+    tmpl.det_data = "signal"
+    ob = data.obs[0]
+    ob.detdata.create("signal", units=u.K)
+    tmpl.data = data
+    amps = tmpl.zeros()
+    n_amp = amps.n_local
+    assert n_amp == 14 * int(np.ceil(ob.n_local_samples / 100))
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=n_amp).astype(np.float32)
+    amps.local = np.asarray(vals)
+    tmpl.add_to_signal_batch(amps)
+    # signal is the per-baseline constant
+    out = tmpl.zeros()
+    tmpl.project_signal_batch(out)
+    # projection = step_length * amplitude for full baselines
+    got = np.asarray(out.local).reshape(14, -1)
+    want = vals.reshape(14, -1) * 100.0
+    np.testing.assert_allclose(got[:, :-1], want[:, :-1], rtol=1e-4)
+    # the partial last baseline (1 of 100 samples good fraction) is cut by
+    # good_fraction and its projection is zeroed
+    flags = out.local_flags.reshape(14, -1)
+    assert np.all(flags[:, -1] != 0)
+    np.testing.assert_array_equal(got[:, -1], 0.0)
+
+
+def test_destriping_noiseless_sky_preserved():
+    """With signal-only TOD the solved baselines must be ~zero and the
+    destriped map equal to the input sky."""
+    nside = 16
+    data, pixels, weights, binner = _setup(nside=nside, obs_time=40.0)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    # pixel_dist was created by the pipeline exec of `pixels`
+    fake = _fake_sky(data, nside)
+    ops.ScanMap(map_key="fake_sky", det_data="signal").apply(data)
+
+    tmpl = Offset(step_time=Quantity(5.0, u.second))
+    tm = ops.TemplateMatrix(templates=[tmpl])
+    mapper = ops.MapMaker(
+        name="ds0",
+        binning=binner,
+        template_matrix=tm,
+        solve_rcond_threshold="1e-3",
+        map_rcond_threshold="1e-3",
+        iter_max=30,
+        convergence="1e-12",
+    )
+    mapper.apply(data)
+    amps = np.asarray(data["ds0_solve_amplitudes"]["Offset"].local)
+    assert np.abs(amps).max() < 0.01  # sky rms is 1.0
+    d = data["ds0_map"].numpy()
+    rc = data["ds0_rcond"].numpy()[:, 0]
+    good = rc > 1e-2
+    err = np.sqrt(np.mean((d[good, 0] - fake[good, 0]) ** 2))
+    assert err < 0.01
+
+
+def test_destriping_removes_1f_noise():
+    nside = 16
+    data, pixels, weights, binner = _setup(nside=nside, obs_time=40.0, fknee=1.0)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    fake = _fake_sky(data, nside)
+
+    # signal = sky + 1/f noise
+    ops.ScanMap(map_key="fake_sky", det_data="signal").apply(data)
+    ops.SimNoise().apply(data)
+    tod0 = data.obs[0].detdata["signal"].numpy().copy()
+
+    tmpl = Offset(step_time=Quantity(10.0, u.second))
+    tm = ops.TemplateMatrix(templates=[tmpl])
+    mapper = ops.MapMaker(
+        name="destripe",
+        det_data="signal",
+        binning=binner,
+        template_matrix=tm,
+        solve_rcond_threshold="1e-3",
+        map_rcond_threshold="1e-3",
+        iter_max=50,
+        convergence="1e-10",
+        write_binmap=True,
+        save_cleaned=True,
+        output_dir=None,
+    )
+    mapper.apply(data)
+
+    destriped = data["destripe_map"].numpy()
+    rcond = data["destripe_rcond"].numpy()[:, 0]
+    good = rcond > 1e-2
+
+    # 1. the destriped map recovers the input sky (rms 1.0) to better than
+    # 10% (reference ops_mapmaker asserts rms degradation bounds)
+    err = np.sqrt(np.mean((destriped[good, 0] - fake[good, 0]) ** 2))
+    assert err < 0.1, err
+    corr = np.corrcoef(destriped[good, 0], fake[good, 0])[0, 1]
+    assert corr > 0.99
+
+    info = data["destripe_solve_amplitudes_solve_info"]
+    assert info["iterations"] > 0
+
+
+def test_destriping_reduces_lowf_power():
+    """Noise-only TOD: baseline subtraction removes sub-baseline-frequency
+    power while leaving the white-noise plateau untouched."""
+    nside = 16
+    data, pixels, weights, binner = _setup(nside=nside, obs_time=40.0, fknee=1.0)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    ops.SimNoise().apply(data)
+    tod0 = data.obs[0].detdata["signal"].numpy().copy()
+
+    tmpl = Offset(step_time=Quantity(10.0, u.second))
+    tm = ops.TemplateMatrix(templates=[tmpl])
+    mapper = ops.MapMaker(
+        name="nd",
+        binning=binner,
+        template_matrix=tm,
+        solve_rcond_threshold="1e-3",
+        map_rcond_threshold="1e-3",
+        iter_max=50,
+        convergence="1e-10",
+        save_cleaned=True,
+    )
+    mapper.apply(data)
+    cleaned = data.obs[0].detdata["nd_cleaned"].numpy()
+    f = np.fft.rfftfreq(tod0.shape[1], 1.0 / 10.0)
+    p0 = np.mean(np.abs(np.fft.rfft(tod0, axis=1)) ** 2, axis=0)
+    p1 = np.mean(np.abs(np.fft.rfft(cleaned, axis=1)) ** 2, axis=0)
+    lo = (f > 0.002) & (f < 0.02)
+    hi = f > 2.0
+    assert np.mean(p1[lo]) < 0.35 * np.mean(p0[lo])
+    assert abs(np.mean(p1[hi]) / np.mean(p0[hi]) - 1.0) < 0.05
+
+
+def test_mapmaker_no_templates():
+    """MapMaker without templates produces the binned map."""
+    nside = 16
+    data, pixels, weights, binner = _setup(nside=nside, obs_time=10.0)
+    ops.SimNoise().apply(data)
+    mapper = ops.MapMaker(
+        name="plain",
+        binning=binner,
+        template_matrix=None,
+    )
+    mapper.apply(data)
+    assert "plain_map" in data
+    assert "plain_hits" in data
+    assert np.isfinite(data["plain_map"].numpy()).all()

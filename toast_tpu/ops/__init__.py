@@ -1,6 +1,9 @@
 """Operator library (rebuild of ``src/toast/ops/``)."""
 
+from .mapmaker import Calibrate, MapMaker
 from .mapmaker_binning import BinMap
+from .mapmaker_solve import SolverLHS, SolverRHS, solve
+from .mapmaker_templates import ApplyAmplitudes, SolveAmplitudes, TemplateMatrix
 from .mapmaker_utils import (
     BuildHitMap,
     BuildInverseCovariance,

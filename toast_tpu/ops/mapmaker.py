@@ -1,0 +1,219 @@
+"""MapMaker orchestration operator.
+
+Rebuild of ``src/toast/ops/mapmaker.py:28``: solve template amplitudes
+(destriping), bin the raw map, subtract the template signal, bin the
+cleaned map, and store the standard products
+(``<name>_hits/cov/invcov/rcond/map/binmap/noiseweighted``) in ``data``
+— and optionally write them to disk (HDF5/FITS via
+``toast_tpu.pixels.io_healpix``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config.traits import Bool, Instance, Int, Unicode
+from ..models.defaults import default_values as defaults
+from ..utils.logging import Logger
+from ..utils.timing import Timer, function_timer
+from .mapmaker_templates import ApplyAmplitudes, SolveAmplitudes
+from .mapmaker_utils import CovarianceAndHits
+from .operator import Operator
+
+
+class MapMaker(Operator):
+    """Generalized destriping map-maker."""
+
+    det_data = Unicode(defaults.det_data)
+    convergence = Unicode("1.0e-12")
+    iter_min = Int(3)
+    iter_max = Int(100)
+    solve_rcond_threshold = Unicode("1.0e-8")
+    map_rcond_threshold = Unicode("1.0e-8")
+    binning = Instance(klass=object, allow_none=True, help="BinMap for the solver")
+    map_binning = Instance(
+        klass=object, allow_none=True, help="BinMap for the final map (optional)"
+    )
+    template_matrix = Instance(klass=object, allow_none=True)
+    output_dir = Unicode(None, allow_none=True, help="Write products here")
+    write_binmap = Bool(True)
+    write_map = Bool(True)
+    write_hits = Bool(True)
+    write_cov = Bool(True)
+    write_invcov = Bool(False)
+    write_rcond = Bool(True)
+    write_noiseweighted_map = Bool(False)
+    keep_solver_products = Bool(False)
+    keep_final_products = Bool(True)
+    save_cleaned = Bool(False)
+    overwrite_cleaned = Bool(False)
+    mc_mode = Bool(False)
+    mc_index = Int(0)
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        log = Logger.get()
+        timer = Timer()
+        timer.start()
+
+        map_binning = self.map_binning if self.map_binning is not None else self.binning
+
+        # 1. solve for template amplitudes
+        amplitudes_key = f"{self.name}_solve_amplitudes"
+        if self.template_matrix is not None and len(
+            self.template_matrix.templates
+        ) > 0:
+            solver = SolveAmplitudes(
+                name=self.name,
+                det_data=self.det_data,
+                convergence=self.convergence,
+                iter_min=self.iter_min,
+                iter_max=self.iter_max,
+                solve_rcond_threshold=self.solve_rcond_threshold,
+                amplitudes=amplitudes_key,
+                binning=self.binning,
+                template_matrix=self.template_matrix,
+                keep_solver_products=self.keep_solver_products,
+            )
+            solver.apply(data, detectors=detectors)
+            log.info_rank("MapMaker: amplitude solve complete", timer=timer)
+
+        # 2. final pixel covariance / hits / rcond
+        cov_key = f"{self.name}_cov"
+        cov_and_hits = CovarianceAndHits(
+            pixel_dist=map_binning.pixel_dist,
+            covariance=cov_key,
+            inverse_covariance=f"{self.name}_invcov" if self.write_invcov else None,
+            hits=f"{self.name}_hits",
+            rcond=f"{self.name}_rcond",
+            pixel_pointing=map_binning.pixel_pointing,
+            stokes_weights=map_binning.stokes_weights,
+            noise_model=map_binning.noise_model,
+            rcond_threshold=float(self.map_rcond_threshold),
+        )
+        cov_and_hits.apply(data, detectors=detectors)
+
+        # 3. bin the raw signal
+        saved = (map_binning.det_data, map_binning.binned, map_binning.covariance)
+        map_binning.covariance = cov_key
+        if self.write_binmap or self.template_matrix is None:
+            map_binning.det_data = self.det_data
+            map_binning.binned = f"{self.name}_binmap"
+            map_binning.noiseweighted = None
+            map_binning.apply(data, detectors=detectors)
+            log.info_rank("MapMaker: raw binned map complete", timer=timer)
+
+        # 4. subtract template signal and bin the cleaned map
+        if self.template_matrix is not None and len(
+            self.template_matrix.templates
+        ) > 0:
+            cleaned = f"{self.name}_cleaned" if self.save_cleaned else self.det_data
+            if self.save_cleaned and self.overwrite_cleaned:
+                cleaned = self.det_data
+            ApplyAmplitudes(
+                name=f"{self.name}_apply",
+                op="subtract",
+                det_data=self.det_data,
+                amplitudes=amplitudes_key,
+                template_matrix=self.template_matrix,
+                output=cleaned if cleaned != self.det_data else None,
+            ).apply(data, detectors=detectors)
+            map_binning.det_data = cleaned
+            map_binning.binned = f"{self.name}_map"
+            map_binning.noiseweighted = (
+                f"{self.name}_noiseweighted"
+                if self.write_noiseweighted_map
+                else None
+            )
+            map_binning.apply(data, detectors=detectors)
+            log.info_rank("MapMaker: destriped map complete", timer=timer)
+        else:
+            # no templates: the binned map is the final map
+            if f"{self.name}_binmap" in data:
+                data[f"{self.name}_map"] = data[f"{self.name}_binmap"].duplicate()
+
+        map_binning.det_data, map_binning.binned, map_binning.covariance = saved
+
+        # 5. write products
+        if self.output_dir is not None:
+            self._write_products(data)
+
+    def _write_products(self, data):
+        from ..pixels.io_healpix import write_healpix_fits, write_healpix_hdf5
+
+        os.makedirs(self.output_dir, exist_ok=True)
+        products = []
+        if self.write_hits:
+            products.append("hits")
+        if self.write_rcond:
+            products.append("rcond")
+        if self.write_cov:
+            products.append("cov")
+        if self.write_invcov:
+            products.append("invcov")
+        if self.write_binmap:
+            products.append("binmap")
+        if self.write_map:
+            products.append("map")
+        if self.write_noiseweighted_map:
+            products.append("noiseweighted")
+        for prod in products:
+            key = f"{self.name}_{prod}"
+            if key not in data:
+                continue
+            path = os.path.join(self.output_dir, f"{key}.h5")
+            write_healpix_hdf5(data[key], path, nest=True)
+
+    def _provides(self):
+        return {
+            "global": [
+                f"{self.name}_hits",
+                f"{self.name}_cov",
+                f"{self.name}_rcond",
+                f"{self.name}_binmap",
+                f"{self.name}_map",
+            ],
+            "meta": [],
+            "detdata": [],
+            "shared": [],
+            "intervals": [],
+        }
+
+
+class Calibrate(Operator):
+    """Divide timestreams by a solved gain-template signal
+    (reference ``mapmaker.py:812``)."""
+
+    det_data = Unicode(defaults.det_data)
+    amplitudes = Unicode("amplitudes")
+    template_matrix = Instance(klass=object, allow_none=True)
+    binning = Instance(klass=object, allow_none=True)
+    convergence = Unicode("1.0e-12")
+    iter_min = Int(3)
+    iter_max = Int(100)
+    output = Unicode(None, allow_none=True)
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        amplitudes_key = f"{self.name}_solve_amplitudes"
+        solver = SolveAmplitudes(
+            name=self.name,
+            det_data=self.det_data,
+            convergence=self.convergence,
+            iter_min=self.iter_min,
+            iter_max=self.iter_max,
+            amplitudes=amplitudes_key,
+            binning=self.binning,
+            template_matrix=self.template_matrix,
+        )
+        solver.apply(data, detectors=detectors)
+        ApplyAmplitudes(
+            name=f"{self.name}_apply",
+            op="divide",
+            det_data=self.det_data,
+            amplitudes=amplitudes_key,
+            template_matrix=self.template_matrix,
+            output=self.output,
+        ).apply(data, detectors=detectors)

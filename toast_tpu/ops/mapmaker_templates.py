@@ -1,0 +1,306 @@
+"""Template matrix operator and amplitude solving.
+
+Rebuild of ``src/toast/ops/mapmaker_templates.py`` (``TemplateMatrix:31``,
+``SolveAmplitudes:407``, ``ApplyAmplitudes:1157``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config.traits import Bool, Instance, Int, List, Unicode, Unit
+from ..models.defaults import default_values as defaults
+from ..templates.amplitudes import AmplitudesMap
+from ..utils import units as u
+from ..utils.logging import Logger
+from ..utils.timing import Timer, function_timer
+from .operator import Operator
+
+
+class TemplateMatrix(Operator):
+    """Apply (or transpose-apply) the template matrix M."""
+
+    templates = List([], help="List of Template instances")
+    amplitudes = Unicode(None, allow_none=True, help="Data key for amplitudes")
+    transpose = Bool(False, help="If True, apply M^T (project signal)")
+    det_data = Unicode(defaults.det_data, help="Detdata key to read/write")
+    det_data_units = Unit(u.K)
+    view = Unicode(None, allow_none=True)
+    det_flags = Unicode(defaults.det_flags, allow_none=True)
+    det_flag_mask = Int(defaults.det_mask_invalid)
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        self._initialized = False
+
+    def initialize(self, data, use_accel=False):
+        if not self._initialized:
+            for tmpl in self.templates:
+                tmpl.det_data = self.det_data
+                tmpl.det_flags = self.det_flags
+                tmpl.det_flag_mask = self.det_flag_mask
+                tmpl.data = data
+            self._initialized = True
+
+    def reset(self):
+        self._initialized = False
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        if self.amplitudes is None:
+            raise RuntimeError("amplitudes trait must be set")
+        self.initialize(data)
+        # templates read the field name at apply time; re-point without
+        # re-initializing (amplitude layout/flags are field-independent)
+        for tmpl in self.templates:
+            tmpl.det_data = self.det_data
+        if self.transpose:
+            if self.amplitudes not in data:
+                amps = AmplitudesMap()
+                for tmpl in self.templates:
+                    amps[tmpl.name] = tmpl.zeros()
+                data[self.amplitudes] = amps
+            amps = data[self.amplitudes]
+            for tmpl in self.templates:
+                tmpl.project_signal_batch(amps[tmpl.name])
+        else:
+            if self.amplitudes not in data:
+                raise RuntimeError(
+                    f"Data does not contain amplitudes '{self.amplitudes}'"
+                )
+            amps = data[self.amplitudes]
+            for tmpl in self.templates:
+                tmpl.add_to_signal_batch(amps[tmpl.name])
+
+    def add_prior(self, amps_in, amps_out):
+        for tmpl in self.templates:
+            tmpl.add_prior(amps_in[tmpl.name], amps_out[tmpl.name])
+
+    def apply_precond(self, amps_in, amps_out):
+        for tmpl in self.templates:
+            tmpl.apply_precond(amps_in[tmpl.name], amps_out[tmpl.name])
+
+    def _requires(self):
+        req = {"global": [], "meta": [], "detdata": [], "shared": [], "intervals": []}
+        if not self.transpose:
+            req["global"].append(self.amplitudes)
+        else:
+            req["detdata"].append(self.det_data)
+        return req
+
+    def _provides(self):
+        prov = {"global": [], "meta": [], "detdata": [], "shared": [], "intervals": []}
+        if self.transpose:
+            prov["global"].append(self.amplitudes)
+        else:
+            prov["detdata"].append(self.det_data)
+        return prov
+
+
+class SolveAmplitudes(Operator):
+    """Solve the destriping normal equations for template amplitudes.
+
+    [M^T N^-1 Z M + P_prior] a = M^T N^-1 Z d     (reference docstring
+    ``mapmaker_templates.py:407-433``), with Z = I - P (P^T N^-1 P)^-1
+    P^T N^-1 the binned-map subtraction projector.
+    """
+
+    det_data = Unicode(defaults.det_data)
+    convergence = Unicode("1.0e-12", help="Relative convergence limit (string)")
+    iter_min = Int(3, help="Minimum PCG iterations")
+    iter_max = Int(100, help="Maximum PCG iterations")
+    solve_rcond_threshold = Unicode("1.0e-8", help="rcond cut for solver cov")
+    map_rcond_threshold = Unicode("1.0e-8", help="rcond cut for final map")
+    amplitudes = Unicode("amplitudes", help="Data key for output amplitudes")
+    binning = Instance(klass=object, allow_none=True, help="BinMap for the solver")
+    template_matrix = Instance(klass=object, allow_none=True, help="TemplateMatrix")
+    keep_solver_products = Bool(False)
+    mc_mode = Bool(False)
+    mc_index = Int(0)
+    reset_pix_dist = Bool(False)
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        from .mapmaker_solve import SolverLHS, SolverRHS, solve
+        from .mapmaker_utils import CovarianceAndHits
+
+        log = Logger.get()
+        if self.template_matrix is None or len(self.template_matrix.templates) == 0:
+            return
+        binning = self.binning
+
+        # 1. solver pixel distribution + covariance
+        prefix = f"{self.name}_solve"
+        cov_key = f"{prefix}_cov"
+        if cov_key not in data:
+            cov_and_hits = CovarianceAndHits(
+                pixel_dist=binning.pixel_dist,
+                covariance=cov_key,
+                hits=f"{prefix}_hits",
+                rcond=f"{prefix}_rcond",
+                det_data_units=self.template_matrix.det_data_units,
+                pixel_pointing=binning.pixel_pointing,
+                stokes_weights=binning.stokes_weights,
+                noise_model=binning.noise_model,
+                rcond_threshold=float(self.solve_rcond_threshold),
+            )
+            cov_and_hits.apply(data, detectors=detectors)
+
+        saved_cov = binning.covariance
+        binning.covariance = cov_key
+
+        # 2. flag samples that hit unsolved (rcond-cut) pixels so they are
+        # excluded from the solver (reference mapmaker_templates.py flag
+        # preparation).  Without this, sky signal in cut pixels survives the
+        # Z projector and biases the baseline amplitudes.
+        solver_flags = f"{prefix}_flags"
+        rcond_arr = data[f"{prefix}_rcond"].numpy()[:, 0]
+        good_pix = jnp.asarray(rcond_arr > 0.0)
+        pixels_name = binning.pixel_pointing.pixels
+        saved_flags = (
+            binning.det_flags,
+            binning.det_flag_mask,
+            self.template_matrix.det_flags,
+            self.template_matrix.det_flag_mask,
+        )
+        for ob in data.obs:
+            pix = ob.detdata[pixels_name].data
+            bad = (pix < 0) | ~good_pix[jnp.clip(pix, 0, good_pix.shape[0] - 1)]
+            flags = jnp.where(bad, np.uint8(255), np.uint8(0))
+            if (
+                saved_flags[0] is not None
+                and saved_flags[0] in ob.detdata
+            ):
+                prior = ob.detdata[saved_flags[0]].data.astype(jnp.uint8)
+                masked = (prior & np.uint8(saved_flags[1])) != 0
+                flags = flags | jnp.where(masked, np.uint8(255), np.uint8(0))
+            ob.detdata.ensure(solver_flags, dtype=np.uint8)
+            ob.detdata[solver_flags].data = flags
+        binning.det_flags = solver_flags
+        binning.det_flag_mask = 255
+        self.template_matrix.det_flags = solver_flags
+        self.template_matrix.det_flag_mask = 255
+
+        # 3. copy the input signal into a scratch field the solver can mangle
+        scratch = f"{prefix}_signal"
+        for ob in data.obs:
+            src = ob.detdata[self.det_data]
+            ob.detdata.ensure(
+                scratch, sample_shape=src.sample_shape, dtype=src.dtype
+            )
+            ob.detdata[scratch].data = src.data
+            ob.detdata[scratch].units = src.units
+
+        # 4. initialize templates against the scratch field
+        self.template_matrix.det_data = scratch
+        self.template_matrix.reset()
+        self.template_matrix.initialize(data)
+
+        # 4. build the RHS
+        rhs_key = f"{prefix}_rhs"
+        rhs_calc = SolverRHS(
+            name=f"{self.name}_rhs",
+            det_data=scratch,
+            binning=binning,
+            template_matrix=self.template_matrix,
+            amplitudes=rhs_key,
+        )
+        rhs_calc.apply(data, detectors=detectors)
+
+        # 5. run PCG
+        lhs_calc = SolverLHS(
+            name=f"{self.name}_lhs",
+            det_temp=f"{prefix}_lhs_tod",
+            binning=binning,
+            template_matrix=self.template_matrix,
+        )
+        amplitudes, info = solve(
+            data,
+            detectors,
+            lhs_calc,
+            data[rhs_key],
+            convergence=float(self.convergence),
+            n_iter_min=self.iter_min,
+            n_iter_max=self.iter_max,
+        )
+        data[self.amplitudes] = amplitudes
+        data[f"{self.amplitudes}_solve_info"] = info
+
+        # cleanup
+        binning.covariance = saved_cov
+        (
+            binning.det_flags,
+            binning.det_flag_mask,
+            self.template_matrix.det_flags,
+            self.template_matrix.det_flag_mask,
+        ) = saved_flags
+        self.template_matrix.det_data = self.det_data
+        self.template_matrix.reset()
+        if not self.keep_solver_products:
+            for key in (rhs_key, f"{prefix}_hits", f"{prefix}_rcond", cov_key):
+                if key in data:
+                    del data[key]
+            for ob in data.obs:
+                for field in (scratch, f"{prefix}_lhs_tod", solver_flags):
+                    if field in ob.detdata:
+                        del ob.detdata[field]
+
+    def _provides(self):
+        return {
+            "global": [self.amplitudes],
+            "meta": [],
+            "detdata": [],
+            "shared": [],
+            "intervals": [],
+        }
+
+
+class ApplyAmplitudes(Operator):
+    """Project template amplitudes into timestreams and combine
+    (reference ``mapmaker_templates.py:1157``)."""
+
+    op = Unicode("subtract", help="add, subtract, multiply, or divide")
+    det_data = Unicode(defaults.det_data)
+    amplitudes = Unicode("amplitudes", help="Data key of solved amplitudes")
+    template_matrix = Instance(klass=object, allow_none=True)
+    output = Unicode(None, allow_none=True, help="Output detdata (default in-place)")
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        if self.template_matrix is None:
+            return
+        scratch = f"{self.name}_scratch"
+        # project amplitudes into a zeroed scratch field
+        for ob in data.obs:
+            src = ob.detdata[self.det_data]
+            ob.detdata.ensure(scratch, sample_shape=src.sample_shape, dtype=src.dtype)
+            ob.detdata[scratch].data = jnp.zeros_like(src.data)
+        self.template_matrix.det_data = scratch
+        self.template_matrix.transpose = False
+        self.template_matrix.amplitudes = self.amplitudes
+        self.template_matrix.exec(data, detectors=detectors)
+
+        out = self.output if self.output is not None else self.det_data
+        for ob in data.obs:
+            src = ob.detdata[self.det_data]
+            tmpl = ob.detdata[scratch]
+            if out not in ob.detdata:
+                ob.detdata.ensure(
+                    out, sample_shape=src.sample_shape, dtype=src.dtype
+                )
+            if self.op == "add":
+                result = src.data + tmpl.data
+            elif self.op == "subtract":
+                result = src.data - tmpl.data
+            elif self.op == "multiply":
+                result = src.data * tmpl.data
+            elif self.op == "divide":
+                result = src.data / tmpl.data
+            else:
+                raise ValueError(f"unknown op {self.op}")
+            ob.detdata[out].data = result
+            ob.detdata[out].units = src.units
+            del ob.detdata[scratch]
+        self.template_matrix.det_data = self.det_data

@@ -2,3 +2,9 @@
 
 from .covariance import covariance_apply, covariance_invert, covariance_multiply
 from .pixels import PixelData, PixelDistribution
+from .io_healpix import (
+    read_healpix_fits,
+    read_healpix_hdf5,
+    write_healpix_fits,
+    write_healpix_hdf5,
+)

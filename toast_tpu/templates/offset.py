@@ -1,0 +1,222 @@
+"""Offset (destriping baseline) template.
+
+Rebuild of ``src/toast/templates/offset/offset.py:34`` + its kernel triple
+(``templates/offset/kernels*.py``, C++ ``toast_template_offset.cpp``):
+piecewise-constant baseline offsets of fixed ``step_time`` per detector per
+observation.
+
+Amplitude layout: flat concatenation over observations of
+``(n_det, n_baseline)`` blocks (detector-major, like the reference
+``offset.py:241-253``).
+
+TPU design: ``add_to_signal`` is a gather ``amps[det, samp // step]`` and
+``project_signal`` is a reshape-and-sum over fixed-length segments — both
+one jitted expression over the whole detector block, no per-detector or
+per-baseline loops.  Sample flagging enters as a 0/1 mask.  The
+preconditioner is diagonal: 1 / (detector_weight * n_good) per baseline
+(reference ``offset.py:268-344``); the optional Fourier noise prior is not
+yet implemented (reference ``offset.py:884-910``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config.traits import Bool, Float, Quantity, Unicode
+from ..models.defaults import default_values as defaults
+from ..utils import units as u
+from ..utils.timing import function_timer
+from ..utils.units import Quantity as Qty
+from .amplitudes import Amplitudes
+from .template import Template
+
+
+@partial(jax.jit, static_argnames=("step", "n_base"))
+def _offset_add(tod, amps2d, step, n_base):
+    n_samp = tod.shape[1]
+    idx = jnp.arange(n_samp, dtype=jnp.int32) // step
+    return tod + amps2d[:, idx]
+
+
+@partial(jax.jit, static_argnames=("step", "n_base"))
+def _offset_project(tod, good, step, n_base):
+    n_det, n_samp = tod.shape
+    pad = n_base * step - n_samp
+    x = tod * good
+    x = jnp.pad(x, ((0, 0), (0, pad)))
+    return jnp.sum(x.reshape(n_det, n_base, step), axis=-1)
+
+
+class Offset(Template):
+    """Destriping baseline offsets."""
+
+    step_time = Quantity(Qty(10000.0, u.second), help="Baseline step length")
+    use_noise_prior = Bool(
+        False, help="Use noise PSD prior (not yet implemented)"
+    )
+    precond_width = Float(20, help="Preconditioner width (with noise prior)")
+    good_fraction = Float(
+        0.5, help="Baselines with fewer good samples than this fraction are cut"
+    )
+    times = Unicode(defaults.times, help="Shared key for timestamps")
+    noise_model = Unicode(
+        defaults.noise_model, allow_none=True, help="Observation noise model key"
+    )
+
+    def _initialize(self, new_data):
+        from ..utils.misc import rate_from_times
+
+        self._obs_info = []
+        offset = 0
+        for ob in new_data.obs:
+            dets = ob.select_local_detectors(flagmask=self.det_flag_mask)
+            if len(dets) == 0:
+                continue
+            times = np.asarray(ob.shared[self.times])
+            (rate, _, _, _, _) = rate_from_times(times)
+            step = max(1, int(round(self.step_time.to_value(u.second) * rate)))
+            n_samp = ob.n_local_samples
+            n_base = -(-n_samp // step)
+            n_amp = len(dets) * n_base
+
+            det_weights = np.ones(len(dets))
+            if self.noise_model is not None and self.noise_model in ob:
+                nse = ob[self.noise_model]
+                det_weights = np.array(
+                    [nse.detector_weight(d).value for d in dets]
+                )
+
+            # good-sample mask (n_det, n_samp)
+            good = self._good_mask(ob, dets)
+            pad = n_base * step - n_samp
+            good_padded = np.pad(good, ((0, 0), (0, pad)))
+            n_good = good_padded.reshape(len(dets), n_base, step).sum(axis=-1)
+
+            # per-baseline flags and preconditioner
+            frac = n_good / step
+            amp_flags = (frac < self.good_fraction).astype(np.uint8)
+            with np.errstate(divide="ignore"):
+                precond = 1.0 / (det_weights[:, None] * n_good)
+            precond[n_good == 0] = 0.0
+            precond[amp_flags != 0] = 0.0
+
+            self._obs_info.append(
+                {
+                    "ob": ob,
+                    "dets": dets,
+                    "det_idx": ob.detector_indices(dets),
+                    "offset": offset,
+                    "step": step,
+                    "n_base": n_base,
+                    "n_amp": n_amp,
+                    "good": jnp.asarray(good.astype(np.float32)),
+                    "amp_flags": amp_flags.reshape(-1),
+                    "precond": jnp.asarray(
+                        precond.astype(np.float32).reshape(-1)
+                    ),
+                }
+            )
+            offset += n_amp
+        self._n_local = offset
+
+    def _good_mask(self, ob, dets):
+        n_samp = ob.n_local_samples
+        good = np.ones((len(dets), n_samp), dtype=bool)
+        if self.det_flags is not None and self.det_flags in ob.detdata:
+            df = ob.detdata[self.det_flags].numpy()
+            didx = ob.detector_indices(dets)
+            good &= (df[didx] & self.det_flag_mask) == 0
+        return good
+
+    def detectors(self):
+        dets = []
+        for info in self._obs_info:
+            for d in info["dets"]:
+                if d not in dets:
+                    dets.append(d)
+        return dets
+
+    def _zeros(self):
+        amps = Amplitudes(self._data.comm, self._n_local, self._n_local)
+        flags = np.concatenate(
+            [info["amp_flags"] for info in self._obs_info]
+        ) if self._obs_info else np.zeros(0, dtype=np.uint8)
+        amps.local_flags[:] = flags
+        return amps
+
+    # -- batched interface -------------------------------------------------
+    @function_timer
+    def add_to_signal_batch(self, amplitudes, **kwargs):
+        for info in self._obs_info:
+            ob = info["ob"]
+            field = ob.detdata[self.det_data]
+            n_det = len(info["dets"])
+            amps2d = amplitudes.local[
+                info["offset"] : info["offset"] + info["n_amp"]
+            ].reshape(n_det, info["n_base"])
+            tod = field.data[info["det_idx"]]
+            new = _offset_add(tod, amps2d, info["step"], info["n_base"])
+            field.data = field.data.at[info["det_idx"]].set(new)
+
+    @function_timer
+    def project_signal_batch(self, amplitudes, **kwargs):
+        chunks = []
+        for info in self._obs_info:
+            ob = info["ob"]
+            field = ob.detdata[self.det_data]
+            tod = field.data[info["det_idx"]]
+            proj = _offset_project(tod, info["good"], info["step"], info["n_base"])
+            chunks.append(proj.reshape(-1))
+        if chunks:
+            amplitudes.local = amplitudes.local + jnp.concatenate(chunks)
+            amplitudes.apply_flags()
+
+    # -- per-detector API (reference compatibility) ------------------------
+    def _add_to_signal(self, detector, amplitudes, **kwargs):
+        for info in self._obs_info:
+            if detector not in info["dets"]:
+                continue
+            ob = info["ob"]
+            di = info["dets"].index(detector)
+            field = ob.detdata[self.det_data]
+            amps2d = amplitudes.local[
+                info["offset"] : info["offset"] + info["n_amp"]
+            ].reshape(len(info["dets"]), info["n_base"])
+            row = int(info["det_idx"][di])
+            tod = field.data[row : row + 1]
+            new = _offset_add(tod, amps2d[di : di + 1], info["step"], info["n_base"])
+            field.data = field.data.at[row : row + 1].set(new)
+
+    def _project_signal(self, detector, amplitudes, **kwargs):
+        chunks = []
+        full = amplitudes.local
+        for info in self._obs_info:
+            if detector not in info["dets"]:
+                continue
+            ob = info["ob"]
+            di = info["dets"].index(detector)
+            row = int(info["det_idx"][di])
+            field = ob.detdata[self.det_data]
+            tod = field.data[row : row + 1]
+            proj = _offset_project(
+                tod, info["good"][di : di + 1], info["step"], info["n_base"]
+            )
+            start = info["offset"] + di * info["n_base"]
+            full = full.at[start : start + info["n_base"]].add(proj.reshape(-1))
+        amplitudes.local = full
+        amplitudes.apply_flags()
+
+    def _apply_precond(self, amps_in, amps_out, **kwargs):
+        precond = jnp.concatenate(
+            [info["precond"] for info in self._obs_info]
+        ) if self._obs_info else jnp.zeros(0)
+        amps_out.local = amps_in.local * precond
+
+    def _add_prior(self, amps_in, amps_out, **kwargs):
+        # noise prior not yet implemented (reference offset.py:884-910)
+        pass
