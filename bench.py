@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""End-to-end map-making benchmark for toast_tpu.
+
+Runs the flagship workflow — satellite scanning simulation, 1/f noise
+generation, pointing expansion, and a destriping (template-solve) map-maker
+— through the real operator stack on whatever JAX platform is available
+(the driver runs this on one real TPU chip).
+
+Metric: the reference's science metric, ``total_samples / (n_nodes x
+runtime)`` in samples per node-second
+(``src/toast/scripts/benchmarking_utilities.py:828-846``).  The reference
+publishes no absolute numbers; ``vs_baseline`` is computed against 1.0e6
+samples/node-second, a representative throughput for the MPI reference on
+a multi-core CPU node (BASELINE.md: the north-star is beating 64 CPU cores).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_NODE_SECOND = 1.0e6
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true", help="tiny case (CPU ok)")
+    parser.add_argument("--n_det", type=int, default=None)
+    parser.add_argument("--n_samp", type=int, default=None)
+    parser.add_argument("--nside", type=int, default=None)
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    if args.tiny:
+        n_det = args.n_det or 14
+        n_samp = args.n_samp or 16384
+        nside = args.nside or 64
+    else:
+        n_det = args.n_det or 64
+        n_samp = args.n_samp or 262144
+        nside = args.nside or 512
+
+    import jax
+
+    # persistent compilation cache: compile once per machine, not per run
+    jax.config.update("jax_compilation_cache_dir", "/tmp/toast_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from toast_tpu import ops
+    from toast_tpu.models import (
+        Data,
+        Observation,
+        Session,
+        SpaceSite,
+        Telescope,
+        fake_hexagon_focalplane,
+    )
+    from toast_tpu.ops.sim_satellite import satellite_scanning
+    from toast_tpu.parallel import Comm
+    from toast_tpu.templates import Offset
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    rate_hz = 100.0
+    comm = Comm()
+    fp = fake_hexagon_focalplane(
+        n_pix=(n_det + 1) // 2,
+        sample_rate=Quantity(rate_hz, u.Hz),
+        psd_net=Quantity(0.05, u.K_sqrt_s),
+        psd_fknee=Quantity(0.5, u.Hz),
+        psd_fmin=Quantity(1.0e-5, u.Hz),
+    )
+    # trim to exactly n_det detectors
+    fp.detector_data = {k: v[:n_det] for k, v in fp.detector_data.items()}
+    fp._index = {d: i for i, d in enumerate(fp.detector_data["name"])}
+    tele = Telescope("bench", focalplane=fp, site=SpaceSite("L2"))
+
+    data = Data(comm)
+    ob = Observation(
+        comm,
+        tele,
+        n_samp,
+        name="bench_obs",
+        session=Session("bench_session"),
+    )
+    times = 1700000000.0 + np.arange(n_samp) / rate_hz
+    ob.shared.create_column("times", (n_samp,))
+    ob.shared.set("times", times)
+    ob.shared.create_column("flags", (n_samp,), dtype=np.uint8)
+    bore = satellite_scanning(
+        n_samp,
+        rate_hz,
+        spin_period_s=120.0,
+        spin_angle_rad=np.radians(30.0),
+        prec_period_s=600.0,
+        prec_angle_rad=np.radians(65.0),
+    )
+    ob.shared.create_column("boresight_radec", (n_samp, 4))
+    ob.shared.set("boresight_radec", bore)
+    data.obs.append(ob)
+
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside,
+        nside_submap=max(1, nside // 4),
+        detector_pointing=det_pointing,
+        create_dist="pixel_dist",
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+
+    def run_once(tag):
+        """The full pipeline: noise sim -> pointing -> destriped map."""
+        t0 = time.perf_counter()
+        ops.DefaultNoiseModel().apply(data)
+        ops.SimNoise().apply(data)
+        ops.Pipeline(operators=[pixels, weights]).apply(data)
+        jax.block_until_ready(ob.detdata["weights"].data)
+        t1 = time.perf_counter()
+        tmpl = Offset(step_time=Quantity(60.0, u.second))
+        tm = ops.TemplateMatrix(templates=[tmpl])
+        mapper = ops.MapMaker(
+            name=tag,
+            binning=binner,
+            template_matrix=tm,
+            solve_rcond_threshold="1e-3",
+            map_rcond_threshold="1e-3",
+            iter_min=args.iters,
+            iter_max=args.iters,
+            convergence="1e-14",
+            write_binmap=False,
+        )
+        mapper.apply(data)
+        jax.block_until_ready(data[f"{tag}_map"].data)
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1
+
+    def reset():
+        for key in list(data.keys()):
+            if key != "pixel_dist":
+                del data[key]
+        for field in list(ob.detdata.keys()):
+            del ob.detdata[field]
+        del ob._internal["noise_model"]
+
+    # warmup: populates the jit + persistent compilation caches.  Steady
+    # state is what the science metric measures (the reference's C++ is
+    # ahead-of-time compiled; XLA compiles on first encounter).
+    s0, m0 = run_once("warm")
+    reset()
+    s1, m1 = run_once("bench")
+    runtime = s1 + m1
+
+    total_samples = n_det * n_samp
+    value = total_samples / runtime
+    result = {
+        "metric": "satellite_destriping_samples_per_node_second",
+        "value": round(value, 1),
+        "unit": "samples/node-second",
+        "vs_baseline": round(value / BASELINE_SAMPLES_PER_NODE_SECOND, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# n_det={n_det} n_samp={n_samp} nside={nside} iters={args.iters} "
+        f"platform={jax.default_backend()} warmup={s0+m0:.2f}s "
+        f"sim+pointing={s1:.2f}s mapmaker={m1:.2f}s total={runtime:.2f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

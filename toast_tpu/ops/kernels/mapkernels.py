@@ -27,6 +27,60 @@ import jax
 import jax.numpy as jnp
 
 
+# ---------------------------------------------------------------------------
+# Bin plan: sort-by-pixel once, then gather-only segment sums.
+#
+# XLA scatter-add on TPU serializes colliding updates; real scanning
+# pointing revisits the same pixel for long runs, making plain
+# ``zmap.at[pix].add`` ~5x slower than binning against a precomputed sort
+# order (measured on v5e: 370ms -> 77ms for 4.2M samples at nside 512).
+# The sort order and segment boundaries depend only on the pixel indices,
+# which are constant across all PCG iterations, so they are computed once
+# per observation and cached (see ``get_bin_plan``).  Summation order is
+# fixed by the sort -> binned maps are bitwise stable run-to-run.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_pix",))
+def build_bin_plan(pixels_flat, n_pix):
+    """Sort permutation + per-pixel segment boundaries for fast binning."""
+    order = jnp.argsort(pixels_flat)
+    sorted_pix = pixels_flat[order]
+    bounds = jnp.searchsorted(
+        sorted_pix, jnp.arange(n_pix + 1, dtype=pixels_flat.dtype)
+    ).astype(jnp.int32)
+    return order, bounds
+
+
+@jax.jit
+def plan_segment_sum(vals_flat, order, bounds):
+    """Per-pixel sums of vals (n_samp_total, k) via cumsum + boundary gather."""
+    sv = vals_flat[order]
+    zero = jnp.zeros((1, sv.shape[-1]), dtype=sv.dtype)
+    csum = jnp.concatenate([zero, jnp.cumsum(sv, axis=0)], axis=0)
+    return csum[bounds[1:]] - csum[bounds[:-1]]
+
+
+_PLAN_CACHE: dict = {}
+
+
+def get_bin_plan(pixels, n_pix):
+    """Cached (order, bounds) for a device pixel array.
+
+    Keyed on the array's identity: detdata updates rebind arrays, so a
+    stale cache entry can never alias new pixel values.
+    """
+    key = (id(pixels), int(n_pix))
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[0] is pixels:
+        return hit[1]
+    plan = build_bin_plan(pixels.reshape(-1), n_pix)
+    if len(_PLAN_CACHE) > 32:
+        _PLAN_CACHE.clear()
+    _PLAN_CACHE[key] = (pixels, plan)
+    return plan
+
+
 def _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask):
     good = pixels >= 0
     if det_flags is not None:
@@ -39,6 +93,12 @@ def _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
 
 
 @jax.jit
+def _bnw_vals(weights, det_data, det_scale, good):
+    vals = det_data * det_scale[:, None] * good
+    contrib = weights * vals[..., None]
+    return contrib.reshape(-1, contrib.shape[-1])
+
+
 def build_noise_weighted(
     zmap,
     pixels,
@@ -49,6 +109,7 @@ def build_noise_weighted(
     det_flag_mask,
     shared_flags,
     shared_flag_mask,
+    plan=None,
 ):
     """Accumulate noise-weighted map: zmap[p] += scale_d * d_t * w_t.
 
@@ -59,27 +120,30 @@ def build_noise_weighted(
         det_data: (n_det, n_samp).
         det_scale: (n_det,) per-detector scale (e.g. noise weight x cal).
         det_flags/shared_flags: flag arrays or None.
+        plan: optional (order, bounds) from :func:`get_bin_plan` — the fast
+            gather-only path; otherwise a scatter-add is used.
 
     Returns:
         updated zmap.
     """
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    contrib = _bnw_vals(weights, det_data, det_scale, good)
+    if plan is not None:
+        order, bounds = plan
+        return zmap + plan_segment_sum(contrib, order, bounds)
     pix = jnp.where(good, pixels, 0)
-    vals = det_data * det_scale[:, None] * good
-    contrib = weights * vals[..., None]  # (n_det, n_samp, nnz)
-    return zmap.at[pix.reshape(-1)].add(
-        contrib.reshape(-1, contrib.shape[-1]),
-        indices_are_sorted=False,
-        unique_indices=False,
-    )
+    return zmap.at[pix.reshape(-1)].add(contrib)
 
 
-@jax.jit
 def cov_accum_diag_hits(
-    hits, pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask
+    hits, pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask, plan=None
 ):
     """Accumulate hit counts: hits[p] += 1 for each good sample."""
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    if plan is not None:
+        order, bounds = plan
+        ones = good.astype(jnp.float32).reshape(-1, 1)
+        return hits + plan_segment_sum(ones, order, bounds)[:, 0].astype(hits.dtype)
     pix = jnp.where(good, pixels, 0)
     ones = good.astype(hits.dtype)
     return hits.at[pix.reshape(-1)].add(ones.reshape(-1))
@@ -98,6 +162,16 @@ def _triangle_indices(nnz):
 
 
 @partial(jax.jit, static_argnames=("nnz",))
+def _invnpp_vals(weights, det_scale, good, nnz):
+    rows, cols = _triangle_indices(nnz)
+    outer = (
+        weights[..., rows]
+        * weights[..., cols]
+        * (det_scale[:, None] * good)[..., None]
+    )
+    return outer.reshape(-1, outer.shape[-1])
+
+
 def cov_accum_diag_invnpp(
     invnpp,
     pixels,
@@ -108,6 +182,7 @@ def cov_accum_diag_invnpp(
     shared_flags,
     shared_flag_mask,
     nnz,
+    plan=None,
 ):
     """Accumulate inverse pixel covariance: N_pp^-1[p] += scale * w w^T.
 
@@ -115,14 +190,12 @@ def cov_accum_diag_invnpp(
     same packing as the reference ``toast_map_cov.cpp:97``.
     """
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    outer = _invnpp_vals(weights, det_scale, good, nnz)
+    if plan is not None:
+        order, bounds = plan
+        return invnpp + plan_segment_sum(outer, order, bounds)
     pix = jnp.where(good, pixels, 0)
-    rows, cols = _triangle_indices(nnz)
-    outer = (
-        weights[..., rows]
-        * weights[..., cols]
-        * (det_scale[:, None] * good)[..., None]
-    )
-    return invnpp.at[pix.reshape(-1)].add(outer.reshape(-1, outer.shape[-1]))
+    return invnpp.at[pix.reshape(-1)].add(outer)
 
 
 @partial(jax.jit, static_argnames=("mode",))

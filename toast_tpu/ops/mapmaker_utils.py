@@ -24,9 +24,21 @@ from .kernels.mapkernels import (
     build_noise_weighted,
     cov_accum_diag_hits,
     cov_accum_diag_invnpp,
+    get_bin_plan,
     noise_weight,
 )
 from .operator import Operator
+
+
+def _pix_and_plan(ob, pixels_name, didx, dist):
+    """Pixel block for the selected detectors plus a cached bin plan."""
+    dd = ob.detdata[pixels_name]
+    if len(didx) == dd.data.shape[0]:
+        pix = dd.data
+    else:
+        pix = dd.data[didx]
+    n_padded = dist.n_submap * dist.n_pix_submap
+    return pix, get_bin_plan(pix, n_padded)
 
 
 def _det_flags(ob, name, dets_idx):
@@ -67,7 +79,7 @@ class BuildHitMap(Operator):
             if len(dets) == 0:
                 continue
             didx = ob.detector_indices(dets)
-            pix = ob.detdata[self.pixels].data[didx]
+            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist)
             new = cov_accum_diag_hits(
                 hits.data[:, 0],
                 pix,
@@ -75,6 +87,7 @@ class BuildHitMap(Operator):
                 self.det_flag_mask,
                 _shared_flags(ob, self.shared_flags),
                 self.shared_flag_mask,
+                plan=plan,
             )
             hits.data = new[:, None]
 
@@ -123,7 +136,7 @@ class BuildInverseCovariance(Operator):
                 continue
             nse = ob[self.noise_model]
             didx = ob.detector_indices(dets)
-            pix = ob.detdata[self.pixels].data[didx]
+            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist)
             wts = ob.detdata[self.weights].data[didx]
             nnz = wts.shape[-1]
             n_tri = nnz * (nnz + 1) // 2
@@ -146,6 +159,7 @@ class BuildInverseCovariance(Operator):
                 _shared_flags(ob, self.shared_flags),
                 self.shared_flag_mask,
                 nnz,
+                plan=plan,
             )
 
     def _finalize(self, data, **kwargs):
@@ -197,7 +211,7 @@ class BuildNoiseWeighted(Operator):
                 continue
             nse = ob[self.noise_model]
             didx = ob.detector_indices(dets)
-            pix = ob.detdata[self.pixels].data[didx]
+            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist)
             wts = ob.detdata[self.weights].data[didx]
             tod = ob.detdata[self.det_data].data[didx]
             nnz = wts.shape[-1]
@@ -221,6 +235,7 @@ class BuildNoiseWeighted(Operator):
                 self.det_flag_mask,
                 _shared_flags(ob, self.shared_flags),
                 self.shared_flag_mask,
+                plan=plan,
             )
 
     def _finalize(self, data, **kwargs):

@@ -38,6 +38,46 @@ def _tri_indices(nnz):
     return np.array(rows), np.array(cols)
 
 
+def _sym3_eigvals(a00, a01, a02, a11, a12, a22):
+    """Closed-form (Cardano) eigenvalues of symmetric 3x3 matrices.
+
+    Fully elementwise — maps onto the TPU VPU with no batched-LAPACK loops
+    (jnp.linalg.eigh at millions of pixels breaks the TPU compiler and is
+    far slower).  Returns (emin, emid, emax).
+    """
+    q = (a00 + a11 + a22) / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.where(p > 0, p, 1.0)
+    # det(B) where B = (A - qI)/p
+    detb = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    ) / (safe_p * safe_p * safe_p)
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    return e3, e2, e1  # min, mid, max (cos ordering guarantees e3<=e2<=e1)
+
+
+def _sym3_inv(a00, a01, a02, a11, a12, a22):
+    """Adjugate-based inverse of symmetric 3x3 matrices (elementwise)."""
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    safe = jnp.where(det != 0, det, 1.0)
+    return (c00 / safe, c01 / safe, c02 / safe, c11 / safe, c12 / safe, c22 / safe), det
+
+
 @partial(jax.jit, static_argnames=("nnz", "do_rcond"))
 def _invert_tri(tri, threshold, nnz, do_rcond=False):
     """Invert packed-triangle matrices with rcond cut.
@@ -51,6 +91,20 @@ def _invert_tri(tri, threshold, nnz, do_rcond=False):
         inv = jnp.where(good, 1.0 / jnp.where(good, val, 1.0), 0.0)
         rcond = jnp.where(good, 1.0, 0.0)
         return inv[:, None], rcond
+
+    if nnz == 3:
+        a00, a01, a02, a11, a12, a22 = (tri[:, i] for i in range(6))
+        emin, _emid, emax = _sym3_eigvals(a00, a01, a02, a11, a12, a22)
+        rcond = jnp.where(emax > 0, emin / jnp.where(emax > 0, emax, 1.0), 0.0)
+        (i00, i01, i02, i11, i12, i22), det = _sym3_inv(
+            a00, a01, a02, a11, a12, a22
+        )
+        good = (rcond >= threshold) & (emax > 0) & (det > 0)
+        gf = good.astype(tri.dtype)
+        inv_tri = jnp.stack(
+            [i00 * gf, i01 * gf, i02 * gf, i11 * gf, i12 * gf, i22 * gf], axis=-1
+        )
+        return inv_tri, jnp.where(good, rcond, 0.0)
 
     rows, cols = _tri_indices(nnz)
     mat = jnp.zeros((n_pix, nnz, nnz), dtype=jnp.float32)
@@ -111,6 +165,19 @@ def covariance_multiply(npp1, npp2):
 
 @partial(jax.jit, static_argnames=("nnz",))
 def _apply_tri(tri, vec, nnz):
+    if nnz == 1:
+        return tri * vec
+    if nnz == 3:
+        a00, a01, a02, a11, a12, a22 = (tri[:, i] for i in range(6))
+        v0, v1, v2 = vec[:, 0], vec[:, 1], vec[:, 2]
+        return jnp.stack(
+            [
+                a00 * v0 + a01 * v1 + a02 * v2,
+                a01 * v0 + a11 * v1 + a12 * v2,
+                a02 * v0 + a12 * v1 + a22 * v2,
+            ],
+            axis=-1,
+        )
     rows, cols = _tri_indices(nnz)
     n_pix = tri.shape[0]
     m = jnp.zeros((n_pix, nnz, nnz), dtype=tri.dtype)
