@@ -1,0 +1,252 @@
+"""Ground simulation and filtering tests."""
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+
+from toast_tpu import ops
+from toast_tpu.models import (
+    Data,
+    GroundSchedule,
+    GroundScan,
+    GroundSite,
+    Telescope,
+    fake_hexagon_focalplane,
+)
+from toast_tpu.models.defaults import default_values as defaults
+from toast_tpu.parallel import Comm
+from toast_tpu.utils import units as u
+from toast_tpu.utils.units import Quantity
+
+
+def create_ground_data(n_pix=3, duration_s=600.0, hwp_rpm=None, el_deg=50.0):
+    fp = fake_hexagon_focalplane(
+        n_pix=n_pix,
+        sample_rate=Quantity(10.0, u.Hz),
+        psd_fknee=Quantity(0.05, u.Hz),
+    )
+    site = GroundSite(
+        "atacama",
+        Quantity(-22.958, u.deg),
+        Quantity(-67.786, u.deg),
+        Quantity(5200.0, u.meter),
+    )
+    tele = Telescope("ground_test", focalplane=fp, site=site)
+    t0 = datetime(2023, 6, 15, 6, 0, tzinfo=timezone.utc)
+    from datetime import timedelta
+
+    scans = [
+        GroundScan(
+            name="scan0",
+            start=t0,
+            stop=t0 + timedelta(seconds=duration_s),
+            az_min=Quantity(40.0, u.deg),
+            az_max=Quantity(60.0, u.deg),
+            el=Quantity(el_deg, u.deg),
+        )
+    ]
+    schedule = GroundSchedule(scans=scans, site_name="atacama")
+    data = Data(Comm())
+    sim = ops.SimGround(
+        telescope=tele,
+        schedule=schedule,
+        scan_rate_az=Quantity(1.0, u.deg),
+        scan_accel_az=Quantity(3.0, u.deg),
+        weather="atacama",
+        hwp_angle="hwp_angle" if hwp_rpm else None,
+        hwp_rpm=Quantity(float(hwp_rpm), u.dimensionless) if hwp_rpm else None,
+    )
+    sim.apply(data)
+    return data
+
+
+def test_sim_ground_structure():
+    data = create_ground_data()
+    assert len(data.obs) == 1
+    ob = data.obs[0]
+    for key in ("times", "flags", "azimuth", "elevation", "boresight_azel",
+                "boresight_radec"):
+        assert key in ob.shared
+    for iv in ("scanning", "turnaround", "throw", "scan_leftright",
+               "scan_rightleft"):
+        assert iv in ob.intervals
+    az = np.asarray(ob.shared["azimuth"])
+    # azimuth stays within the throw plus turnaround overshoot
+    overshoot = np.radians(1.0) ** 2 / np.radians(3.0) / 2.0
+    assert az.min() > np.radians(40.0) - 2 * overshoot - 1e-6
+    assert az.max() < np.radians(60.0) + 2 * overshoot + 1e-6
+    # scanning samples move at the scan rate
+    vel = np.gradient(az) * 10.0
+    scanning = ob.intervals["scanning"].mask().astype(bool)
+    np.testing.assert_allclose(
+        np.abs(vel[scanning][2:-2]), np.radians(1.0), rtol=0.1
+    )
+    # elevation constant
+    el = np.asarray(ob.shared["elevation"])
+    np.testing.assert_allclose(el, np.radians(50.0))
+    # turnarounds flagged
+    flags = np.asarray(ob.shared["flags"])
+    turn = ob.intervals["turnaround"].mask().astype(bool)
+    assert np.all(flags[turn] & defaults.shared_mask_unstable_scanrate)
+    # weather attached
+    assert ob.telescope.site.weather is not None
+    assert ob.telescope.site.weather.pwv.value > 0
+
+
+def test_sim_ground_radec_tracks_sky():
+    data = create_ground_data(duration_s=1200.0)
+    ob = data.obs[0]
+    from toast_tpu.math import qarray as qa
+
+    bore = np.asarray(ob.shared["boresight_radec"])
+    vdir = qa.rotate(bore, np.array([0.0, 0.0, 1.0]))
+    # pointing must be unit and move smoothly
+    np.testing.assert_allclose(np.linalg.norm(vdir, axis=1), 1.0, atol=1e-6)
+    step = np.arccos(np.clip(np.sum(vdir[1:] * vdir[:-1], axis=1), -1, 1))
+    assert step.max() < 0.01
+
+
+def test_ground_pipeline_binned_map():
+    """Full ground slice: sim -> noise -> pointing -> binned map."""
+    data = create_ground_data(n_pix=3, duration_s=600.0)
+    ops.DefaultNoiseModel().apply(data)
+    ops.ElevationNoise(noise_a=1.0, noise_c=0.5).apply(data)
+    ops.SimNoise().apply(data)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=64, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    cov = ops.CovarianceAndHits(pixel_pointing=pixels, stokes_weights=weights)
+    cov.apply(data)
+    binner = ops.BinMap(
+        pixel_pointing=pixels, stokes_weights=weights, covariance="covariance"
+    )
+    binner.apply(data)
+    m = data["binned"].numpy()
+    assert np.isfinite(m).all()
+    assert data["hits"].numpy().sum() > 0
+
+
+def test_elevation_noise_scales_psd():
+    data = create_ground_data(el_deg=30.0)
+    ops.DefaultNoiseModel().apply(data)
+    ob = data.obs[0]
+    psd_before = ob["noise_model"].psd(ob.local_detectors[0]).value.copy()
+    ops.ElevationNoise(noise_a=1.0, noise_c=0.0, out_model="el_noise").apply(data)
+    psd_after = ob["el_noise"].psd(ob.local_detectors[0]).value
+    expected = (1.0 / np.sin(np.radians(30.0))) ** 2
+    np.testing.assert_allclose(psd_after / psd_before, expected, rtol=1e-6)
+
+
+def test_polyfilter_removes_polynomial():
+    data = create_ground_data(n_pix=1)
+    ob = data.obs[0]
+    n_det = len(ob.local_detectors)
+    n = ob.n_local_samples
+    t = np.linspace(-1, 1, n)
+    ob.detdata.create("signal")
+    sig = 3.0 + 2.0 * t + 0.5 * t**2
+    ob.detdata["signal"].data = np.tile(sig, (n_det, 1)).astype(np.float32)
+    ops.PolyFilter(order=2, view=None).apply(data)
+    out = ob.detdata["signal"].numpy()
+    assert np.abs(out).max() < 1e-3
+
+
+def test_polyfilter_per_interval():
+    data = create_ground_data(n_pix=1)
+    ob = data.obs[0]
+    n_det = len(ob.local_detectors)
+    n = ob.n_local_samples
+    rng = np.random.default_rng(0)
+    # different constant per throw interval
+    sig = np.zeros(n, dtype=np.float32)
+    for i, row in enumerate(ob.intervals["throw"]):
+        sig[row["first"] : row["last"] + 1] = rng.normal() * 5
+    ob.detdata.create("signal")
+    ob.detdata["signal"].data = np.tile(sig, (n_det, 1))
+    ops.PolyFilter(order=0, view="throw").apply(data)
+    out = ob.detdata["signal"].numpy()
+    mask = ob.intervals["throw"].mask().astype(bool)
+    assert np.abs(out[:, mask]).max() < 1e-3
+
+
+def test_common_mode_filter():
+    data = create_ground_data(n_pix=3)
+    ob = data.obs[0]
+    n_det = len(ob.local_detectors)
+    n = ob.n_local_samples
+    rng = np.random.default_rng(1)
+    common = rng.normal(size=n).astype(np.float32)
+    indiv = rng.normal(size=(n_det, n)).astype(np.float32) * 0.1
+    ob.detdata.create("signal")
+    ob.detdata["signal"].data = common[None, :] + indiv
+    ops.CommonModeFilter().apply(data)
+    out = ob.detdata["signal"].numpy()
+    # the common mode is gone at unflagged samples (turnarounds carry the
+    # nonscience flag and are skipped); per-detector deviations remain
+    flags = np.asarray(ob.shared["flags"])
+    good = (flags & defaults.shared_mask_nonscience) == 0
+    resid_common = out[:, good].mean(axis=0)
+    assert np.abs(resid_common).max() < 1e-4
+    assert out.std() > 0.01
+
+
+def test_ground_filter_removes_az_pickup():
+    data = create_ground_data(n_pix=1, duration_s=600.0)
+    ob = data.obs[0]
+    n_det = len(ob.local_detectors)
+    az = np.asarray(ob.shared["azimuth"])
+    pickup = 2.0 * (az - az.mean()) ** 2 + 0.3 * az
+    rng = np.random.default_rng(2)
+    noise = rng.normal(size=(n_det, len(az))).astype(np.float32) * 0.01
+    ob.detdata.create("signal")
+    ob.detdata["signal"].data = (pickup[None, :] + noise).astype(np.float32)
+    ops.GroundFilter(filter_order=4, trend_order=0).apply(data)
+    out = ob.detdata["signal"].numpy()
+    flags = np.asarray(ob.shared["flags"])
+    good = (flags & defaults.shared_mask_nonscience) == 0
+    # residual at good samples is at the injected white-noise floor
+    assert out[:, good].std() < 0.02
+
+
+def test_hwp_filter_removes_hwpss():
+    data = create_ground_data(n_pix=1, hwp_rpm=60.0)
+    ob = data.obs[0]
+    n_det = len(ob.local_detectors)
+    chi = np.asarray(ob.shared["hwp_angle"])
+    hwpss = 1.0 * np.cos(2 * chi) + 0.5 * np.sin(4 * chi) + 0.2 * np.cos(chi)
+    rng = np.random.default_rng(3)
+    noise = rng.normal(size=(n_det, len(chi))).astype(np.float32) * 0.01
+    ob.detdata.create("signal")
+    ob.detdata["signal"].data = (hwpss[None, :] + noise).astype(np.float32)
+    before = ob.detdata["signal"].numpy().std()
+    ops.HWPFilter(filter_order=4, trend_order=0).apply(data)
+    after = ob.detdata["signal"].numpy().std()
+    assert after < 0.05 * before
+
+
+def test_poly2d_filter():
+    data = create_ground_data(n_pix=7)
+    ob = data.obs[0]
+    dets = ob.local_detectors
+    n_det = len(dets)
+    n = ob.n_local_samples
+    # signal = gradient across the focalplane, varying in time
+    from toast_tpu.math import qarray as qa
+
+    fp = ob.telescope.focalplane
+    quats = np.array([fp[d]["quat"] for d in dets])
+    theta, phi, _ = qa.to_iso_angles(quats)
+    xpos = theta * np.cos(phi)
+    drift = np.linspace(1.0, 2.0, n)
+    sig = np.outer(xpos / max(abs(xpos).max(), 1e-9), drift).astype(np.float32)
+    ob.detdata.create("signal")
+    ob.detdata["signal"].data = sig
+    before = ob.detdata["signal"].numpy().std()
+    ops.PolyFilter2D(order=1).apply(data)
+    out = ob.detdata["signal"].numpy()
+    flags = np.asarray(ob.shared["flags"])
+    good = (flags & defaults.shared_mask_nonscience) == 0
+    assert out[:, good].std() < 1e-3 * before

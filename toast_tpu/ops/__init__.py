@@ -11,7 +11,12 @@ from .mapmaker_utils import (
     CovarianceAndHits,
     NoiseWeight,
 )
+from .elevation_noise import ElevationNoise
+from .groundfilter import GroundFilter
+from .hwpfilter import HWPFilter
 from .noise_model import DefaultNoiseModel
+from .polyfilter import CommonModeFilter, PolyFilter, PolyFilter2D
+from .sim_ground import SimGround
 from .operator import Operator, Pipeline
 from .pixels_healpix import PixelsHealpix
 from .pointing_detector import PointingDetectorSimple

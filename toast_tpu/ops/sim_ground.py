@@ -1,0 +1,215 @@
+"""Ground observing simulation.
+
+Rebuild of ``src/toast/ops/sim_ground.py:61`` (``SimGround``): creates
+observations from a :class:`~toast_tpu.models.schedule.GroundSchedule` with
+constant-elevation azimuth scans, acceleration-limited turnarounds, Az/El
+and RA/Dec boresight quaternions, scan-state intervals, turnaround flags,
+Sun avoidance intervals, HWP angle, and per-observation simulated weather.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config.traits import Bool, Instance, Int, Quantity, Unicode
+from ..math import coordinates as coords
+from ..math import qarray as qa
+from ..models import Observation, Session
+from ..models.defaults import default_values as defaults
+from ..models.weather import SimWeather
+from ..parallel.dist import distribute_discrete
+from ..utils import units as u
+from ..utils.timing import function_timer
+from ..utils.units import Quantity as Qty
+from .operator import Operator
+from .sim_ground_utils import add_solar_intervals, simulate_ces_scan
+
+ZAXIS = np.array([0.0, 0.0, 1.0])
+
+
+class SimGround(Operator):
+    """Simulate ground-based constant-elevation scanning observations."""
+
+    telescope = Instance(klass=object, allow_none=True, help="Telescope instance")
+    schedule = Instance(klass=object, allow_none=True, help="GroundSchedule")
+    scan_rate_az = Quantity(Qty(1.0, u.deg), help="Az scan rate (per second)")
+    scan_accel_az = Quantity(
+        Qty(1.0, u.deg), help="Az acceleration in turnarounds (per second^2)"
+    )
+    hwp_rpm = Quantity(None, allow_none=True, help="HWP rotation rate in RPM")
+    hwp_angle = Unicode(None, allow_none=True, help="Shared key for HWP angle")
+    times = Unicode(defaults.times)
+    shared_flags = Unicode(defaults.shared_flags)
+    azimuth = Unicode(defaults.azimuth)
+    elevation = Unicode(defaults.elevation)
+    boresight_azel = Unicode(defaults.boresight_azel)
+    boresight_radec = Unicode(defaults.boresight_radec)
+    position = Unicode(defaults.position)
+    velocity = Unicode(defaults.velocity)
+    weather = Unicode(None, allow_none=True, help="Weather model name (e.g. atacama)")
+    realization = Int(0, help="Realization index (weather draws)")
+    turnaround_mask = Int(
+        defaults.shared_mask_unstable_scanrate, help="Flag bits for turnarounds"
+    )
+    sun_angle_min = Quantity(
+        Qty(30.0, u.deg), help="Minimum Sun avoidance distance"
+    )
+    detset_key = Unicode(None, allow_none=True)
+    track_azimuth = Bool(False, help="Unused (API compatibility)")
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        if self.telescope is None or self.schedule is None:
+            raise RuntimeError("telescope and schedule traits must be set")
+        focalplane = self.telescope.focalplane
+        site = self.telescope.site
+        rate_hz = focalplane.sample_rate.to_value(u.Hz)
+        comm = data.comm
+
+        scan_samples = [
+            1 + int(rate_hz * (sc.stop_timestamp - sc.start_timestamp))
+            for sc in self.schedule.scans
+        ]
+        groupdist = distribute_discrete(scan_samples, comm.ngroups)
+        off, n_scans = groupdist[comm.group]
+
+        det_sets = None
+        if self.detset_key is not None:
+            col = focalplane.column(self.detset_key)
+            seen = {}
+            for d, v in zip(focalplane.detectors, col):
+                seen.setdefault(v, []).append(d)
+            det_sets = list(seen.values())
+
+        for idx in range(off, off + n_scans):
+            scan = self.schedule.scans[idx]
+            n_samp = scan_samples[idx]
+            session = Session(scan.name, start=scan.start, end=scan.stop)
+            ob = Observation(
+                comm,
+                self.telescope,
+                n_samp,
+                name=f"{scan.name}_{int(scan.start_timestamp)}",
+                session=session,
+                detector_sets=det_sets,
+            )
+            times = scan.start_timestamp + np.arange(n_samp) / rate_hz
+            ob.shared.create_column(self.times, (n_samp,))
+            ob.shared.set(self.times, times)
+
+            # azimuth profile with turnarounds
+            ces = simulate_ces_scan(
+                times,
+                scan.az_min.to_value(u.rad),
+                scan.az_max.to_value(u.rad),
+                self.scan_rate_az.to_value(u.rad),
+                self.scan_accel_az.to_value(u.rad),
+            )
+            el = np.full(n_samp, scan.el.to_value(u.rad))
+            ob.shared.create_column(self.azimuth, (n_samp,))
+            ob.shared.set(self.azimuth, ces["az"])
+            ob.shared.create_column(self.elevation, (n_samp,))
+            ob.shared.set(self.elevation, el)
+
+            # flags: mark turnarounds
+            flags = np.zeros(n_samp, dtype=np.uint8)
+            flags[ces["turnaround"]] |= self.turnaround_mask
+            ob.shared.create_column(self.shared_flags, (n_samp,), dtype=np.uint8)
+            ob.shared.set(self.shared_flags, flags)
+
+            # boresight quaternions
+            bore_azel = coords.azel_quat(ces["az"], el)
+            if scan.boresight_angle.to_value(u.rad) != 0:
+                rot = qa.rotation(ZAXIS, scan.boresight_angle.to_value(u.rad))
+                bore_azel = qa.mult(bore_azel, rot)
+            bore_radec = coords.azel_to_radec(site, times, bore_azel)
+            ob.shared.create_column(self.boresight_azel, (n_samp, 4))
+            ob.shared.set(self.boresight_azel, bore_azel)
+            ob.shared.create_column(self.boresight_radec, (n_samp, 4))
+            ob.shared.set(self.boresight_radec, bore_radec)
+
+            # HWP
+            if self.hwp_angle is not None and self.hwp_rpm is not None:
+                rpm = float(self.hwp_rpm.value)
+                ang = (2.0 * np.pi * rpm / 60.0 * (times - times[0])) % (
+                    2.0 * np.pi
+                )
+                ob.shared.create_column(self.hwp_angle, (n_samp,))
+                ob.shared.set(self.hwp_angle, ang)
+
+            # site motion
+            ob.shared.create_column(self.position, (n_samp, 3))
+            ob.shared.create_column(self.velocity, (n_samp, 3))
+            ob.shared.set(self.position, site.position(times))
+            ob.shared.set(self.velocity, site.velocity(times))
+
+            # scan-state intervals
+            dv = defaults
+            for name, key in (
+                (dv.scanning_interval, "spans_scanning"),
+                (dv.turnaround_interval, "spans_turnaround"),
+                (dv.scan_leftright_interval, "spans_scan_leftright"),
+                (dv.scan_rightleft_interval, "spans_scan_rightleft"),
+                (dv.turn_leftright_interval, "spans_turn_leftright"),
+                (dv.turn_rightleft_interval, "spans_turn_rightleft"),
+                (dv.throw_leftright_interval, "spans_throw_leftright"),
+                (dv.throw_rightleft_interval, "spans_throw_rightleft"),
+            ):
+                ob.intervals.create(name, samplespans=ces[key])
+            ob.intervals.create(
+                dv.throw_interval,
+                samplespans=ces["spans_throw_leftright"]
+                + ces["spans_throw_rightleft"],
+            )
+
+            # solar intervals + flags
+            sun_up, sun_close = add_solar_intervals(
+                site, times, ces["az"], el, self.sun_angle_min.to_value(u.rad)
+            )
+            ob.intervals.create(dv.sun_up_interval, samplespans=sun_up)
+            ob.intervals.create(dv.sun_close_interval, samplespans=sun_close)
+            if sun_up:
+                f = np.asarray(ob.shared[self.shared_flags]).copy()
+                for first, last in sun_up:
+                    f[first : last + 1] |= dv.shared_mask_sun_up
+                for first, last in sun_close:
+                    f[first : last + 1] |= dv.shared_mask_sun_close
+                ob.shared.set(self.shared_flags, f)
+
+            # weather
+            if self.weather is not None:
+                ob.telescope.site.weather = SimWeather(
+                    time=times[0],
+                    name=self.weather,
+                    site_uid=site.uid,
+                    realization=self.realization,
+                )
+
+            data.obs.append(ob)
+
+    def _provides(self):
+        shared = [
+            self.times,
+            self.shared_flags,
+            self.azimuth,
+            self.elevation,
+            self.boresight_azel,
+            self.boresight_radec,
+            self.position,
+            self.velocity,
+        ]
+        if self.hwp_angle is not None:
+            shared.append(self.hwp_angle)
+        return {
+            "global": [],
+            "meta": [],
+            "detdata": [],
+            "shared": shared,
+            "intervals": [
+                defaults.scanning_interval,
+                defaults.turnaround_interval,
+                defaults.throw_interval,
+                defaults.sun_up_interval,
+                defaults.sun_close_interval,
+            ],
+        }
