@@ -12,6 +12,34 @@ from .mapmaker_utils import (
     NoiseWeight,
 )
 from .elevation_noise import ElevationNoise
+from .flag_ops import (
+    AzimuthIntervals,
+    ExtendFlags,
+    FlagIntervals,
+    FlagNaNs,
+    FlagSSO,
+    YieldCut,
+)
+from .housekeeping import (
+    CalibrateDetectors,
+    Combine,
+    Copy,
+    Delete,
+    Detrend,
+    MemoryCounter,
+    Reset,
+    Statistics,
+)
+from .sim_sky import SimCatalog, SimDipole, SimScanSynchronousSignal
+from .sim_systematics import (
+    CommonModeNoise,
+    CrossTalk,
+    GainDrifter,
+    GainScrambler,
+    InjectCosmicRays,
+    PerturbHWP,
+    TimeConstant,
+)
 from .groundfilter import GroundFilter
 from .hwpfilter import HWPFilter
 from .noise_model import DefaultNoiseModel
