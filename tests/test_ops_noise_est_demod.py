@@ -1,0 +1,127 @@
+"""Noise estimation, model fitting, and demodulation tests."""
+
+import numpy as np
+import pytest
+
+from toast_tpu import ops
+from toast_tpu.pixels import PixelData
+from toast_tpu.utils import units as u
+from toast_tpu.utils.units import Quantity
+
+from helpers import create_satellite_data
+
+
+def test_noise_estimation_recovers_psd():
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(60.0, u.minute))
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ops.NoiseEstim(name="est", out_model="noise_est").apply(data)
+    ob = data.obs[0]
+    est = ob["noise_est"]
+    true = ob["noise_model"]
+    det = ob.local_detectors[0]
+    f_est = est.freq(det).to_value(u.Hz)
+    p_est = est.psd(det).to_value(u.K2_s)
+    # white plateau matches NET^2 within 20%
+    net2 = true.NET(det).to_value(u.K_sqrt_s) ** 2
+    plateau = np.median(p_est[f_est > 1.0])
+    assert abs(plateau / net2 - 1.0) < 0.2
+
+
+def test_fit_noise_model():
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(60.0, u.minute))
+    fp = data.obs[0].telescope.focalplane
+    fp.detector_data["psd_fknee"][:] = 0.5
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ops.NoiseEstim(name="est", out_model="noise_est").apply(data)
+    ops.FitNoiseModel(noise_model="noise_est", out_model="noise_fit").apply(data)
+    ob = data.obs[0]
+    fit = ob["noise_fit"]
+    true = ob["noise_model"]
+    det = ob.local_detectors[0]
+    assert abs(fit.NET(det).value / true.NET(det).value - 1.0) < 0.2
+    # fknee recovered within a factor of ~2 (statistical)
+    assert 0.2 < fit.fknee(det).value / 0.5 < 3.0
+
+
+def test_signal_diff_noise_model():
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(20.0, u.minute))
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ob = data.obs[0]
+    true_net2 = ob["noise_model"].NET(ob.local_detectors[0]).value ** 2
+    ops.SignalDiffNoiseModel(noise_model="diff_model").apply(data)
+    model = ob["diff_model"]
+    det = ob.local_detectors[0]
+    psd = model.psd(det).to_value(u.K2_s)
+    assert abs(psd[0] / true_net2 - 1.0) < 0.2
+
+
+def test_flag_noise_fit():
+    data = create_satellite_data(n_pix=7, obs_time=Quantity(10.0, u.minute))
+    fp = data.obs[0].telescope.focalplane
+    # one outlier detector with 10x NET
+    fp.detector_data["psd_net"][3] *= 10
+    ops.DefaultNoiseModel().apply(data)
+    ob = data.obs[0]
+    # use the analytic model directly as the "fit"
+    ob["noise_fit"] = ob["noise_model"]
+    ops.FlagNoiseFit(noise_model="noise_fit", sigma_NET=4.0).apply(data)
+    bad_det = ob.all_detectors[3]
+    assert ob.local_detector_flags[bad_det] != 0
+    n_flagged = sum(1 for f in ob.local_detector_flags.values() if f)
+    assert n_flagged == 1
+
+
+def test_demodulate_recovers_iqu():
+    """Scan a constant-polarization sky with HWP, demodulate, check I/Q/U."""
+    data = create_satellite_data(
+        n_pix=2, obs_time=Quantity(20.0, u.minute), hwp_rpm=60.0
+    )
+    ops.DefaultNoiseModel().apply(data)
+    ob = data.obs[0]
+    nside = 8
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    # uniform sky: I=3, Q=0.5, U=-0.3 everywhere
+    n_pix = 12 * nside * nside
+    sky = np.tile(np.array([3.0, 0.5, -0.3], dtype=np.float32), (n_pix, 1))
+    sky_px = PixelData(data["pixel_dist"], n_value=3, units=u.K)
+    sky_px.set_numpy(sky)
+    data["sky"] = sky_px
+    ops.ScanMap(map_key="sky", det_data="signal").apply(data)
+
+    demod = ops.Demodulate(stokes_weights=weights, nskip=3)
+    demod.apply(data)
+    ddata = demod.demod_data
+    assert len(ddata.obs) == 1
+    dob = ddata.obs[0]
+    margin = 100  # ignore filter edge effects
+    expected = {"demod0": 3.0, "demod4r": 0.5, "demod4i": -0.3}
+    for det in dob.local_detectors:
+        tod = np.asarray(dob.detdata["signal"][det])[margin:-margin]
+        want = expected[det.split("_")[0]]
+        dev = np.abs(tod - want)
+        # demodulation is singular where the scan crosses the coordinate
+        # pole (the orientation angle sweeps arbitrarily fast), so test the
+        # bulk of samples rather than the max
+        assert np.median(dev) < 0.01, (det, np.median(dev))
+        assert np.quantile(dev, 0.95) < 0.02, (det, np.quantile(dev, 0.95))
+    # StokesWeightsDemod provides trivial weights
+    ops.StokesWeightsDemod().apply(ddata)
+    w = dob.detdata["weights"]
+    for det in dob.local_detectors:
+        wd = np.asarray(w[det])
+        if det.startswith("demod0"):
+            np.testing.assert_allclose(wd[:, 0], 1.0)
+        elif det.startswith("demod4r"):
+            assert wd[:, 1].mean() > 0.9
+        elif det.startswith("demod4i"):
+            assert wd[:, 2].mean() > 0.9

@@ -11,6 +11,7 @@ from .mapmaker_utils import (
     CovarianceAndHits,
     NoiseWeight,
 )
+from .demodulation import Demodulate, StokesWeightsDemod
 from .elevation_noise import ElevationNoise
 from .flag_ops import (
     AzimuthIntervals,
@@ -42,7 +43,13 @@ from .sim_systematics import (
 )
 from .groundfilter import GroundFilter
 from .hwpfilter import HWPFilter
-from .noise_model import DefaultNoiseModel
+from .noise_estimation import NoiseEstim
+from .noise_model import (
+    DefaultNoiseModel,
+    FitNoiseModel,
+    FlagNoiseFit,
+    SignalDiffNoiseModel,
+)
 from .polyfilter import CommonModeFilter, PolyFilter, PolyFilter2D
 from .sim_ground import SimGround
 from .operator import Operator, Pipeline
