@@ -55,6 +55,13 @@ from .sim_ground import SimGround
 from .operator import Operator, Pipeline
 from .pixels_healpix import PixelsHealpix
 from .pointing_detector import PointingDetectorSimple
+from .save_load_hdf5 import LoadHDF5, SaveHDF5
+from .scan_healpix import (
+    InterpolateHealpixMap,
+    ScanHealpixDetectorMap,
+    ScanHealpixMap,
+    ScanHealpixMask,
+)
 from .scan_map import ScanMap, ScanMask, ScanScale
 from .sim_noise import SimNoise
 from .sim_satellite import SimSatellite
