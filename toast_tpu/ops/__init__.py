@@ -13,6 +13,7 @@ from .mapmaker_utils import (
 )
 from .demodulation import Demodulate, StokesWeightsDemod
 from .elevation_noise import ElevationNoise
+from .filterbin import FilterBin, ObsMat
 from .flag_ops import (
     AzimuthIntervals,
     ExtendFlags,
@@ -51,6 +52,7 @@ from .noise_model import (
     SignalDiffNoiseModel,
 )
 from .polyfilter import CommonModeFilter, PolyFilter, PolyFilter2D
+from .sim_atm import SimAtmosphere
 from .sim_ground import SimGround
 from .operator import Operator, Pipeline
 from .pixels_healpix import PixelsHealpix

@@ -1,0 +1,315 @@
+"""Filter-and-bin map-making with optional observation matrix.
+
+Rebuild of ``src/toast/ops/filterbin.py:337`` (``FilterBin``) and
+``ops/obsmat.py:20`` (``ObsMat``).
+
+The filtering step regresses a joint per-detector template basis (interval
+polynomials + azimuth Legendre ground templates + HWPSS harmonics) out of
+the signal — one batched masked least-squares per observation.
+
+**Observation matrix, TPU formulation.**  The reference accumulates the
+matrix sample-by-sample into a CSR workspace
+(``_libtoast/ops_filterbin.cpp:482``).  Here it is computed in closed form
+from binned objects: writing F for the template matrix of one detector and
+P for its pointing matrix,
+
+    M_obs = C [ P^T N^-1 P  -  sum_det B_d^T (F_d^T N^-1 F_d)^-1 B_d ]
+
+with ``B_d = F_d^T N^-1 P_d`` — each row of B is a *template-weighted binned
+map*, accumulated with the same fast segment-sum binning as zmaps, and the
+correction term is one dense (n_tmpl x 3 n_pix)^T @ (n_tmpl x 3 n_pix)
+matmul on the MXU.  This is algebraically identical to the reference's
+estimator and avoids per-sample sparse updates entirely.  The dense matrix
+costs (3 n_pix)^2 floats — fine through nside 32 on one chip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config.traits import Bool, Instance, Int, Unicode
+from ..models.defaults import default_values as defaults
+from ..pixels import PixelData, covariance_apply
+from ..utils import units as u
+from ..utils.logging import Logger
+from ..utils.timing import Timer, function_timer
+from .kernels.filters import legendre_basis
+from .kernels.mapkernels import get_bin_plan, plan_segment_sum
+from .operator import Operator, Pipeline
+from .polyfilter import _good
+
+
+class FilterBin(Operator):
+    """Filter timestreams with a joint template basis, then bin a map."""
+
+    det_data = Unicode(defaults.det_data)
+    binning = Instance(klass=object, allow_none=True, help="BinMap instance")
+    # template configuration
+    poly_filter_order = Int(1, help="Per-interval polynomial order (-1 disables)")
+    poly_filter_view = Unicode(
+        defaults.throw_interval, allow_none=True, help="Intervals for the poly filter"
+    )
+    ground_filter_order = Int(-1, help="Azimuth Legendre order (-1 disables)")
+    hwpss_filter_order = Int(-1, help="HWPSS harmonics (-1 disables)")
+    azimuth = Unicode(defaults.azimuth)
+    hwp_angle = Unicode(defaults.hwp_angle, allow_none=True)
+    det_flags = Unicode(defaults.det_flags, allow_none=True)
+    det_flag_mask = Int(defaults.det_mask_nonscience)
+    shared_flags = Unicode(defaults.shared_flags, allow_none=True)
+    shared_flag_mask = Int(defaults.shared_mask_invalid)
+    # products
+    output_dir = Unicode(None, allow_none=True)
+    write_obs_matrix = Bool(False, help="Accumulate the observation matrix")
+    obs_matrix = Unicode("obs_matrix", help="Data key for the observation matrix")
+    write_binmap = Bool(True, help="Also produce the unfiltered binned map")
+
+    def _build_basis(self, ob):
+        """Joint template basis (n_samp, n_tmpl) shared across detectors."""
+        n = ob.n_local_samples
+        cols = []
+        if self.poly_filter_order >= 0:
+            spans = None
+            if (
+                self.poly_filter_view is not None
+                and self.poly_filter_view in ob.intervals
+            ):
+                ivals = ob.intervals[self.poly_filter_view]
+                spans = [(r["first"], r["last"]) for r in ivals]
+            if not spans:
+                spans = [(0, n - 1)]
+            for first, last in spans:
+                length = last - first + 1
+                x = np.zeros(n, dtype=np.float32)
+                x[first : last + 1] = np.linspace(-1.0, 1.0, length)
+                inside = np.zeros(n, dtype=np.float32)
+                inside[first : last + 1] = 1.0
+                block = np.asarray(
+                    legendre_basis(jnp.asarray(x), self.poly_filter_order)
+                )
+                cols.append(block * inside[:, None])
+        if self.ground_filter_order >= 0 and self.azimuth in ob.shared:
+            az = np.asarray(ob.shared[self.azimuth])
+            x = (
+                2.0 * (az - az.min()) / max(az.max() - az.min(), 1e-12) - 1.0
+            ).astype(np.float32)
+            block = np.asarray(legendre_basis(jnp.asarray(x), self.ground_filter_order))
+            cols.append(block[:, 1:])  # constant already covered by poly
+        if (
+            self.hwpss_filter_order >= 0
+            and self.hwp_angle is not None
+            and self.hwp_angle in ob.shared
+        ):
+            chi = np.asarray(ob.shared[self.hwp_angle]).astype(np.float32)
+            for k in range(1, self.hwpss_filter_order + 1):
+                cols.append(np.stack([np.cos(k * chi), np.sin(k * chi)], axis=-1))
+        if not cols:
+            return None
+        return jnp.asarray(np.concatenate(cols, axis=-1))
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        log = Logger.get()
+        binning = self.binning
+        timer = Timer()
+        timer.start()
+
+        # pointing products + covariance
+        from .mapmaker_utils import CovarianceAndHits
+
+        cov_key = f"{self.name}_cov"
+        if cov_key not in data:
+            CovarianceAndHits(
+                pixel_dist=binning.pixel_dist,
+                covariance=cov_key,
+                hits=f"{self.name}_hits",
+                rcond=f"{self.name}_rcond",
+                pixel_pointing=binning.pixel_pointing,
+                stokes_weights=binning.stokes_weights,
+                noise_model=binning.noise_model,
+                det_flags=self.det_flags,
+                det_flag_mask=self.det_flag_mask,
+                shared_flags=self.shared_flags,
+                shared_flag_mask=self.shared_flag_mask,
+            ).apply(data, detectors=detectors)
+
+        saved = (binning.det_data, binning.binned, binning.covariance)
+        binning.covariance = cov_key
+        if self.write_binmap:
+            binning.det_data = self.det_data
+            binning.binned = f"{self.name}_binmap"
+            binning.apply(data, detectors=detectors)
+
+        dist = data[binning.pixel_dist]
+        n_padded = dist.n_submap * dist.n_pix_submap
+        obs_correction = None
+
+        # filter each observation
+        for ob in data.obs:
+            dets = ob.select_local_detectors(detectors, flagmask=self.det_flag_mask)
+            if len(dets) == 0:
+                continue
+            basis = self._build_basis(ob)
+            if basis is None:
+                continue
+            didx = ob.detector_indices(dets)
+            field = ob.detdata[self.det_data]
+            tod = field.data[didx]
+            good = _good(
+                ob, didx, self.det_flags, self.det_flag_mask,
+                self.shared_flags, self.shared_flag_mask,
+            )
+            k = basis.shape[-1]
+            wb = good[..., None] * basis[None, :, :]
+            ftf = jnp.einsum("dnk,dnl->dkl", wb, basis[None] * good[..., None])
+            ftf = ftf + 1.0e-10 * jnp.eye(k, dtype=ftf.dtype)[None]
+            ftd = jnp.einsum("dnk,dn->dk", wb, tod)
+            coeff = jnp.linalg.solve(ftf, ftd[..., None])[..., 0]
+            model = jnp.einsum("nk,dk->dn", basis, coeff)
+            field.data = field.data.at[didx].set(tod - model * good)
+
+            # observation matrix correction term
+            if self.write_obs_matrix:
+                nse = ob[binning.noise_model]
+                wvec = jnp.asarray(
+                    np.array(
+                        [nse.detector_weight(d).value for d in dets],
+                        dtype=np.float32,
+                    )
+                )
+                pix = ob.detdata[binning.pixel_pointing.pixels].data[didx]
+                wts = ob.detdata[binning.stokes_weights.weights].data[didx]
+                nnz = wts.shape[-1]
+                plan = get_bin_plan(pix, n_padded)
+                if obs_correction is None:
+                    obs_correction = jnp.zeros(
+                        (n_padded * nnz, n_padded * nnz), dtype=jnp.float32
+                    )
+                ftf_chol = jnp.linalg.cholesky(ftf)
+                for di in range(len(dets)):
+                    # B_d = F^T N^-1 P: bin each template column (k maps)
+                    vals = basis * (good[di] * wvec[di])[:, None]  # (n, k)
+                    contrib = (
+                        vals.T[:, :, None] * wts[di][None, :, :]
+                    )  # (k, n, nnz)
+                    dplan = get_bin_plan(pix[di], n_padded)
+                    Bd = [
+                        plan_segment_sum(contrib[kk], dplan[0], dplan[1])
+                        for kk in range(k)
+                    ]
+                    B = jnp.stack(Bd).reshape(k, -1)  # (k, n_padded*nnz)
+                    # correction += B^T (F^T N^-1 F)^-1 B via cholesky solve
+                    y = jax.scipy.linalg.cho_solve((ftf_chol[di], True), B)
+                    obs_correction = obs_correction + B.T @ y
+
+        # bin the filtered map
+        binning.det_data = self.det_data
+        binning.binned = f"{self.name}_map"
+        binning.apply(data, detectors=detectors)
+        log.info_rank("FilterBin: filtered map complete", timer=timer)
+
+        # assemble and store the observation matrix
+        if self.write_obs_matrix and obs_correction is not None:
+            from .mapmaker_utils import BuildInverseCovariance
+
+            invcov_key = f"{self.name}_invcov_full"
+            BuildInverseCovariance(
+                pixel_dist=binning.pixel_dist,
+                inverse_covariance=invcov_key,
+                pixels=binning.pixel_pointing.pixels,
+                weights=binning.stokes_weights.weights,
+                noise_model=binning.noise_model,
+                det_flags=self.det_flags,
+                det_flag_mask=self.det_flag_mask,
+                shared_flags=self.shared_flags,
+                shared_flag_mask=self.shared_flag_mask,
+            ).apply(data, detectors=detectors)
+            invcov = data[invcov_key]
+            nnz = 3 if invcov.n_value == 6 else 1
+            # expand block-diagonal P^T N^-1 P to the dense layout
+            n_p = n_padded
+            dense = np.zeros((n_p * nnz, n_p * nnz), dtype=np.float32)
+            tri = invcov.numpy()
+            rows = [0, 0, 0, 1, 1, 2][: tri.shape[1]]
+            colsi = [0, 1, 2, 1, 2, 2][: tri.shape[1]]
+            pixidx = np.arange(invcov.distribution.n_pix)
+            for t, (r, c) in enumerate(zip(rows, colsi)):
+                dense[pixidx * nnz + r, pixidx * nnz + c] = tri[:, t]
+                dense[pixidx * nnz + c, pixidx * nnz + r] = tri[:, t]
+            # reorder obs_correction from (pix-major per stokes stacking) to
+            # interleaved: our B columns are (n_padded * nnz) with pixel-major
+            # blocks [pix, stokes]; dense uses pix*nnz+stokes -- same layout
+            corr = np.asarray(obs_correction)[: n_p * nnz, : n_p * nnz]
+            mat = dense - corr
+            # left-multiply by the white-noise covariance C
+            cov = data[cov_key]
+            ctri = cov.numpy()
+            cdense = np.zeros_like(dense)
+            for t, (r, c) in enumerate(zip(rows, colsi)):
+                cdense[pixidx * nnz + r, pixidx * nnz + c] = ctri[:, t]
+                cdense[pixidx * nnz + c, pixidx * nnz + r] = ctri[:, t]
+            obsmat = cdense @ mat
+            data[self.obs_matrix] = obsmat
+            if self.output_dir is not None:
+                os.makedirs(self.output_dir, exist_ok=True)
+                import scipy.sparse as sp
+
+                sparse = sp.csr_matrix(obsmat)
+                sp.save_npz(
+                    os.path.join(self.output_dir, f"{self.name}_obs_matrix.npz"),
+                    sparse,
+                )
+
+        binning.det_data, binning.binned, binning.covariance = saved
+        if self.output_dir is not None:
+            from ..pixels.io_healpix import write_healpix_hdf5
+
+            os.makedirs(self.output_dir, exist_ok=True)
+            for prod in ("map", "binmap", "hits", "rcond", "cov"):
+                key = f"{self.name}_{prod}"
+                if key in data:
+                    write_healpix_hdf5(
+                        data[key],
+                        os.path.join(self.output_dir, f"{key}.h5"),
+                        nest=binning.pixel_pointing.nest,
+                    )
+
+
+class ObsMat:
+    """Observation matrix load/apply/coadd (reference ``ops/obsmat.py:20``)."""
+
+    def __init__(self, filename=None):
+        self.filename = filename
+        self.matrix = None
+        if filename is not None:
+            self.load()
+
+    def load(self, filename=None):
+        import scipy.sparse as sp
+
+        if filename is not None:
+            self.filename = filename
+        self.matrix = sp.load_npz(self.filename)
+        return self
+
+    def apply(self, map_arr):
+        """Apply to a flattened (n_pix * nnz,) map vector or (n_pix, nnz)."""
+        arr = np.asarray(map_arr)
+        shape = arr.shape
+        out = self.matrix @ arr.reshape(-1)
+        return out.reshape(shape)
+
+    def coadd(self, other):
+        if self.matrix is None:
+            self.matrix = other.matrix
+        else:
+            self.matrix = self.matrix + other.matrix
+        return self
+
+    @property
+    def nnz(self):
+        return self.matrix.nnz if self.matrix is not None else 0
