@@ -1,5 +1,11 @@
 """Operator library (rebuild of ``src/toast/ops/``)."""
 
+from .map_products import (
+    BuildPixelDistribution,
+    CadenceMap,
+    CrossLinking,
+    PointingDetectorFP,
+)
 from .mapmaker import Calibrate, MapMaker
 from .mapmaker_binning import BinMap
 from .mapmaker_solve import SolverLHS, SolverRHS, solve
@@ -53,6 +59,13 @@ from .noise_model import (
 )
 from .polyfilter import CommonModeFilter, PolyFilter, PolyFilter2D
 from .sim_atm import SimAtmosphere
+from .tod_cleaning import (
+    FillGaps,
+    NoiseFilter,
+    SimpleDeglitch,
+    SimpleJumpCorrect,
+    SimpleStatCut,
+)
 from .sim_ground import SimGround
 from .operator import Operator, Pipeline
 from .pixels_healpix import PixelsHealpix
