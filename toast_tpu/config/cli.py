@@ -47,15 +47,16 @@ def args_update_config(args, conf, objects):
     remaining = {}
     by_name = {obj.name: obj for obj in objects}
     for key, value in vars(args).items():
-        if value is None:
-            continue
         if "." in key:
             objname, _, tname = key.partition(".")
             if objname in by_name:
-                section = getattr(type(by_name[objname]), "config_section", "misc")
-                conf.setdefault(section, OrderedDict())
-                conf[section].setdefault(objname, OrderedDict())
-                conf[section][objname][tname] = value
+                if value is not None:
+                    section = getattr(
+                        type(by_name[objname]), "config_section", "misc"
+                    )
+                    conf.setdefault(section, OrderedDict())
+                    conf[section].setdefault(objname, OrderedDict())
+                    conf[section][objname][tname] = value
                 continue
         remaining[key] = value
     return conf, remaining

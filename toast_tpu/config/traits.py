@@ -109,6 +109,26 @@ def string_to_trait(text):
     return text
 
 
+def _coerce_trait_value(trait, value):
+    """Parse config/CLI strings into the trait's python type."""
+    if value is None or not isinstance(value, str):
+        return value
+    if isinstance(trait, traitlets.Int):
+        return int(value)
+    if isinstance(trait, traitlets.Float):
+        return float(value)
+    if isinstance(trait, traitlets.Bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(trait, (traitlets.List, traitlets.Set, traitlets.Tuple, traitlets.Dict)):
+        import json as _json
+
+        try:
+            return _json.loads(value)
+        except (ValueError, TypeError):
+            return value
+    return value
+
+
 class TraitConfig(HasTraits):
     """Base class for all configurable objects (operators, templates).
 
@@ -154,15 +174,14 @@ class TraitConfig(HasTraits):
     def from_config(cls, name, props):
         """Instantiate from a config dict (ignoring the class key)."""
         kwargs = {"name": name}
+        traits = cls.class_traits()
         for k, v in props.items():
-            if k == "class":
-                continue
-            if k not in cls.class_traits():
+            if k == "class" or k not in traits:
                 continue
             decoded = string_to_trait(v)
-            if decoded is None and not cls.class_traits()[k].allow_none:
+            if decoded is None and not traits[k].allow_none:
                 continue
-            kwargs[k] = decoded
+            kwargs[k] = _coerce_trait_value(traits[k], decoded)
         return cls(**kwargs)
 
     @classmethod

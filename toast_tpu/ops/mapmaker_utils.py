@@ -333,6 +333,11 @@ class CovarianceAndHits(Operator):
 
         # invert with rcond cut
         dist = data[self.pixel_dist]
+        if invcov_key not in data:
+            raise RuntimeError(
+                "CovarianceAndHits: no observations contributed data "
+                "(empty schedule or all detectors flagged?)"
+            )
         data[self.rcond] = PixelData(dist, dtype=np.float32, n_value=1)
         if self.inverse_covariance is not None:
             data[self.covariance] = data[invcov_key].duplicate()
