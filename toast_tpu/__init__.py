@@ -40,6 +40,16 @@ from .models.noise import AnalyticNoise, Noise
 from . import math
 from .math import qarray, rng
 from .math import healpix as healpix_mod
+from .math import coordinates
+
+from . import footprint, hwp_utils, pointing_utils, vis
+from .job import job_group_size
+from .pixels import PixelData, PixelDistribution
+from .models.weather import SimWeather, Weather
+from .models.schedule import GroundSchedule, SatelliteSchedule
+from .models.schedule import create_satellite_schedule
+from . import schedule_sim_ground
+from .ops.filterbin import ObsMat
 
 
 def tests_run(*args, **kwargs):

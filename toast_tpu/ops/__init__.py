@@ -19,6 +19,16 @@ from .mapmaker_utils import (
 )
 from .demodulation import Demodulate, StokesWeightsDemod
 from .elevation_noise import ElevationNoise
+from .external import (
+    LoadSpt3g,
+    Madam,
+    RunSpt3g,
+    SaveSpt3g,
+    ScanAlm,
+    SimConviqt,
+    SimTotalconvolve,
+    madam_params_from_mapmaker,
+)
 from .filterbin import FilterBin, ObsMat
 from .flag_ops import (
     AzimuthIntervals,
@@ -68,7 +78,9 @@ from .tod_cleaning import (
 )
 from .sim_ground import SimGround
 from .operator import Operator, Pipeline
+from .hwpss_model import DemodCommonModeFilter, HWPSynchronousModel, T2PFilter
 from .pixels_healpix import PixelsHealpix
+from .pixels_wcs import PixelsWCS
 from .pointing_detector import PointingDetectorSimple
 from .save_load_hdf5 import LoadHDF5, SaveHDF5
 from .scan_healpix import (
@@ -78,6 +90,7 @@ from .scan_healpix import (
     ScanHealpixMask,
 )
 from .scan_map import ScanMap, ScanMask, ScanScale
+from .scan_wcs import ScanWCSDetectorMap, ScanWCSMap, ScanWCSMask
 from .sim_noise import SimNoise
 from .sim_satellite import SimSatellite
 from .stokes_weights import StokesWeights

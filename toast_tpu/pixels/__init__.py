@@ -8,3 +8,4 @@ from .io_healpix import (
     write_healpix_fits,
     write_healpix_hdf5,
 )
+from .io_wcs import read_wcs_fits, read_wcs_hdf5, write_wcs_fits, write_wcs_hdf5
