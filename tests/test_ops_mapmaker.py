@@ -198,3 +198,41 @@ def test_mapmaker_no_templates():
     assert "plain_map" in data
     assert "plain_hits" in data
     assert np.isfinite(data["plain_map"].numpy()).all()
+
+
+def test_destriping_with_noise_prior():
+    """Offset noise prior: solver converges and stripe removal is at least
+    as good as the unregularized destriper."""
+    nside = 16
+    data, pixels, weights, binner = _setup(nside=nside, obs_time=40.0, fknee=1.0)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    ops.SimNoise().apply(data)
+    tod0 = data.obs[0].detdata["signal"].numpy().copy()
+
+    results = {}
+    for use_prior in (False, True):
+        data.obs[0].detdata["signal"].data = tod0
+        tmpl = Offset(
+            step_time=Quantity(10.0, u.second), use_noise_prior=use_prior
+        )
+        tm = ops.TemplateMatrix(templates=[tmpl])
+        mapper = ops.MapMaker(
+            name=f"prior{int(use_prior)}",
+            binning=binner,
+            template_matrix=tm,
+            solve_rcond_threshold="1e-3",
+            map_rcond_threshold="1e-3",
+            iter_max=40,
+            convergence="1e-10",
+            save_cleaned=True,
+        )
+        mapper.apply(data)
+        cleaned = data.obs[0].detdata[f"prior{int(use_prior)}_cleaned"].numpy()
+        f = np.fft.rfftfreq(tod0.shape[1], 1.0 / 10.0)
+        p = np.mean(np.abs(np.fft.rfft(cleaned, axis=1)) ** 2, axis=0)
+        lo = (f > 0.002) & (f < 0.02)
+        results[use_prior] = np.mean(p[lo])
+        info = data[f"prior{int(use_prior)}_solve_amplitudes_solve_info"]
+        assert info["iterations"] > 0
+    # prior solution must not be drastically worse at removing stripes
+    assert results[True] < 2.0 * results[False]

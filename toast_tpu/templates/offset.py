@@ -57,9 +57,10 @@ class Offset(Template):
 
     step_time = Quantity(Qty(10000.0, u.second), help="Baseline step length")
     use_noise_prior = Bool(
-        False, help="Use noise PSD prior (not yet implemented)"
+        False,
+        help="Gaussian prior on baseline correlations from the noise PSD",
     )
-    precond_width = Float(20, help="Preconditioner width (with noise prior)")
+    precond_width = Float(20, help="Preconditioner width (API compat)")
     good_fraction = Float(
         0.5, help="Baselines with fewer good samples than this fraction are cut"
     )
@@ -105,24 +106,66 @@ class Offset(Template):
             precond[n_good == 0] = 0.0
             precond[amp_flags != 0] = 0.0
 
-            self._obs_info.append(
-                {
-                    "ob": ob,
-                    "dets": dets,
-                    "det_idx": ob.detector_indices(dets),
-                    "offset": offset,
-                    "step": step,
-                    "n_base": n_base,
-                    "n_amp": n_amp,
-                    "good": jnp.asarray(good.astype(np.float32)),
-                    "amp_flags": amp_flags.reshape(-1),
-                    "precond": jnp.asarray(
-                        precond.astype(np.float32).reshape(-1)
-                    ),
-                }
-            )
+            info = {
+                "ob": ob,
+                "dets": dets,
+                "det_idx": ob.detector_indices(dets),
+                "offset": offset,
+                "step": step,
+                "n_base": n_base,
+                "n_amp": n_amp,
+                "good": jnp.asarray(good.astype(np.float32)),
+                "amp_flags": amp_flags.reshape(-1),
+                "precond": jnp.asarray(
+                    precond.astype(np.float32).reshape(-1)
+                ),
+            }
+            if (
+                self.use_noise_prior
+                and self.noise_model is not None
+                and self.noise_model in ob
+            ):
+                info["prior_filter"], info["precond_filter"] = (
+                    self._build_prior(
+                        ob[self.noise_model], dets, step / rate, n_base,
+                        det_weights, n_good,
+                    )
+                )
+            self._obs_info.append(info)
             offset += n_amp
         self._n_local = offset
+
+    def _build_prior(self, nse, dets, tau, n_base, det_weights, n_good):
+        """Frequency-domain baseline prior (reference ``offset.py:342-370``).
+
+        The baseline sequence (tau-averages at rate 1/tau) of noise with
+        sample-variance convention var = PSD * rate has
+        ``PSD_base(f) ~ PSD_tod(f)``; the white level is removed so the
+        prior constrains only the correlated component
+        (``offset.py:592-618``).  Returns per-detector rfft-domain filters:
+
+        * prior C_a^-1(f) = tau / max(PSD_corr(f), eps)
+        * preconditioner M^-1(f) = 1 / (w n_good_mean + C_a^-1(f))
+          — a circulant approximation of the reference's banded Cholesky.
+        """
+        freqs = np.fft.rfftfreq(n_base, tau)
+        prior = np.empty((len(dets), len(freqs)), dtype=np.float32)
+        precond = np.empty_like(prior)
+        for i, det in enumerate(dets):
+            f_in = nse.freq(det).to_value(u.second**-1)
+            p_in = nse.psd(det).to_value(u.K**2 * u.second)
+            # white level from the top of the band
+            white = np.median(p_in[f_in > 0.4 * f_in[-1]])
+            p_corr = np.interp(
+                np.maximum(freqs, f_in[0]), f_in, np.maximum(p_in - white, 0.0)
+            )
+            floor = max(1e-6 * white, 1e-30)
+            cinv = tau / np.maximum(p_corr, floor)
+            cinv[0] = 0.0  # no constraint on the mean
+            prior[i] = cinv
+            diag = det_weights[i] * max(np.mean(n_good[i]), 1.0)
+            precond[i] = 1.0 / (diag + cinv)
+        return jnp.asarray(prior), jnp.asarray(precond)
 
     def _good_mask(self, ob, dets):
         n_samp = ob.n_local_samples
@@ -212,11 +255,40 @@ class Offset(Template):
         amplitudes.apply_flags()
 
     def _apply_precond(self, amps_in, amps_out, **kwargs):
+        if self.use_noise_prior and any(
+            "precond_filter" in info for info in self._obs_info
+        ):
+            out = amps_out.local
+            for info in self._obs_info:
+                sl = slice(info["offset"], info["offset"] + info["n_amp"])
+                a2d = amps_in.local[sl].reshape(len(info["dets"]), info["n_base"])
+                if "precond_filter" in info:
+                    fd = jnp.fft.rfft(a2d, axis=-1) * info["precond_filter"]
+                    res = jnp.fft.irfft(fd, n=info["n_base"], axis=-1)
+                else:
+                    res = a2d * info["precond"].reshape(a2d.shape)
+                out = out.at[sl].set(res.reshape(-1))
+            amps_out.local = out
+            amps_out.apply_flags()
+            return
         precond = jnp.concatenate(
             [info["precond"] for info in self._obs_info]
         ) if self._obs_info else jnp.zeros(0)
         amps_out.local = amps_in.local * precond
 
     def _add_prior(self, amps_in, amps_out, **kwargs):
-        # noise prior not yet implemented (reference offset.py:884-910)
-        pass
+        """amps_out += C_a^-1 amps_in via the rfft-domain prior filter
+        (reference ``offset.py:884-910``)."""
+        if not self.use_noise_prior:
+            return
+        out = amps_out.local
+        for info in self._obs_info:
+            if "prior_filter" not in info:
+                continue
+            sl = slice(info["offset"], info["offset"] + info["n_amp"])
+            a2d = amps_in.local[sl].reshape(len(info["dets"]), info["n_base"])
+            fd = jnp.fft.rfft(a2d, axis=-1) * info["prior_filter"]
+            res = jnp.fft.irfft(fd, n=info["n_base"], axis=-1)
+            out = out.at[sl].add(res.reshape(-1))
+        amps_out.local = out
+        amps_out.apply_flags()
