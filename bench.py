@@ -45,6 +45,7 @@ def main():
         nside = args.nside or 512
 
     import jax
+    import jax.numpy as jnp
 
     # persistent compilation cache: compile once per machine, not per run
     jax.config.update("jax_compilation_cache_dir", "/tmp/toast_tpu_jax_cache")
@@ -121,7 +122,9 @@ def main():
         ops.DefaultNoiseModel().apply(data)
         ops.SimNoise().apply(data)
         ops.Pipeline(operators=[pixels, weights]).apply(data)
-        jax.block_until_ready(ob.detdata["weights"].data)
+        # force completion: block_until_ready can return early through the
+        # remote TPU tunnel, a scalar fetch cannot
+        float(jnp.sum(ob.detdata["weights"].data[0, :8]))
         t1 = time.perf_counter()
         tmpl = Offset(step_time=Quantity(60.0, u.second))
         tm = ops.TemplateMatrix(templates=[tmpl])
@@ -137,7 +140,7 @@ def main():
             write_binmap=False,
         )
         mapper.apply(data)
-        jax.block_until_ready(data[f"{tag}_map"].data)
+        float(jnp.sum(data[f"{tag}_map"].data[:64]))
         t2 = time.perf_counter()
         return t1 - t0, t2 - t1
 

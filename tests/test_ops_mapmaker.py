@@ -236,3 +236,37 @@ def test_destriping_with_noise_prior():
         assert info["iterations"] > 0
     # prior solution must not be drastically worse at removing stripes
     assert results[True] < 2.0 * results[False]
+
+
+def test_fused_matches_generic_solver():
+    """The fused on-device PCG must agree with the generic operator chain."""
+    nside = 16
+    data, pixels, weights, binner = _setup(nside=nside, obs_time=20.0, fknee=1.0)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    ops.SimNoise().apply(data)
+    tod0 = data.obs[0].detdata["signal"].numpy().copy()
+
+    results = {}
+    for fused in (True, False):
+        data.obs[0].detdata["signal"].data = tod0
+        tmpl = Offset(step_time=Quantity(10.0, u.second))
+        tm = ops.TemplateMatrix(templates=[tmpl])
+        solver = ops.SolveAmplitudes(
+            name=f"sv{int(fused)}",
+            binning=binner,
+            template_matrix=tm,
+            amplitudes=f"amps{int(fused)}",
+            solve_rcond_threshold="1e-3",
+            iter_max=60,
+            convergence="1e-10",
+            use_fused=fused,
+        )
+        solver.apply(data)
+        results[fused] = np.asarray(data[f"amps{int(fused)}"]["Offset"].local)
+        info = data[f"amps{int(fused)}_solve_info"]
+        assert info.get("fused", False) == fused
+    a_f, a_g = results[True], results[False]
+    rms = np.sqrt(np.mean(a_g**2))
+    assert np.sqrt(np.mean((a_f - a_g) ** 2)) < 0.02 * rms, (
+        np.abs(a_f - a_g).max(), rms
+    )

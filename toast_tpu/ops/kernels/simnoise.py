@@ -216,10 +216,21 @@ def sim_noise_batch(
     norm = rate * float(npsd - 1)
     interp_freq = np.fft.rfftfreq(fftlen, 1.0 / rate)
 
-    scales = np.empty((len(stream_indices), npsd), dtype=np.float32)
+    # deduplicate identical PSDs (focalplanes usually share noise params)
+    # and expand to per-stream scales ON DEVICE — only the unique rows are
+    # transferred (a full (n_stream, npsd) host array would be ~100s of MB)
+    seen = {}
+    inverse = np.empty(len(stream_indices), dtype=np.int32)
+    uniques = []
     for i in range(len(stream_indices)):
-        interp_psd = interpolate_psd_loglog(freq, psds[i], interp_freq)
-        scales[i] = np.sqrt(interp_psd * norm)
+        key = psds[i].tobytes()
+        if key not in seen:
+            seen[key] = len(uniques)
+            interp_psd = interpolate_psd_loglog(freq, psds[i], interp_freq)
+            uniques.append(np.sqrt(interp_psd * norm).astype(np.float32))
+        inverse[i] = seen[key]
+    unique_scales = jnp.asarray(np.stack(uniques))
+    scales = unique_scales[jnp.asarray(inverse)]
 
     key1 = (
         int(realization) * 4294967296 + int(telescope) * 65536 + int(component)
@@ -234,5 +245,5 @@ def sim_noise_batch(
 
     counter_start = int(firstsamp) * int(oversample)
     return _sim_noise_core(
-        jnp.asarray(keys), counter_start, jnp.asarray(scales), fftlen, samples
+        jnp.asarray(keys), counter_start, scales, fftlen, samples
     )

@@ -120,6 +120,111 @@ class SolveAmplitudes(Operator):
     mc_mode = Bool(False)
     mc_index = Int(0)
     reset_pix_dist = Bool(False)
+    use_fused = Bool(
+        True,
+        help="Use the fully fused on-device PCG when applicable "
+        "(single observation, single Offset template)",
+    )
+
+    def _fused_applicable(self, data):
+        from ..templates.offset import Offset
+
+        return (
+            self.use_fused
+            and len(data.obs) == 1
+            and len(self.template_matrix.templates) == 1
+            and isinstance(self.template_matrix.templates[0], Offset)
+            and self.template_matrix.templates[0].view is None
+        )
+
+    def _solve_fused(self, data, detectors, binning, prefix, solver_flags):
+        """Single-dispatch run-compressed on-device PCG
+        (kernels/fused_solver.py)."""
+        from ..templates.amplitudes import AmplitudesMap
+        from .kernels.fused_solver import (
+            fused_offset_solve_runs,
+            prepare_fused_solve,
+            run_stats,
+        )
+
+        log = Logger.get()
+        tmpl = self.template_matrix.templates[0]
+        ob = data.obs[0]
+        info = tmpl._obs_info[0]
+        dets = info["dets"]
+        didx = info["det_idx"]
+        n_det = len(dets)
+        n_base = info["n_base"]
+        step = info["step"]
+        n_samp = ob.n_local_samples
+        nse = ob[binning.noise_model]
+        det_weights = jnp.asarray(
+            np.array([nse.detector_weight(d).value for d in dets], dtype=np.float32)
+        )
+        pix = ob.detdata[binning.pixel_pointing.pixels].data[didx]
+        wts = ob.detdata[binning.stokes_weights.weights].data[didx]
+        tod = ob.detdata[self.det_data].data[didx]
+        sflags = ob.detdata[solver_flags].data[didx]
+        good = (sflags == 0).astype(jnp.float32)
+        if (
+            binning.shared_flags is not None
+            and binning.shared_flags in ob.shared
+        ):
+            sf = ob.shared.jax_view(binning.shared_flags)
+            good = good * (
+                (sf.astype(jnp.uint32) & jnp.uint32(binning.shared_flag_mask)) == 0
+            ).astype(jnp.float32)[None, :]
+        cov = data[binning.covariance]
+        n_padded = cov.data.shape[0]
+
+        # run compression plan (device-side; only the run count is fetched)
+        plan = prepare_fused_solve(pix, n_samp, step, n_base, n_det, n_padded)
+        W, n_run, y, z = run_stats(
+            tod.reshape(-1),
+            wts.reshape(-1, wts.shape[-1]),
+            (good * det_weights[:, None]).reshape(-1),
+            plan["starts"],
+        )
+        n_amp_total = n_det * n_base
+        amp_mask = jnp.asarray((info["amp_flags"] == 0).astype(np.float32))
+        precond = info["precond"]
+        use_prior = "prior_filter" in info
+        zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
+        amps_flat, iters, rel = fused_offset_solve_runs(
+            plan["run_amp"],
+            plan["run_pix"],
+            W, n_run, y, z,
+            plan["sort_order"],
+            plan["pix_bounds"],
+            plan["amp_bounds"],
+            cov.data,
+            amp_mask,
+            precond,
+            info.get("prior_filter", zero_f),
+            info.get("precond_filter", zero_f),
+            n_amp_total,
+            self.iter_max,
+            jnp.float32(float(self.convergence)),
+            use_prior=use_prior,
+        )
+        amps = AmplitudesMap()
+        zero = tmpl.zeros()
+        zero.local = amps_flat
+        amps[tmpl.name] = zero
+        info_dict = {
+            "iterations": int(iters),
+            "converged": bool(rel <= float(self.convergence)),
+            "residuals": [float(rel)],
+            "fused": True,
+            "n_runs": plan["n_runs"],
+            "compression": n_det * n_samp / max(plan["n_runs"], 1),
+        }
+        log.info(
+            f"Fused PCG finished: {int(iters)} iterations, "
+            f"final rel delta = {float(rel):0.3e}, "
+            f"run compression {info_dict['compression']:.1f}x"
+        )
+        return amps, info_dict
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
@@ -156,8 +261,7 @@ class SolveAmplitudes(Operator):
         # preparation).  Without this, sky signal in cut pixels survives the
         # Z projector and biases the baseline amplitudes.
         solver_flags = f"{prefix}_flags"
-        rcond_arr = data[f"{prefix}_rcond"].numpy()[:, 0]
-        good_pix = jnp.asarray(rcond_arr > 0.0)
+        good_pix = data[f"{prefix}_rcond"].data[:, 0] > 0.0
         pixels_name = binning.pixel_pointing.pixels
         saved_flags = (
             binning.det_flags,
@@ -198,33 +302,39 @@ class SolveAmplitudes(Operator):
         self.template_matrix.reset()
         self.template_matrix.initialize(data)
 
-        # 4. build the RHS
         rhs_key = f"{prefix}_rhs"
-        rhs_calc = SolverRHS(
-            name=f"{self.name}_rhs",
-            det_data=scratch,
-            binning=binning,
-            template_matrix=self.template_matrix,
-            amplitudes=rhs_key,
-        )
-        rhs_calc.apply(data, detectors=detectors)
+        if self._fused_applicable(data):
+            # 4+5 fused: one on-device program for RHS + all PCG iterations
+            amplitudes, info = self._solve_fused(
+                data, detectors, binning, prefix, solver_flags
+            )
+        else:
+            # 4. build the RHS
+            rhs_calc = SolverRHS(
+                name=f"{self.name}_rhs",
+                det_data=scratch,
+                binning=binning,
+                template_matrix=self.template_matrix,
+                amplitudes=rhs_key,
+            )
+            rhs_calc.apply(data, detectors=detectors)
 
-        # 5. run PCG
-        lhs_calc = SolverLHS(
-            name=f"{self.name}_lhs",
-            det_temp=f"{prefix}_lhs_tod",
-            binning=binning,
-            template_matrix=self.template_matrix,
-        )
-        amplitudes, info = solve(
-            data,
-            detectors,
-            lhs_calc,
-            data[rhs_key],
-            convergence=float(self.convergence),
-            n_iter_min=self.iter_min,
-            n_iter_max=self.iter_max,
-        )
+            # 5. run PCG
+            lhs_calc = SolverLHS(
+                name=f"{self.name}_lhs",
+                det_temp=f"{prefix}_lhs_tod",
+                binning=binning,
+                template_matrix=self.template_matrix,
+            )
+            amplitudes, info = solve(
+                data,
+                detectors,
+                lhs_calc,
+                data[rhs_key],
+                convergence=float(self.convergence),
+                n_iter_min=self.iter_min,
+                n_iter_max=self.iter_max,
+            )
         data[self.amplitudes] = amplitudes
         data[f"{self.amplitudes}_solve_info"] = info
 

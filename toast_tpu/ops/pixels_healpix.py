@@ -74,15 +74,31 @@ class PixelsHealpix(Operator):
             else:
                 flags = jnp.zeros(ob.n_local_samples, dtype=jnp.uint8)
                 mask = 0
-            pix = k_pixels_healpix(quats, flags, mask, self.nside, self.nest)
-            ob.detdata.ensure(
-                self.pixels, sample_shape=(), dtype=np.int32, detectors=dets
-            )
-            ob.detdata[self.pixels].data = pix
+            cache_key = (id(quats), id(flags), mask, self.nside, self.nest)
+            cache_tag = f"_cache_{self.pixels}"
+            if (
+                self.pixels in ob.detdata
+                and ob._internal.get(cache_tag) == cache_key
+            ):
+                pix = ob.detdata[self.pixels].data
+            else:
+                pix = k_pixels_healpix(quats, flags, mask, self.nside, self.nest)
+                ob.detdata.ensure(
+                    self.pixels, sample_shape=(), dtype=np.int32, detectors=dets
+                )
+                ob.detdata[self.pixels].data = pix
+                ob._internal[cache_tag] = cache_key
             if hit_submaps is not None:
-                # submap hit tracking: ratio of pixel spaces is a power of 4
-                sub = np.asarray(pix) // (self.n_pix // self.n_submap)
-                hit_submaps[np.unique(sub[sub >= 0])] = True
+                # submap hit tracking (dense maps keep every submap on TPU,
+                # so this is bookkeeping only): mark on device, move the
+                # small n_submap vector to host
+                sub = pix // (self.n_pix // self.n_submap)
+                marks = (
+                    jnp.zeros(self.n_submap, dtype=jnp.int32)
+                    .at[jnp.maximum(sub.reshape(-1), 0)]
+                    .max(jnp.where(sub.reshape(-1) >= 0, 1, 0))
+                )
+                hit_submaps |= np.asarray(marks) > 0
 
         if self.create_dist is not None:
             data[self.create_dist] = PixelDistribution(

@@ -53,6 +53,15 @@ class PointingDetectorSimple(Operator):
             else:
                 flags = jnp.zeros(ob.n_local_samples, dtype=jnp.uint8)
                 mask = 0
+            # skip recomputation when inputs are unchanged (array identities
+            # change whenever shared data or flags are updated)
+            cache_key = (id(bore), id(flags), mask, tuple(dets))
+            cache_tag = f"_cache_{self.quats}"
+            if (
+                self.quats in ob.detdata
+                and ob._internal.get(cache_tag) == cache_key
+            ):
+                continue
             quats = k_pointing_detector(
                 jnp.asarray(fp_quats, dtype=jnp.float32), bore, flags, mask
             )
@@ -60,6 +69,7 @@ class PointingDetectorSimple(Operator):
                 self.quats, sample_shape=(4,), dtype=np.float32, detectors=dets
             )
             ob.detdata[self.quats].data = quats
+            ob._internal[cache_tag] = cache_key
 
     def _requires(self):
         return {

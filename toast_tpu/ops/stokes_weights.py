@@ -78,6 +78,14 @@ class StokesWeights(Operator):
             if self.hwp_angle is not None and self.hwp_angle in ob.shared:
                 hwp = ob.shared.jax_view(self.hwp_angle)
             quats = ob.detdata[self.quats].data
+            cache_key = (id(quats), id(hwp), self.IAU, tuple(cal))
+            cache_tag = f"_cache_{self.weights}"
+            if (
+                self.weights in ob.detdata
+                and ob._internal.get(cache_tag) == cache_key
+            ):
+                continue
+            ob._internal[cache_tag] = cache_key
             w = k_stokes_iqu(
                 quats,
                 hwp,
