@@ -294,6 +294,43 @@ class CovarianceAndHits(Operator):
             ).apply(data, detectors=detectors)
             self.pixel_pointing.create_dist = saved
 
+        # the accumulation (hits + N_pp^-1) depends only on the pointing
+        # products and noise weights — cache it across calls that differ
+        # only in the rcond threshold (solver vs final covariance)
+        cache_key = tuple(
+            (
+                id(ob.detdata[self.pixel_pointing.pixels].data)
+                if self.pixel_pointing.pixels in ob.detdata
+                else None,
+                id(ob.detdata[self.stokes_weights.weights].data)
+                if self.stokes_weights.weights in ob.detdata
+                else None,
+            )
+            for ob in data.obs
+        )
+        cached = data._internal.get("_covhits_cache")
+        if cached is not None and cached[0] == cache_key and None not in [
+            c for pair in cache_key for c in pair
+        ]:
+            _, inv_raw, hits_raw = cached
+            data[self.hits] = hits_raw.duplicate()
+            invcov_key = (
+                self.inverse_covariance
+                if self.inverse_covariance is not None
+                else self.covariance
+            )
+            data[invcov_key] = inv_raw.duplicate()
+            dist = data[self.pixel_dist]
+            data[self.rcond] = PixelData(dist, dtype=np.float32, n_value=1)
+            if self.inverse_covariance is not None:
+                data[self.covariance] = data[invcov_key].duplicate()
+            covariance_invert(
+                data[self.covariance],
+                self.rcond_threshold,
+                rcond=data[self.rcond],
+            )
+            return
+
         hits_op = BuildHitMap(
             pixel_dist=self.pixel_dist,
             hits=self.hits,
@@ -339,6 +376,11 @@ class CovarianceAndHits(Operator):
                 "(empty schedule or all detectors flagged?)"
             )
         data[self.rcond] = PixelData(dist, dtype=np.float32, n_value=1)
+        data._internal["_covhits_cache"] = (
+            cache_key,
+            data[invcov_key].duplicate(),
+            data[self.hits].duplicate(),
+        )
         if self.inverse_covariance is not None:
             data[self.covariance] = data[invcov_key].duplicate()
         covariance_invert(
