@@ -38,6 +38,7 @@ def save_hdf5(
     force_serial=False,
     detdata_float32=False,
     compress=True,
+    codec_quanta=None,
 ):
     """Write one observation to ``<dir>/<name>_<uid>.h5``; returns the path."""
     import h5py
@@ -108,7 +109,21 @@ def save_hdf5(
             arr = field.numpy()
             if detdata_float32 and arr.dtype == np.float64:
                 arr = arr.astype(np.float32)
-            dset = dd.create_dataset(k, data=arr, **comp)
+            quanta = (codec_quanta or {}).get(k)
+            blob = None
+            if quanta is not None and arr.dtype == np.float32 and arr.ndim == 2:
+                from .. import native
+
+                if native.available():
+                    blob = native.compress(arr, float(quanta))
+            if blob is not None:
+                dset = dd.create_dataset(
+                    k, data=np.frombuffer(blob, dtype=np.uint8)
+                )
+                dset.attrs["codec"] = "ttc1"
+                dset.attrs["codec_shape"] = arr.shape
+            else:
+                dset = dd.create_dataset(k, data=arr, **comp)
             dset.attrs["units"] = field.units.name
             dset.attrs["detectors"] = json.dumps(field.detectors)
 
@@ -218,7 +233,15 @@ def load_hdf5(
             if detdata is not None and k not in detdata:
                 continue
             dset = f["detdata"][k]
-            arr = np.asarray(dset)
+            if dset.attrs.get("codec") == "ttc1":
+                from .. import native
+
+                shape = tuple(dset.attrs["codec_shape"])
+                arr = native.decompress(
+                    np.asarray(dset).tobytes(), int(np.prod(shape))
+                ).reshape(shape)
+            else:
+                arr = np.asarray(dset)
             dets = json.loads(dset.attrs["detectors"])
             units = u.unit_from_string(str(dset.attrs.get("units", "")))
             ob.detdata.create(
