@@ -244,3 +244,62 @@ def test_schedule_roundtrip(tmp_path):
     assert len(sch2) == 4
     assert sch2[2].name == "test_000002"
     assert abs(sch2[3].prec_period.to_value(u.minute) - 10.0) < 1e-9
+
+
+def test_view_interface():
+    ob = _make_obs()
+    ob.detdata.create("signal")
+    ob.detdata["signal"].data = np.arange(6 * 100, dtype=np.float32).reshape(6, 100)
+    ob.intervals.create("halves", samplespans=[(0, 49), (50, 99)])
+    view = ob.view["halves"]
+    assert len(view) == 2
+    chunks = list(view.detdata("signal"))
+    assert chunks[0].shape == (6, 50)
+    np.testing.assert_array_equal(
+        np.asarray(chunks[1]), ob.detdata["signal"].numpy()[:, 50:]
+    )
+    shared_chunks = view.shared("times")
+    assert len(shared_chunks[0]) == 50
+    # None view = whole span
+    full = ob.view[None]
+    assert len(full) == 1
+    assert full.slices[0] == slice(0, 100)
+
+
+def test_comm_helpers():
+    from toast_tpu.parallel.comm import Comm, comm_equal, exception_guard
+
+    a = Comm()
+    b = Comm()
+    assert comm_equal(a, b)
+    assert comm_equal(None, None)
+    assert not comm_equal(a, None)
+    with pytest.raises(ValueError):
+        with exception_guard(comm=a):
+            raise ValueError("boom")
+
+
+def test_operator_load_exec():
+    from toast_tpu import ops
+
+    data = Data(Comm())
+    for i in range(2):
+        data.obs.append(_make_obs(name=f"le{i}"))
+    loads = []
+
+    class FakeLoader:
+        def load(self, ob):
+            loads.append(("load", ob.name))
+            ob.detdata.create("signal")
+
+        def unload(self, ob):
+            loads.append(("unload", ob.name))
+            del ob.detdata["signal"]
+
+    for ob in data.obs:
+        ob.loader = FakeLoader()
+    op = ops.Detrend(mode="mean")
+    op.load_exec(data)
+    assert loads == [
+        ("load", "le0"), ("unload", "le0"), ("load", "le1"), ("unload", "le1")
+    ]

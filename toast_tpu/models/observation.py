@@ -163,6 +163,10 @@ class Observation(MutableMapping):
         return key in self._internal
 
     # -- views -------------------------------------------------------------
+    @property
+    def view(self):
+        return _ViewManager(self)
+
     def view_mask(self, view_name, dtype=np.float32):
         """Per-sample mask for a named interval list (None = all samples)."""
         if view_name is None or view_name == "":
@@ -234,3 +238,59 @@ class Observation(MutableMapping):
 
     def __hash__(self):
         return id(self)
+
+
+class _DetDataView:
+    """Per-interval slices of one detdata field (reference observation_view)."""
+
+    def __init__(self, field, slices):
+        self._field = field
+        self._slices = slices
+
+    def __len__(self):
+        return len(self._slices)
+
+    def __getitem__(self, i):
+        return self._field.data[:, self._slices[i]]
+
+    def __iter__(self):
+        for sl in self._slices:
+            yield self._field.data[:, sl]
+
+
+class _ViewAccessor:
+    """``ob.view[interval_name]`` -> per-interval access
+    (rebuild of ``src/toast/observation_view.py:236``)."""
+
+    def __init__(self, ob, name):
+        self._ob = ob
+        self._name = name
+
+    @property
+    def slices(self):
+        if self._name is None or self._name == "":
+            return [slice(0, self._ob.n_local_samples)]
+        return [
+            slice(int(r["first"]), int(r["last"]) + 1)
+            for r in self._ob.intervals[self._name]
+        ]
+
+    def detdata(self, field):
+        return _DetDataView(self._ob.detdata[field], self.slices)
+
+    def shared(self, field):
+        import numpy as np
+
+        arr = np.asarray(self._ob.shared[field])
+        return [arr[sl] for sl in self.slices]
+
+    def __len__(self):
+        return len(self.slices)
+
+
+class _ViewManager:
+    def __init__(self, ob):
+        self._ob = ob
+
+    def __getitem__(self, name):
+        return _ViewAccessor(self._ob, name)

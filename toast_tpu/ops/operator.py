@@ -53,6 +53,23 @@ class Operator(TraitConfig):
         self.exec(data, detectors=detectors, **kwargs)
         return self.finalize(data, **kwargs)
 
+    def load_exec(self, data, detectors=None, **kwargs):
+        """Out-of-core loop (reference ``ops/operator.py:138``): observations
+        carrying a ``loader`` attribute are loaded one at a time, processed,
+        and unloaded, bounding memory for very large datasets."""
+        from ..models.data import Data
+
+        for ob in data.obs:
+            loader = getattr(ob, "loader", None)
+            if loader is not None:
+                loader.load(ob)
+            view = Data(comm=data.comm, view=True)
+            view._internal = data._internal
+            view.obs.append(ob)
+            self.exec(view, detectors=detectors, **kwargs)
+            if loader is not None:
+                loader.unload(ob)
+
     def requires(self):
         return self._requires()
 

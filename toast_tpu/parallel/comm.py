@@ -107,3 +107,43 @@ class Comm:
 def get_world():
     """Return (world process count, this process index)."""
     return jax.process_count(), jax.process_index()
+
+
+def comm_equal(comm_a, comm_b):
+    """True when two communicators describe the same layout
+    (reference ``mpi.py:540``)."""
+    if comm_a is None and comm_b is None:
+        return True
+    if comm_a is None or comm_b is None:
+        return False
+    return (
+        comm_a.world_size == comm_b.world_size
+        and comm_a.ngroups == comm_b.ngroups
+        and comm_a.group == comm_b.group
+    )
+
+
+comm_equivalent = comm_equal
+
+
+class exception_guard:
+    """Context manager aborting all processes when any raises
+    (reference ``mpi.py:507``).  Single-process: re-raise."""
+
+    def __init__(self, comm=None):
+        self.comm = comm
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc is not None:
+            from ..utils.logging import Logger
+
+            Logger.get().error(f"exception_guard: {exc_type.__name__}: {exc}")
+            if self.comm is not None and getattr(self.comm, "world_size", 1) > 1:
+                # in a multi-process job, ensure every process exits
+                import os
+
+                os._exit(1)
+        return False
