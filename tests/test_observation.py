@@ -250,13 +250,14 @@ def test_view_interface():
     ob = _make_obs()
     ob.detdata.create("signal")
     ob.detdata["signal"].data = np.arange(6 * 100, dtype=np.float32).reshape(6, 100)
-    ob.intervals.create("halves", samplespans=[(0, 49), (50, 99)])
+    # non-adjacent spans (adjacent spans are merged by design)
+    ob.intervals.create("halves", samplespans=[(0, 49), (60, 99)])
     view = ob.view["halves"]
     assert len(view) == 2
     chunks = list(view.detdata("signal"))
     assert chunks[0].shape == (6, 50)
     np.testing.assert_array_equal(
-        np.asarray(chunks[1]), ob.detdata["signal"].numpy()[:, 50:]
+        np.asarray(chunks[1]), ob.detdata["signal"].numpy()[:, 60:]
     )
     shared_chunks = view.shared("times")
     assert len(shared_chunks[0]) == 50
