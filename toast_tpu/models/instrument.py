@@ -43,6 +43,10 @@ class Site:
         return f"<{type(self).__name__} '{self.name}'>"
 
 
+_H_PLANCK = 6.62607015e-34
+_K_BOLTZ = 1.380649e-23
+_T_CMB = 2.72548
+_C_LIGHT_M = 299792458.0
 _AU = 1.495978707e11  # m
 _YEAR = 365.25 * 86400.0
 _EARTH_ORBIT_V = 2.0 * np.pi * _AU / _YEAR  # ~29.8 km/s
@@ -157,6 +161,23 @@ class Bandpass:
 
     def center_frequency(self, det, alpha=None):
         return self.centers[det]
+
+    def kcmb2krj(self, det):
+        """Thermodynamic (CMB) to Rayleigh-Jeans temperature factor."""
+        freqs, weights = self.bins(det)
+        x = _H_PLANCK * freqs * 1e9 / (_K_BOLTZ * _T_CMB)
+        g = x**2 * np.exp(x) / np.expm1(x) ** 2
+        return float(np.sum(weights * g) / np.sum(weights))
+
+    def kcmb2jysr(self, det):
+        """Thermodynamic temperature to Jy/sr conversion factor."""
+        freqs, weights = self.bins(det)
+        nu = freqs * 1e9
+        x = _H_PLANCK * nu / (_K_BOLTZ * _T_CMB)
+        g = x**2 * np.exp(x) / np.expm1(x) ** 2
+        # dB/dT in RJ: 2 nu^2 k / c^2 -> Jy/sr per K_RJ
+        rj = 2.0 * nu**2 * _K_BOLTZ / _C_LIGHT_M**2 * 1e26
+        return float(np.sum(weights * g * rj) / np.sum(weights))
 
 
 class Focalplane:

@@ -182,6 +182,23 @@ class Demodulate(Operator):
                 demod_ob.shared.set(
                     self.shared_flags, sf[:: self.nskip][:n_new]
                 )
+            if self.det_flags is not None and self.det_flags in ob.detdata:
+                # propagate detector flags: OR over the filter support window
+                # approximated by max-pooling over nskip (reference
+                # _demodulate_flags widens by the kernel length)
+                df = np.asarray(ob.detdata[self.det_flags].data[didx])
+                n_pool = n_new * self.nskip
+                pooled = np.zeros((len(dets), n_new), dtype=np.uint8)
+                dfp = np.pad(df, ((0, 0), (0, max(0, n_pool - df.shape[1]))))
+                pooled = np.bitwise_or.reduce(
+                    dfp[:, :n_pool].reshape(len(dets), n_new, self.nskip), axis=2
+                )
+                demod_ob.detdata.create(
+                    self.det_flags, dtype=np.uint8,
+                )
+                demod_ob.detdata[self.det_flags].data = np.tile(
+                    pooled, (len(names), 1)
+                )
             demod_ob.detdata.create(
                 self.det_data, units=ob.detdata[self.det_data].units
             )
