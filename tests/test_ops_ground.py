@@ -250,3 +250,45 @@ def test_poly2d_filter():
     flags = np.asarray(ob.shared["flags"])
     good = (flags & defaults.shared_mask_nonscience) == 0
     assert out[:, good].std() < 1e-3 * before
+
+
+def test_weather_model_operator():
+    """WeatherModel attaches reproducible SimWeather to each site."""
+    import sys
+
+    from toast_tpu import ops
+
+    sys.path.insert(0, "tests")
+    from helpers import create_satellite_data
+
+    data = create_satellite_data()
+    op = ops.WeatherModel(weather="atacama", realization=5)
+    op.apply(data)
+    wx = data.obs[0].telescope.site.weather
+    assert wx is not None
+    assert wx.pwv.value > 0
+    # same realization -> same draw
+    data2 = create_satellite_data()
+    ops.WeatherModel(weather="atacama", realization=5).apply(data2)
+    assert data2.obs[0].telescope.site.weather.pwv.value == wx.pwv.value
+    # median mode is deterministic at the climatology median
+    ops.WeatherModel(weather="atacama", median_weather=True).apply(data)
+    assert abs(data.obs[0].telescope.site.weather.pwv.value - 1.0) < 1e-12
+
+
+def test_bandpass_unit_conversions():
+    """kcmb2krj < 1 and kcmb2jysr positive, decreasing with frequency
+    in the Wien tail (reference instrument.py:461 Bandpass)."""
+    from toast_tpu.models.instrument import Bandpass
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    bp = Bandpass(
+        {"d0": Quantity(100.0, u.GHz), "d1": Quantity(300.0, u.GHz)},
+        {"d0": Quantity(20.0, u.GHz), "d1": Quantity(60.0, u.GHz)},
+    )
+    r100 = bp.kcmb2krj("d0")
+    r300 = bp.kcmb2krj("d1")
+    assert 0 < r300 < r100 < 1.0
+    j100 = bp.kcmb2jysr("d0")
+    assert j100 > 0

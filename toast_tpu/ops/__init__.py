@@ -47,6 +47,7 @@ from .housekeeping import (
     MemoryCounter,
     Reset,
     Statistics,
+    WeatherModel,
 )
 from .sim_sky import SimCatalog, SimDipole, SimScanSynchronousSignal
 from .sim_systematics import (

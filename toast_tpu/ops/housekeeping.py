@@ -12,7 +12,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..config.traits import Dict, Int, List, Unicode
+from ..config.traits import Bool, Dict, Instance, Int, List, Unicode
 from ..models.defaults import default_values as defaults
 from ..utils.logging import Logger
 from ..utils.timing import function_timer
@@ -267,3 +267,44 @@ class Statistics(Operator):
                     )
                     for k in ("mean", "variance", "skewness", "kurtosis"):
                         f.create_dataset(k, data=result[k])
+
+
+class WeatherModel(Operator):
+    """Attach a simulated weather draw to each observation's site.
+
+    Rebuild of ``src/toast/ops/weather_model.py`` (``WeatherModel:24``):
+    create a :class:`~toast_tpu.models.weather.SimWeather` at the
+    observation mid-time and assign it to ``ob.telescope.site.weather``,
+    so downstream operators (ElevationNoise, SimAtmosphere) can read PWV,
+    temperature and winds.
+    """
+
+    times = Unicode(defaults.times)
+    weather = Unicode(
+        None, allow_none=True, help="Site name ('atacama', 'south_pole', ...)"
+    )
+    realization = Int(0, help="Realization index for the weather draws")
+    max_pwv = Instance(klass=object, allow_none=True, help="PWV cap (Quantity, mm)")
+    median_weather = Bool(False, help="Use the median instead of a random draw")
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        from ..models.weather import SimWeather
+
+        if self.weather is None:
+            raise RuntimeError("The 'weather' trait must be set before exec()")
+        for ob in data.obs:
+            times = np.asarray(ob.shared[self.times])
+            mid = 0.5 * (float(times[0]) + float(times[-1]))
+            wx = SimWeather(
+                time=mid,
+                name=self.weather,
+                site_uid=ob.telescope.site.uid,
+                realization=self.realization,
+                max_pwv=self.max_pwv,
+                median_weather=self.median_weather,
+            )
+            ob.telescope.site.weather = wx
+
+    def _requires(self):
+        return {"global": [], "meta": [], "detdata": [], "shared": [self.times], "intervals": []}
