@@ -102,6 +102,15 @@ def main():
     )
     ob.shared.create_column("boresight_radec", (n_samp, 4))
     ob.shared.set("boresight_radec", bore)
+    # rotating half-wave plate (1 Hz): modulates polarization so that every
+    # hit pixel is well-conditioned for IQU — without it a short satellite
+    # scan crosses each pixel at nearly one orientation and the rcond cut
+    # removes almost the whole sky, silently reducing the destriping solve
+    # to a no-op
+    hwp_rpm = 60.0
+    hwp = np.mod(2.0 * np.pi * (hwp_rpm / 60.0) * (times - times[0]), 2.0 * np.pi)
+    ob.shared.create_column("hwp_angle", (n_samp,))
+    ob.shared.set("hwp_angle", hwp)
     data.obs.append(ob)
 
     det_pointing = ops.PointingDetectorSimple()
@@ -111,7 +120,9 @@ def main():
         detector_pointing=det_pointing,
         create_dist="pixel_dist",
     )
-    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    weights = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
     binner = ops.BinMap(
         pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
     )

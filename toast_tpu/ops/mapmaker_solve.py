@@ -175,6 +175,11 @@ def solve(
     delta_new = residual.dot(proposal)
     delta_init = delta_new
     if delta_init == 0:
+        log.warning(
+            "PCG initial residual is exactly zero — the RHS vanished (all "
+            "amplitudes flagged, or the signal is perfectly explained).  "
+            "The template solve is a no-op."
+        )
         return result, {"iterations": 0, "converged": True, "residuals": []}
 
     data["lhs_in"] = proposal

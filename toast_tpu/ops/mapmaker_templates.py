@@ -186,6 +186,14 @@ class SolveAmplitudes(Operator):
             plan["starts"],
         )
         n_amp_total = n_det * n_base
+        n_amp_good = int(np.sum(info["amp_flags"] == 0))
+        if n_amp_good == 0:
+            log.warning(
+                "All template amplitudes are flagged (every baseline fell "
+                "below good_fraction after the solver rcond cut) — the "
+                "destriping solve is a no-op.  Check the scan's IQU "
+                "conditioning (angle coverage / HWP) and the rcond threshold."
+            )
         amp_mask = jnp.asarray((info["amp_flags"] == 0).astype(np.float32))
         precond = info["precond"]
         use_prior = "prior_filter" in info
