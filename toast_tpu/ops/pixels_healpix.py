@@ -91,14 +91,23 @@ class PixelsHealpix(Operator):
             if hit_submaps is not None:
                 # submap hit tracking (dense maps keep every submap on TPU,
                 # so this is bookkeeping only): mark on device, move the
-                # small n_submap vector to host
-                sub = pix // (self.n_pix // self.n_submap)
-                marks = (
-                    jnp.zeros(self.n_submap, dtype=jnp.int32)
-                    .at[jnp.maximum(sub.reshape(-1), 0)]
-                    .max(jnp.where(sub.reshape(-1) >= 0, 1, 0))
-                )
-                hit_submaps |= np.asarray(marks) > 0
+                # small n_submap vector to host.  Cached per observation by
+                # the pixel-array identity — repeated execs (solver, final
+                # binning) skip the 16M-element scatter and the host fetch.
+                marks_tag = f"_cache_{self.pixels}_submaps"
+                cached = ob._internal.get(marks_tag)
+                if cached is not None and cached[0] == cache_key:
+                    ob_hits = cached[1]
+                else:
+                    sub = pix // (self.n_pix // self.n_submap)
+                    marks = (
+                        jnp.zeros(self.n_submap, dtype=jnp.int32)
+                        .at[jnp.maximum(sub.reshape(-1), 0)]
+                        .max(jnp.where(sub.reshape(-1) >= 0, 1, 0))
+                    )
+                    ob_hits = np.asarray(marks) > 0
+                    ob._internal[marks_tag] = (cache_key, ob_hits)
+                hit_submaps |= ob_hits
 
         if self.create_dist is not None:
             data[self.create_dist] = PixelDistribution(

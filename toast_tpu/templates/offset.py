@@ -36,6 +36,19 @@ from .amplitudes import Amplitudes
 from .template import Template
 
 
+@partial(jax.jit, static_argnames=("mask", "step", "n_base"))
+def _good_counts(det_flags, mask, step, n_base):
+    """Good mask (f32) and per-baseline good counts, entirely on device."""
+    n_det, n_samp = det_flags.shape
+    good = ((det_flags.astype(jnp.uint32) & jnp.uint32(mask)) == 0).astype(
+        jnp.float32
+    )
+    pad = n_base * step - n_samp
+    gp = jnp.pad(good, ((0, 0), (0, pad)))
+    n_good = jnp.sum(gp.reshape(n_det, n_base, step), axis=-1)
+    return good, n_good
+
+
 @partial(jax.jit, static_argnames=("step", "n_base"))
 def _offset_add(tod, amps2d, step, n_base):
     n_samp = tod.shape[1]
@@ -92,11 +105,21 @@ class Offset(Template):
                     [nse.detector_weight(d).value for d in dets]
                 )
 
-            # good-sample mask (n_det, n_samp)
-            good = self._good_mask(ob, dets)
-            pad = n_base * step - n_samp
-            good_padded = np.pad(good, ((0, 0), (0, pad)))
-            n_good = good_padded.reshape(len(dets), n_base, step).sum(axis=-1)
+            # good-sample mask (n_det, n_samp) — built and reduced on device;
+            # only the tiny (n_det, n_base) count matrix moves to the host
+            # (the reference reduces on the host; a 64-det x 262k-samp flag
+            # fetch through a remote-TPU link costs seconds)
+            didx = ob.detector_indices(dets)
+            if self.det_flags is not None and self.det_flags in ob.detdata:
+                df = ob.detdata[self.det_flags].data[didx]
+                good_dev, n_good_dev = _good_counts(
+                    df, int(self.det_flag_mask), step, n_base
+                )
+                n_good = np.asarray(n_good_dev)
+            else:
+                good_dev = jnp.ones((len(dets), n_samp), dtype=jnp.float32)
+                n_good = np.full((len(dets), n_base), step, dtype=np.float64)
+                n_good[:, -1] = n_samp - (n_base - 1) * step
 
             # per-baseline flags and preconditioner
             frac = n_good / step
@@ -109,12 +132,12 @@ class Offset(Template):
             info = {
                 "ob": ob,
                 "dets": dets,
-                "det_idx": ob.detector_indices(dets),
+                "det_idx": didx,
                 "offset": offset,
                 "step": step,
                 "n_base": n_base,
                 "n_amp": n_amp,
-                "good": jnp.asarray(good.astype(np.float32)),
+                "good": good_dev,
                 "amp_flags": amp_flags.reshape(-1),
                 "precond": jnp.asarray(
                     precond.astype(np.float32).reshape(-1)
@@ -167,14 +190,6 @@ class Offset(Template):
             precond[i] = 1.0 / (diag + cinv)
         return jnp.asarray(prior), jnp.asarray(precond)
 
-    def _good_mask(self, ob, dets):
-        n_samp = ob.n_local_samples
-        good = np.ones((len(dets), n_samp), dtype=bool)
-        if self.det_flags is not None and self.det_flags in ob.detdata:
-            df = ob.detdata[self.det_flags].numpy()
-            didx = ob.detector_indices(dets)
-            good &= (df[didx] & self.det_flag_mask) == 0
-        return good
 
     def detectors(self):
         dets = []
