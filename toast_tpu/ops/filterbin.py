@@ -198,7 +198,7 @@ class FilterBin(Operator):
                     )  # (k, n, nnz)
                     dplan = get_bin_plan(pix[di], n_padded)
                     Bd = [
-                        plan_segment_sum(contrib[kk], dplan[0], dplan[1])
+                        plan_segment_sum(contrib[kk], dplan)
                         for kk in range(k)
                     ]
                     B = jnp.stack(Bd).reshape(k, -1)  # (k, n_padded*nnz)

@@ -42,14 +42,64 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("n_pix",))
-def build_bin_plan(pixels_flat, n_pix):
-    """Sort permutation + per-pixel segment boundaries for fast binning."""
+def _build_sort_plan(pixels_flat, n_pix):
+    """Full-sort plan: sort permutation + per-pixel segment boundaries."""
     order = jnp.argsort(pixels_flat)
     sorted_pix = pixels_flat[order]
     bounds = jnp.searchsorted(
         sorted_pix, jnp.arange(n_pix + 1, dtype=pixels_flat.dtype)
     ).astype(jnp.int32)
     return order, bounds
+
+
+@jax.jit
+def _count_runs(pixels_flat):
+    change = jnp.ones(pixels_flat.shape[0], dtype=bool)
+    change = change.at[1:].set(pixels_flat[1:] != pixels_flat[:-1])
+    return jnp.sum(change), change
+
+
+@partial(jax.jit, static_argnames=("n_runs_b", "n_pix"))
+def _build_run_plan(pixels_flat, change, n_runs_b, n_pix):
+    """Run-compressed plan: time-order run boundaries + run sort.
+
+    Scanning pointing dwells in a pixel for many consecutive samples, so
+    the pixel stream is a sequence of ``n_runs << n_samp`` constant runs.
+    Sorting only the runs is much cheaper than sorting every sample (TPU
+    sorts are O(n log^2 n) bitonic networks), and the stage-1 reduction
+    reads values in time order (sequential HBM access) instead of a
+    16M-element gather.
+    """
+    n = pixels_flat.shape[0]
+    starts = jnp.nonzero(change, size=n_runs_b, fill_value=n)[0].astype(jnp.int32)
+    # fill runs (start == n) are empty segments; their run_pix value is the
+    # clamped last sample's pixel, which receives an exact zero
+    run_pix = pixels_flat[jnp.minimum(starts, n - 1)]
+    bounds1 = jnp.concatenate([starts, jnp.asarray([n], dtype=jnp.int32)])
+    order = jnp.argsort(run_pix)
+    sorted_pix = run_pix[order]
+    bounds2 = jnp.searchsorted(
+        sorted_pix, jnp.arange(n_pix + 1, dtype=run_pix.dtype)
+    ).astype(jnp.int32)
+    return bounds1, order, bounds2
+
+
+def build_bin_plan(pixels_flat, n_pix):
+    """Binning plan for a flat pixel stream.
+
+    Uses the run-compressed two-stage plan when the stream compresses at
+    least 2x (the common scanning case); falls back to the full sort plan
+    otherwise (e.g. white-noise pointing in tests).
+    """
+    n = int(pixels_flat.shape[0])
+    n_runs_dev, change = _count_runs(pixels_flat)
+    n_runs = int(n_runs_dev)
+    if n_runs * 2 > n:
+        return ("sort",) + _build_sort_plan(pixels_flat, n_pix)
+    # bucket the static run count to a power of two: bounded recompiles
+    n_runs_b = 1 << (max(n_runs, 1) - 1).bit_length()
+    n_runs_b = min(n_runs_b, n)
+    return ("run",) + _build_run_plan(pixels_flat, change, n_runs_b, n_pix)
 
 
 _SEG_BLOCK = 512
@@ -120,10 +170,22 @@ def segment_sum_sorted(sv, bounds):
 
 
 @jax.jit
-def plan_segment_sum(vals_flat, order, bounds):
-    """Per-pixel sums of vals (n_samp_total, k) via sorted segment sums."""
+def _sort_plan_sum(vals_flat, order, bounds):
     sv = vals_flat[order]
     return segment_sum_sorted(sv, bounds)
+
+
+@jax.jit
+def _run_plan_sum(vals_flat, bounds1, order, bounds2):
+    run_sums = segment_sum_sorted(vals_flat, bounds1)
+    return segment_sum_sorted(run_sums[order], bounds2)
+
+
+def plan_segment_sum(vals_flat, plan):
+    """Per-pixel sums of vals (n_samp_total, k) using a bin plan."""
+    if plan[0] == "run":
+        return _run_plan_sum(vals_flat, plan[1], plan[2], plan[3])
+    return _sort_plan_sum(vals_flat, plan[1], plan[2])
 
 
 _PLAN_CACHE: dict = {}
@@ -194,8 +256,7 @@ def build_noise_weighted(
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
     contrib = _bnw_vals(weights, det_data, det_scale, good)
     if plan is not None:
-        order, bounds = plan
-        return zmap + plan_segment_sum(contrib, order, bounds)
+        return zmap + plan_segment_sum(contrib, plan)
     pix = jnp.where(good, pixels, 0)
     return zmap.at[pix.reshape(-1)].add(contrib)
 
@@ -206,9 +267,8 @@ def cov_accum_diag_hits(
     """Accumulate hit counts: hits[p] += 1 for each good sample."""
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
     if plan is not None:
-        order, bounds = plan
         ones = good.astype(jnp.float32).reshape(-1, 1)
-        return hits + plan_segment_sum(ones, order, bounds)[:, 0].astype(hits.dtype)
+        return hits + plan_segment_sum(ones, plan)[:, 0].astype(hits.dtype)
     pix = jnp.where(good, pixels, 0)
     ones = good.astype(hits.dtype)
     return hits.at[pix.reshape(-1)].add(ones.reshape(-1))
@@ -257,8 +317,7 @@ def cov_accum_diag_invnpp(
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
     outer = _invnpp_vals(weights, det_scale, good, nnz)
     if plan is not None:
-        order, bounds = plan
-        return invnpp + plan_segment_sum(outer, order, bounds)
+        return invnpp + plan_segment_sum(outer, plan)
     pix = jnp.where(good, pixels, 0)
     return invnpp.at[pix.reshape(-1)].add(outer)
 
