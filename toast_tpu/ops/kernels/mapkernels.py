@@ -322,6 +322,45 @@ def cov_accum_diag_invnpp(
     return invnpp.at[pix.reshape(-1)].add(outer)
 
 
+@partial(jax.jit, static_argnames=("nnz",))
+def _invnpp_hits_vals(weights, det_scale, good, nnz):
+    outer = _invnpp_vals(weights, det_scale, good, nnz)
+    ones = good.astype(jnp.float32).reshape(-1, 1)
+    return jnp.concatenate([outer, ones], axis=-1)
+
+
+def cov_accum_diag_invnpp_hits(
+    invnpp,
+    hits,
+    pixels,
+    weights,
+    det_scale,
+    det_flags,
+    det_flag_mask,
+    shared_flags,
+    shared_flag_mask,
+    nnz,
+    plan=None,
+):
+    """Fused inverse-covariance + hit-count accumulation in one binning pass
+    (reference ``toast_map_cov.cpp`` ``cov_accum_diag_invnpp_hits``).
+
+    Stacking the hit column onto the triangle values halves the number of
+    segment-sum passes and boundary gathers versus running the two
+    accumulations separately.
+    """
+    good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    vals = _invnpp_hits_vals(weights, det_scale, good, nnz)
+    n_tri = nnz * (nnz + 1) // 2
+    if plan is not None:
+        acc = plan_segment_sum(vals, plan)
+        return invnpp + acc[:, :n_tri], hits + acc[:, n_tri].astype(hits.dtype)
+    pix = jnp.where(good, pixels, 0)
+    acc = jnp.zeros((invnpp.shape[0], n_tri + 1), dtype=vals.dtype)
+    acc = acc.at[pix.reshape(-1)].add(vals)
+    return invnpp + acc[:, :n_tri], hits + acc[:, n_tri].astype(hits.dtype)
+
+
 @partial(jax.jit, static_argnames=("mode",))
 def scan_map(
     mapdata,

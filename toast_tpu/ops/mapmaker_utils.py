@@ -21,6 +21,7 @@ from ..pixels import PixelData, PixelDistribution, covariance_invert
 from ..utils import units as u
 from ..utils.timing import function_timer
 from .kernels.mapkernels import (
+    cov_accum_diag_invnpp_hits,
     build_noise_weighted,
     cov_accum_diag_hits,
     cov_accum_diag_invnpp,
@@ -331,42 +332,58 @@ class CovarianceAndHits(Operator):
             )
             return
 
-        hits_op = BuildHitMap(
-            pixel_dist=self.pixel_dist,
-            hits=self.hits,
-            pixels=self.pixel_pointing.pixels,
-            det_flags=self.det_flags,
-            det_flag_mask=self.det_flag_mask,
-            shared_flags=self.shared_flags,
-            shared_flag_mask=self.shared_flag_mask,
-        )
         invcov_key = (
             self.inverse_covariance
             if self.inverse_covariance is not None
             else self.covariance
         )
-        invcov_op = BuildInverseCovariance(
-            pixel_dist=self.pixel_dist,
-            inverse_covariance=invcov_key,
-            pixels=self.pixel_pointing.pixels,
-            weights=self.stokes_weights.weights,
-            noise_model=self.noise_model,
-            det_data_units=self.det_data_units,
-            det_flags=self.det_flags,
-            det_flag_mask=self.det_flag_mask,
-            shared_flags=self.shared_flags,
-            shared_flag_mask=self.shared_flag_mask,
-        )
         pipe = Pipeline(
-            operators=[
-                self.pixel_pointing,
-                self.stokes_weights,
-                hits_op,
-                invcov_op,
-            ],
+            operators=[self.pixel_pointing, self.stokes_weights],
             detector_sets=["ALL"],
         )
         pipe.apply(data, detectors=detectors)
+
+        # fused hits + N_pp^-1 accumulation: one binning pass for both
+        dist = data[self.pixel_dist]
+        for ob in data.obs:
+            dets = ob.select_local_detectors(detectors, flagmask=self.det_flag_mask)
+            if len(dets) == 0:
+                continue
+            nse = ob[self.noise_model]
+            didx = ob.detector_indices(dets)
+            pix, plan = _pix_and_plan(ob, self.pixel_pointing.pixels, didx, dist)
+            wts = ob.detdata[self.stokes_weights.weights].data[didx]
+            nnz = wts.shape[-1]
+            n_tri = nnz * (nnz + 1) // 2
+            if invcov_key not in data:
+                data[invcov_key] = PixelData(
+                    dist,
+                    dtype=np.float32,
+                    n_value=n_tri,
+                    units=self.det_data_units**-2,
+                )
+                data[self.hits] = PixelData(dist, dtype=np.int32, n_value=1)
+            det_weights = np.array(
+                [nse.detector_weight(d).value for d in dets], dtype=np.float32
+            )
+            new_ic, new_hits = cov_accum_diag_invnpp_hits(
+                data[invcov_key].data,
+                data[self.hits].data[:, 0],
+                pix,
+                wts,
+                jnp.asarray(det_weights),
+                _det_flags(ob, self.det_flags, didx),
+                self.det_flag_mask,
+                _shared_flags(ob, self.shared_flags),
+                self.shared_flag_mask,
+                nnz,
+                plan=plan,
+            )
+            data[invcov_key].data = new_ic
+            data[self.hits].data = new_hits[:, None]
+        if invcov_key in data:
+            data[invcov_key].sync_allreduce()
+            data[self.hits].sync_allreduce()
 
         # invert with rcond cut
         dist = data[self.pixel_dist]
