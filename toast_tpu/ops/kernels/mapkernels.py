@@ -164,9 +164,13 @@ def segment_sum_sorted(sv, bounds):
         )
         return ex_hi[blk], ex_lo[blk], loc
 
-    hi_s, lo_s, loc_s = prefix_at(bounds[:-1])
-    hi_e, lo_e, loc_e = prefix_at(bounds[1:])
-    return (hi_e - hi_s) + (lo_e - lo_s) + (loc_e - loc_s)
+    # evaluate the prefix decomposition once at every boundary and
+    # difference adjacent rows — half the gathers of evaluating start and
+    # end boundaries separately
+    hi_b, lo_b, loc_b = prefix_at(bounds)
+    return (
+        (hi_b[1:] - hi_b[:-1]) + (lo_b[1:] - lo_b[:-1]) + (loc_b[1:] - loc_b[:-1])
+    )
 
 
 @jax.jit
