@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ...pixels.covariance import _apply_tri
-from .mapkernels import segment_sum_sorted
+from .mapkernels import segment_sum_sorted, sorted_bounds
 
 
 def find_runs(pixels_np, amp_idx_np):
@@ -214,14 +214,10 @@ def _run_plan_device(pix_flat, change, n_runs, n_samp, step, n_base, n_pix, n_am
     run_pix = jnp.maximum(pix_flat[starts], 0)
     det_row = starts // n_samp
     run_amp = (det_row * n_base + (starts % n_samp) // step).astype(jnp.int32)
-    order = jnp.argsort(run_pix).astype(jnp.int32)
+    order = jnp.argsort(run_pix, stable=False).astype(jnp.int32)
     sorted_pix = run_pix[order]
-    pix_bounds = jnp.searchsorted(
-        sorted_pix, jnp.arange(n_pix + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    amp_bounds = jnp.searchsorted(
-        run_amp, jnp.arange(n_amp + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    pix_bounds = sorted_bounds(sorted_pix, n_pix)
+    amp_bounds = sorted_bounds(run_amp, n_amp)
     return starts, run_pix, run_amp, order, pix_bounds, amp_bounds
 
 

@@ -41,14 +41,39 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+def sorted_bounds(sorted_pix, n_pix):
+    """Segment boundaries of a sorted pixel stream, scatter-based.
+
+    Equivalent to ``searchsorted(sorted_pix, arange(n_pix + 1))`` but ~50x
+    faster on TPU (jnp.searchsorted lowers to a sequential binary-search
+    scan): scatter each distinct pixel's first-occurrence index (unique
+    targets — fully parallel), then fill pixels with no runs by a reverse
+    cumulative minimum.  Negative (flagged) entries sort first and are
+    routed to a scratch bin so they never claim ``bounds[0]``.
+    """
+    n = sorted_pix.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.ones(n, dtype=bool)
+    first = first.at[1:].set(sorted_pix[1:] != sorted_pix[:-1])
+    # every lane scatters to a unique target (first occurrences to their
+    # pixel, everything else to its own scratch slot past n_pix) — no
+    # colliding updates, so XLA keeps the scatter fully parallel
+    tgt = jnp.where(first & (sorted_pix >= 0), sorted_pix, n_pix + 1 + idx)
+    b = jnp.full(n_pix + 1 + n, n, dtype=jnp.int32)
+    b = b.at[tgt].set(idx)
+    # suffix minimum: bounds[p] = first index with sorted_pix >= p
+    rev_min = jax.lax.associative_scan(
+        jnp.minimum, b[: n_pix + 1], reverse=True
+    )
+    return rev_min
+
+
 @partial(jax.jit, static_argnames=("n_pix",))
 def _build_sort_plan(pixels_flat, n_pix):
     """Full-sort plan: sort permutation + per-pixel segment boundaries."""
-    order = jnp.argsort(pixels_flat)
+    order = jnp.argsort(pixels_flat, stable=False)
     sorted_pix = pixels_flat[order]
-    bounds = jnp.searchsorted(
-        sorted_pix, jnp.arange(n_pix + 1, dtype=pixels_flat.dtype)
-    ).astype(jnp.int32)
+    bounds = sorted_bounds(sorted_pix, n_pix)
     return order, bounds
 
 
@@ -76,11 +101,11 @@ def _build_run_plan(pixels_flat, change, n_runs_b, n_pix):
     # clamped last sample's pixel, which receives an exact zero
     run_pix = pixels_flat[jnp.minimum(starts, n - 1)]
     bounds1 = jnp.concatenate([starts, jnp.asarray([n], dtype=jnp.int32)])
-    order = jnp.argsort(run_pix)
+    order = jnp.argsort(run_pix, stable=False)
     sorted_pix = run_pix[order]
-    bounds2 = jnp.searchsorted(
-        sorted_pix, jnp.arange(n_pix + 1, dtype=run_pix.dtype)
-    ).astype(jnp.int32)
+    # fill runs have real pixel values but empty [n, n) stage-1 segments,
+    # so claiming a first-occurrence slot is harmless (they add zero)
+    bounds2 = sorted_bounds(sorted_pix, n_pix)
     return bounds1, order, bounds2
 
 
