@@ -100,13 +100,13 @@ def run_stats(tod, weights, wg, starts):
 def fused_offset_solve_runs(
     # run data in time order
     run_amp,            # (n_runs,) int32 global amplitude index
-    run_pix,            # (n_runs,) int32 pixel
+    rank_time,          # (n_runs,) int32 dense hit-pixel rank per run
     W, n_run, y, z,     # run statistics
     # run data in pixel-sorted order
     sort_order,         # (n_runs,) permutation to pixel order
-    pix_bounds,         # (n_pix+1,) segment boundaries in sorted order
+    hit_bounds,         # (n_hit_b+1,) hit-pixel segment boundaries (sorted order)
     amp_bounds,         # (n_amp+1,) run boundaries per amplitude (time order)
-    cov_tri,            # (n_pix, 6) inverted pixel covariance
+    cov_hit,            # (n_hit_b, 6) inverted covariance of the HIT pixels
     amp_mask,           # (n_amp,) 0/1
     precond,            # (n_amp,)
     prior_filter,       # (n_det, n_freq) rfft filters (zeros if unused)
@@ -116,16 +116,22 @@ def fused_offset_solve_runs(
     convergence,
     use_prior=False,
 ):
-    """Solve [M^T N^-1 Z M + P] a = M^T N^-1 Z d on run-compressed data."""
+    """Solve [M^T N^-1 Z M + P] a = M^T N^-1 Z d on run-compressed data.
+
+    All map-space work happens in compressed hit-pixel space (dense ranks
+    of the pixels actually observed), so per-iteration cost scales with
+    the number of runs and hit pixels, never the map size.
+    """
     nnz = W.shape[-1]
     W_sorted = W[sort_order]
     pix_sorted_amp = run_amp[sort_order]
+    binned_rank = rank_time  # alias: time-order run -> hit rank
     n_det = prior_filter.shape[0]
     n_base = n_amp // n_det
 
     def bin_runs(vals_sorted):
-        """Segment-sum pixel-sorted (n_runs, nnz) values into the map."""
-        return segment_sum_sorted(vals_sorted, pix_bounds)
+        """Segment-sum pixel-sorted (n_runs, nnz) values per hit pixel."""
+        return segment_sum_sorted(vals_sorted, hit_bounds)
 
     def amp_sum(vals_time):
         """Segment-sum time-ordered (n_runs,) values per amplitude."""
@@ -149,8 +155,8 @@ def fused_offset_solve_runs(
     def matvec(a):
         a_sorted = a[pix_sorted_amp]
         zmap = bin_runs(W_sorted * a_sorted[:, None])
-        binned = _apply_tri(cov_tri, zmap, nnz)
-        scan_r = jnp.sum(binned[run_pix] * W, axis=-1)  # time order
+        binned = _apply_tri(cov_hit, zmap, nnz)
+        scan_r = jnp.sum(binned[binned_rank] * W, axis=-1)  # time order
         out = diag_n * a - amp_sum(scan_r)
         if use_prior:
             out = out + apply_prior(a)
@@ -158,8 +164,8 @@ def fused_offset_solve_runs(
 
     # RHS from the precomputed data statistics
     zmap_b = bin_runs(y[sort_order])
-    binned_b = _apply_tri(cov_tri, zmap_b, nnz)
-    scan_b = jnp.sum(binned_b[run_pix] * W, axis=-1)
+    binned_b = _apply_tri(cov_hit, zmap_b, nnz)
+    scan_b = jnp.sum(binned_b[binned_rank] * W, axis=-1)
     b = (amp_sum(z) - amp_sum(scan_b)) * amp_mask
 
     x0 = jnp.zeros_like(b)
@@ -205,9 +211,9 @@ def _run_change_mask(pix_flat, n_samp, step):
 
 @partial(
     jax.jit,
-    static_argnames=("n_runs", "n_samp", "step", "n_base", "n_pix", "n_amp"),
+    static_argnames=("n_runs", "n_samp", "step", "n_base", "n_amp"),
 )
-def _run_plan_device(pix_flat, change, n_runs, n_samp, step, n_base, n_pix, n_amp):
+def _run_plan_device(pix_flat, change, n_runs, n_samp, step, n_base, n_amp):
     starts = jnp.nonzero(change, size=n_runs, fill_value=pix_flat.shape[0] - 1)[
         0
     ].astype(jnp.int32)
@@ -216,9 +222,31 @@ def _run_plan_device(pix_flat, change, n_runs, n_samp, step, n_base, n_pix, n_am
     run_amp = (det_row * n_base + (starts % n_samp) // step).astype(jnp.int32)
     order = jnp.argsort(run_pix, stable=False).astype(jnp.int32)
     sorted_pix = run_pix[order]
-    pix_bounds = sorted_bounds(sorted_pix, n_pix)
+    # hit-pixel compression: the solver's map-space work only needs the
+    # pixels that are actually hit (typically 1-5% of the map), indexed by
+    # dense rank — 20-50x fewer segment boundaries in every matvec
+    first = jnp.ones(n_runs, dtype=bool)
+    first = first.at[1:].set(sorted_pix[1:] != sorted_pix[:-1])
+    n_hit = jnp.sum(first)
+    rank_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    rank_time = jnp.zeros(n_runs, dtype=jnp.int32).at[order].set(rank_sorted)
     amp_bounds = sorted_bounds(run_amp, n_amp)
-    return starts, run_pix, run_amp, order, pix_bounds, amp_bounds
+    return starts, run_pix, run_amp, order, amp_bounds, first, rank_time, n_hit
+
+
+@partial(jax.jit, static_argnames=("n_hit_b",))
+def _hit_plan_device(run_pix, order, first, n_hit_b):
+    n_runs = first.shape[0]
+    hit_starts = jnp.nonzero(first, size=n_hit_b, fill_value=n_runs)[0].astype(
+        jnp.int32
+    )
+    hit_bounds = jnp.concatenate(
+        [hit_starts, jnp.asarray([n_runs], dtype=jnp.int32)]
+    )
+    sorted_pix = run_pix[order]
+    # fill slots duplicate the last pixel but own empty segments -> zero
+    hit_pix = sorted_pix[jnp.minimum(hit_starts, n_runs - 1)]
+    return hit_bounds, hit_pix
 
 
 def prepare_fused_solve(pixels, n_samp, step, n_base, n_det, n_pix):
@@ -231,16 +259,21 @@ def prepare_fused_solve(pixels, n_samp, step, n_base, n_det, n_pix):
     change = _run_change_mask(pix_flat, n_samp, step)
     n_runs = int(jnp.sum(change))
     n_amp = n_det * n_base
-    starts, run_pix, run_amp, order, pix_bounds, amp_bounds = _run_plan_device(
-        pix_flat, change, n_runs, n_samp, step, n_base, n_pix, n_amp
-    )
+    (
+        starts, run_pix, run_amp, order, amp_bounds, first, rank_time, n_hit
+    ) = _run_plan_device(pix_flat, change, n_runs, n_samp, step, n_base, n_amp)
+    n_hit_i = int(n_hit)
+    n_hit_b = min(1 << (max(n_hit_i, 1) - 1).bit_length(), n_runs)
+    hit_bounds, hit_pix = _hit_plan_device(run_pix, order, first, n_hit_b)
     return {
         "starts": starts,
-        "run_pix": run_pix,
         "run_amp": run_amp,
         "sort_order": order,
-        "pix_bounds": pix_bounds,
+        "hit_bounds": hit_bounds,
+        "hit_pix": hit_pix,
+        "rank_time": rank_time,
         "amp_bounds": amp_bounds,
         "n_amp": n_amp,
         "n_runs": n_runs,
+        "n_hit": n_hit_i,
     }

@@ -198,14 +198,15 @@ class SolveAmplitudes(Operator):
         precond = info["precond"]
         use_prior = "prior_filter" in info
         zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
+        cov_hit = cov.data[plan["hit_pix"]]
         amps_flat, iters, rel = fused_offset_solve_runs(
             plan["run_amp"],
-            plan["run_pix"],
+            plan["rank_time"],
             W, n_run, y, z,
             plan["sort_order"],
-            plan["pix_bounds"],
+            plan["hit_bounds"],
             plan["amp_bounds"],
-            cov.data,
+            cov_hit,
             amp_mask,
             precond,
             info.get("prior_filter", zero_f),
