@@ -292,3 +292,108 @@ def test_bandpass_unit_conversions():
     assert 0 < r300 < r100 < 1.0
     j100 = bp.kcmb2jysr("d0")
     assert j100 > 0
+
+
+def test_moon_ephemeris_syzygies():
+    """Low-precision lunar ephemeris: sun-moon elongation at known
+    full/new moons (2023-01-06 / 2023-01-21)."""
+    import numpy as np
+
+    from toast_tpu.math.coordinates import moon_radec, sun_radec
+
+    def elong(t):
+        ra_m, dec_m = moon_radec(t)
+        ra_s, dec_s = sun_radec(np.array([t]))
+        return np.degrees(np.arccos(
+            np.sin(dec_m) * np.sin(dec_s[0])
+            + np.cos(dec_m) * np.cos(dec_s[0]) * np.cos(ra_m - ra_s[0])
+        ))
+    assert elong(1673046480.0) > 172.0  # full moon
+    assert elong(1674334380.0) < 8.0    # new moon
+
+
+def test_ground_scheduler_patch_types():
+    """HorizontalPatch, SSOPatch and CoolerCyclePatch all schedule."""
+    from datetime import datetime, timezone
+
+    import numpy as np
+
+    from toast_tpu.schedule_sim_ground import (
+        CoolerCyclePatch,
+        HorizontalPatch,
+        Patch,
+        SSOPatch,
+        build_schedule,
+    )
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    patches = [
+        Patch("rect", 1.0, [(30, -30), (50, -30), (50, -45), (30, -45)]),
+        HorizontalPatch(
+            "horiz", 0.5,
+            Quantity(100.0, u.deg), Quantity(140.0, u.deg),
+            Quantity(50.0, u.deg), Quantity(15.0, u.minute),
+        ),
+        SSOPatch("moon", 2.0, Quantity(5.0, u.deg)),
+        CoolerCyclePatch(
+            "cooler", 0.1,
+            Quantity(6.0, u.hour), Quantity(10.0, u.hour),
+            Quantity(30.0, u.minute),
+        ),
+    ]
+    sch = build_schedule(
+        start=datetime(2023, 1, 10, tzinfo=timezone.utc),
+        stop=datetime(2023, 1, 12, tzinfo=timezone.utc),
+        patches=patches,
+        el_min=Quantity(20.0, u.deg),
+        el_max=Quantity(85.0, u.deg),
+        moon_avoidance_angle=Quantity(10.0, u.deg),
+    )
+    names = {s.name for s in sch.scans}
+    # over two days every patch type gets observed
+    assert "horiz" in names
+    assert "moon" in names
+    assert "cooler" in names
+    # cooler cycles respect the hold-time window (>= 6h apart)
+    cool = sorted(
+        s.start_timestamp for s in sch.scans if s.name == "cooler"
+    )
+    if len(cool) > 1:
+        gaps = np.diff(cool)
+        assert np.all(gaps >= 6 * 3600 - 1.0)
+    # cooler dwell is a stationary 30-min slot
+    cs = [s for s in sch.scans if s.name == "cooler"][0]
+    assert abs((cs.stop_timestamp - cs.start_timestamp) - 1800.0) < 1.0
+    # horizontal scans keep their fixed az window
+    hs = [s for s in sch.scans if s.name == "horiz"][0]
+    assert abs(hs.az_min.to_value(u.deg) - 100.0) < 1e-6
+    assert abs(hs.el.to_value(u.deg) - 50.0) < 1e-6
+
+
+def test_ground_scheduler_max_time_budget():
+    """A Patch with max_time stops being scheduled once exhausted."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.schedule_sim_ground import Patch, build_schedule
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    patches = [
+        Patch("budget", 10.0, [(30, -30), (50, -30), (50, -45), (30, -45)],
+              max_time=Quantity(40.0, u.minute)),
+        Patch("open", 1.0, [(120, -30), (140, -30), (140, -45), (120, -45)]),
+    ]
+    sch = build_schedule(
+        start=datetime(2023, 1, 10, tzinfo=timezone.utc),
+        stop=datetime(2023, 1, 11, tzinfo=timezone.utc),
+        patches=patches,
+        el_min=Quantity(20.0, u.deg),
+        el_max=Quantity(85.0, u.deg),
+    )
+    budget_time = sum(
+        s.stop_timestamp - s.start_timestamp
+        for s in sch.scans if s.name == "budget"
+    )
+    assert budget_time <= 60 * 60  # 40 min budget + one 20-min overshoot max
+    assert any(s.name == "open" for s in sch.scans)

@@ -177,3 +177,47 @@ def sun_azel(site, times):
     return radec_to_azel(
         site.lat.to_value(u.rad), site.lon.to_value(u.rad), times, ra, dec
     )
+
+
+def moon_radec(times):
+    """Low-precision geocentric lunar RA/Dec (radians).
+
+    Truncated ELP-style series (the leading evection/variation terms of the
+    classical low-precision formula): mean longitude + largest periodic
+    corrections, ~0.3 deg accuracy — adequate for scheduling (moon
+    avoidance, calibration-scan targeting), not for pointing reconstruction.
+    The reference uses pyephem (``schedule_sim_ground.py``).
+    """
+    t = np.asarray(times, dtype=np.float64)
+    d = to_JD(t) - 2451545.0
+    L = np.radians((218.316 + 13.176396 * d) % 360.0)  # mean longitude
+    M = np.radians((134.963 + 13.064993 * d) % 360.0)  # mean anomaly
+    F = np.radians((93.272 + 13.229350 * d) % 360.0)  # argument of latitude
+    Msun = np.radians((357.529 + 0.98560028 * d) % 360.0)
+    D = np.radians((297.850 + 12.190749 * d) % 360.0)  # mean elongation
+    lon = (
+        L
+        + np.radians(6.289) * np.sin(M)
+        + np.radians(1.274) * np.sin(2 * D - M)  # evection
+        + np.radians(0.658) * np.sin(2 * D)  # variation
+        - np.radians(0.186) * np.sin(Msun)  # annual equation
+    )
+    lat = (
+        np.radians(5.128) * np.sin(F)
+        + np.radians(0.281) * np.sin(M + F)
+    )
+    eps = np.radians(23.4393)
+    sl, cl = np.sin(lon), np.cos(lon)
+    sb, cb = np.sin(lat), np.cos(lat)
+    ra = np.arctan2(sl * cb * np.cos(eps) - sb * np.sin(eps), cl * cb)
+    dec = np.arcsin(sb * np.cos(eps) + cb * np.sin(eps) * sl)
+    return ra % (2.0 * np.pi), dec
+
+
+def moon_azel(site, times):
+    from ..utils import units as u
+
+    ra, dec = moon_radec(times)
+    return radec_to_azel(
+        site.lat.to_value(u.rad), site.lon.to_value(u.rad), times, ra, dec
+    )

@@ -9,8 +9,10 @@ This implementation covers the main scheduling loop (``build_schedule``,
 reference ``:2379``): step through time, find visible patches, pick the
 highest-priority one (weighted by hit deficit), observe it for ces_time,
 and emit a GroundScan with the az range that covers the patch at the chosen
-elevation.  SSO/cooler-cycle patch types and horizontal patches are not yet
-implemented.
+elevation.  Patch types: rectangular (``Patch``, optional max-time budget),
+fixed-horizontal (``HorizontalPatch``), solar-system-object calibration
+(``SSOPatch`` — sun/moon via built-in ephemerides), and forced cooler
+cycles (``CoolerCyclePatch``).  Sun and moon avoidance are both supported.
 """
 
 from __future__ import annotations
@@ -27,13 +29,22 @@ from .utils.units import Quantity
 
 
 class Patch:
-    """A rectangular sky patch with an observation priority."""
+    """A rectangular sky patch with an observation priority
+    (reference ``schedule_sim_ground.py:45``)."""
 
-    def __init__(self, name, weight, corners_lonlat_deg):
-        """corners_lonlat_deg: list of (ra_deg, dec_deg) corners."""
+    def __init__(self, name, weight, corners_lonlat_deg, max_time=None):
+        """corners_lonlat_deg: list of (ra_deg, dec_deg) corners.
+
+        max_time: optional Quantity — stop observing once this much
+        integration has accumulated (reference ``MaxDepthPatch:816``
+        semantics expressed as a time budget).
+        """
         self.name = name
         self.weight = float(weight)
         self.corners = np.radians(np.asarray(corners_lonlat_deg, dtype=np.float64))
+        self.max_time_s = (
+            None if max_time is None else max_time.to_value(u.second)
+        )
         self.hits = 0
         self.time_observed = 0.0
 
@@ -45,40 +56,168 @@ class Patch:
     def dec_center(self):
         return np.mean(self.corners[:, 1])
 
+    def corners_azel(self, site, t):
+        """Az/el of all patch corners at time t."""
+        lat = site.lat.to_value(u.rad)
+        lon = site.lon.to_value(u.rad)
+        times = np.full(len(self.corners), t)
+        return coords.radec_to_azel(
+            lat, lon, times, self.corners[:, 0], self.corners[:, 1]
+        )
 
-def patch_azel(patch, site, t):
-    """Az/el of all patch corners at time t."""
-    lat = site.lat.to_value(u.rad)
-    lon = site.lon.to_value(u.rad)
-    times = np.full(len(patch.corners), t)
-    az, el = coords.radec_to_azel(
-        lat, lon, times, patch.corners[:, 0], patch.corners[:, 1]
-    )
-    return az, el
+    def priority(self, t):
+        """Weighted hit deficit; exhausted patches drop out."""
+        if self.max_time_s is not None and self.time_observed >= self.max_time_s:
+            return -np.inf
+        return self.weight / (1.0 + self.time_observed / 3600.0)
 
+    def avoids(self, site, t, az, el, sun_rad, moon_rad):
+        """True when the patch center clears the sun and moon."""
+        azc = np.arctan2(np.mean(np.sin(az)), np.mean(np.cos(az)))
+        elc = np.median(el)
+        if sun_rad > 0:
+            az_s, el_s = coords.sun_azel(site, np.array([t]))
+            if el_s[0] > 0 and _angdist(azc, elc, az_s[0], el_s[0]) < sun_rad:
+                return False
+        if moon_rad > 0:
+            az_m, el_m = coords.moon_azel(site, np.array([t]))
+            if el_m[0] > 0 and _angdist(azc, elc, az_m[0], el_m[0]) < moon_rad:
+                return False
+        return True
 
-def _visible(patch, site, t, el_min, el_max, sun_avoidance_rad):
-    az, el = patch_azel(patch, site, t)
-    if el.min() < el_min or el.max() > el_max:
-        return None
-    az_sun, el_sun = coords.sun_azel(site, np.array([t]))
-    if el_sun[0] > 0:
-        # angular distance between patch center and sun
-        azc, elc = np.median(az), np.median(el)
-        cosd = np.sin(elc) * np.sin(el_sun[0]) + np.cos(elc) * np.cos(
-            el_sun[0]
-        ) * np.cos(azc - az_sun[0])
-        if cosd > np.cos(sun_avoidance_rad):
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
+        """(az_min, az_max, el_scan, ces_s or None) when observable at t."""
+        az, el = self.corners_azel(site, t)
+        if el.min() < el_min or el.max() > el_max:
             return None
-    # scan elevation: bottom of the patch (constant-elevation scanning
-    # sweeps the patch as the sky rotates through it)
-    el_scan = el.min()
-    # unwrap azimuths around the circular mean to avoid branch issues
-    az0 = np.arctan2(np.mean(np.sin(az)), np.mean(np.cos(az)))
-    az_rel = (az - az0 + np.pi) % (2 * np.pi) - np.pi
-    az_min = az0 + az_rel.min() - 0.05
-    az_max = az0 + az_rel.max() + 0.05
-    return az_min, az_max, el_scan
+        if not self.avoids(site, t, az, el, sun_rad, moon_rad):
+            return None
+        # scan elevation: bottom of the patch (constant-elevation scanning
+        # sweeps the patch as the sky rotates through it)
+        el_scan = el.min()
+        # unwrap azimuths around the circular mean to avoid branch issues
+        az0 = np.arctan2(np.mean(np.sin(az)), np.mean(np.cos(az)))
+        az_rel = (az - az0 + np.pi) % (2 * np.pi) - np.pi
+        az_min = az0 + az_rel.min() - 0.05
+        az_max = az0 + az_rel.max() + 0.05
+        return az_min, az_max, el_scan, None
+
+
+def _angdist(az1, el1, az2, el2):
+    cosd = np.sin(el1) * np.sin(el2) + np.cos(el1) * np.cos(el2) * np.cos(az1 - az2)
+    return np.arccos(np.clip(cosd, -1.0, 1.0))
+
+
+class HorizontalPatch(Patch):
+    """Fixed azimuth-range, fixed-elevation patch
+    (reference ``schedule_sim_ground.py:541``): scans a constant horizontal
+    window regardless of what sky drifts through it."""
+
+    def __init__(self, name, weight, azmin, azmax, el, scantime):
+        self.name = name
+        self.weight = float(weight)
+        self.az_min = azmin.to_value(u.rad)
+        self.az_max = azmax.to_value(u.rad)
+        self.el = el.to_value(u.rad)
+        self.scantime_s = scantime.to_value(u.second)
+        self.max_time_s = None
+        self.hits = 0
+        self.time_observed = 0.0
+
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
+        if self.el < el_min or self.el > el_max:
+            return None
+        az = np.array([self.az_min, self.az_max])
+        el = np.array([self.el, self.el])
+        if not self.avoids(site, t, az, el, sun_rad, moon_rad):
+            return None
+        return self.az_min, self.az_max, self.el, self.scantime_s
+
+
+class SSOPatch(Patch):
+    """Solar-system-object patch (reference ``schedule_sim_ground.py:394``):
+    tracks a moving body (sun or moon via the built-in low-precision
+    ephemerides) with a circular footprint of the given radius, for
+    calibration scans."""
+
+    _BODIES = {"sun": coords.sun_azel, "moon": coords.moon_azel}
+
+    def __init__(self, name, weight, radius, body=None):
+        self.name = name
+        self.weight = float(weight)
+        self.radius = radius.to_value(u.rad)
+        key = (body or name.split(";")[0]).lower()
+        if key not in self._BODIES:
+            raise ValueError(
+                f"Unknown SSO body '{key}' (built-in ephemerides: sun, moon)"
+            )
+        self.body = key
+        self.max_time_s = None
+        self.hits = 0
+        self.time_observed = 0.0
+
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
+        az_b, el_b = self._BODIES[self.body](site, np.array([t]))
+        azc, elc = float(az_b[0]), float(el_b[0])
+        if elc - self.radius < el_min or elc + self.radius > el_max:
+            return None
+        # never avoid the body being targeted
+        if self.body != "sun" and sun_rad > 0:
+            az_s, el_s = coords.sun_azel(site, np.array([t]))
+            if el_s[0] > 0 and _angdist(azc, elc, az_s[0], el_s[0]) < sun_rad:
+                return None
+        if self.body != "moon" and moon_rad > 0:
+            az_m, el_m = coords.moon_azel(site, np.array([t]))
+            if el_m[0] > 0 and _angdist(azc, elc, az_m[0], el_m[0]) < moon_rad:
+                return None
+        half_az = self.radius / max(np.cos(elc), 0.05)
+        return azc - half_az, azc + half_az, elc - self.radius, None
+
+
+class CoolerCyclePatch(Patch):
+    """Forced cryocooler-cycle slot (reference ``schedule_sim_ground.py:465``):
+    schedulable after ``hold_time_min`` since the last cycle, with priority
+    growing until it becomes mandatory at ``hold_time_max``.  The 'scan' is
+    a stationary dwell of ``cycle_time`` at the given az/el."""
+
+    def __init__(
+        self,
+        name,
+        weight,
+        hold_time_min,
+        hold_time_max,
+        cycle_time,
+        az=Quantity(180.0, u.deg),
+        el=Quantity(45.0, u.deg),
+        last_cycle_end=0.0,
+    ):
+        self.name = name
+        self.weight = float(weight)
+        self.hold_min_s = hold_time_min.to_value(u.second)
+        self.hold_max_s = hold_time_max.to_value(u.second)
+        self.cycle_s = cycle_time.to_value(u.second)
+        self.az = az.to_value(u.rad)
+        self.el = el.to_value(u.rad)
+        self.last_cycle_end = last_cycle_end
+        self.max_time_s = None
+        self.hits = 0
+        self.time_observed = 0.0
+
+    def priority(self, t):
+        held = t - self.last_cycle_end
+        if held < self.hold_min_s:
+            return -np.inf
+        if held >= self.hold_max_s:
+            return np.inf  # mandatory
+        frac = (held - self.hold_min_s) / max(
+            self.hold_max_s - self.hold_min_s, 1.0
+        )
+        return self.weight * frac
+
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
+        if t - self.last_cycle_end < self.hold_min_s:
+            return None
+        return self.az - 0.01, self.az + 0.01, self.el, self.cycle_s
 
 
 def build_schedule(
@@ -93,6 +232,7 @@ def build_schedule(
     el_min=Quantity(30.0, u.deg),
     el_max=Quantity(80.0, u.deg),
     sun_avoidance_angle=Quantity(30.0, u.deg),
+    moon_avoidance_angle=Quantity(0.0, u.deg),
     ces_max_time=Quantity(20.0, u.minute),
     gap=Quantity(1.0, u.minute),
     gap_small=Quantity(10.0, u.second),
@@ -119,6 +259,7 @@ def build_schedule(
     el_min_rad = el_min.to_value(u.rad)
     el_max_rad = el_max.to_value(u.rad)
     sun_rad = sun_avoidance_angle.to_value(u.rad)
+    moon_rad = moon_avoidance_angle.to_value(u.rad)
     ces_s = ces_max_time.to_value(u.second)
     gap_s = gap.to_value(u.second)
 
@@ -127,22 +268,27 @@ def build_schedule(
     t_stop = stop.timestamp()
     scan_idx = {p.name: 0 for p in patches}
     while t < t_stop:
-        # choose the visible patch with the largest weighted deficit
+        # choose the visible patch with the largest priority score
         best = None
         best_score = -np.inf
         for patch in patches:
-            vis = _visible(patch, site, t, el_min_rad, el_max_rad, sun_rad)
+            score = patch.priority(t)
+            if score <= best_score:
+                continue
+            vis = patch.visible(
+                site, t, el_min_rad, el_max_rad, sun_rad, moon_rad
+            )
             if vis is None:
                 continue
-            score = patch.weight / (1.0 + patch.time_observed / 3600.0)
-            if score > best_score:
-                best_score = score
-                best = (patch, vis)
+            best_score = score
+            best = (patch, vis)
         if best is None:
             t += 600.0  # nothing visible; try again in 10 minutes
             continue
-        patch, (az_min, az_max, el_scan) = best
-        t_end = min(t + ces_s, t_stop)
+        patch, (az_min, az_max, el_scan, patch_ces) = best
+        t_end = min(t + (patch_ces if patch_ces else ces_s), t_stop)
+        if isinstance(patch, CoolerCyclePatch):
+            patch.last_cycle_end = t_end
         scans.append(
             GroundScan(
                 name=patch.name,
@@ -174,6 +320,15 @@ def build_schedule(
     )
 
 
+
+
+def _is_float(s):
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
 def run_scheduler(opts=None):
     """CLI for the ground scheduler (reference ``schedule_sim_ground.py:3697``)."""
     import argparse
@@ -189,6 +344,7 @@ def run_scheduler(opts=None):
     parser.add_argument("--el-min", default="30 deg")
     parser.add_argument("--el-max", default="80 deg")
     parser.add_argument("--sun-avoidance-angle", default="30 deg")
+    parser.add_argument("--moon-avoidance-angle", default="0 deg")
     parser.add_argument("--ces-max-time", default="20 min")
     parser.add_argument("--gap", default="60 s")
     parser.add_argument(
@@ -206,15 +362,55 @@ def run_scheduler(opts=None):
     for pstr in args.patch:
         parts = pstr.split(",")
         name = parts[0]
-        weight = float(parts[1])
-        lon_min, lat_max, lon_max, lat_min = [float(x) for x in parts[2:6]]
-        corners = [
-            (lon_min, lat_max),
-            (lon_max, lat_max),
-            (lon_max, lat_min),
-            (lon_min, lat_min),
-        ]
-        patches.append(Patch(name, weight, corners))
+        kind = parts[1].upper() if not _is_float(parts[1]) else "RECT"
+        if kind == "HORIZONTAL":
+            # name,HORIZONTAL,weight,azmin_deg,azmax_deg,el_deg,scantime_min
+            patches.append(
+                HorizontalPatch(
+                    name,
+                    float(parts[2]),
+                    Quantity(float(parts[3]), u.deg),
+                    Quantity(float(parts[4]), u.deg),
+                    Quantity(float(parts[5]), u.deg),
+                    Quantity(float(parts[6]), u.minute),
+                )
+            )
+        elif kind == "SSO":
+            # name,SSO,weight,radius_deg   (name = sun or moon)
+            patches.append(
+                SSOPatch(name, float(parts[2]), Quantity(float(parts[3]), u.deg))
+            )
+        elif kind == "COOLER":
+            # name,COOLER,weight,hold_min_h,hold_max_h,cycle_min[,az_deg,el_deg]
+            extra = {}
+            if len(parts) > 6:
+                extra["az"] = Quantity(float(parts[6]), u.deg)
+                extra["el"] = Quantity(float(parts[7]), u.deg)
+            patches.append(
+                CoolerCyclePatch(
+                    name,
+                    float(parts[2]),
+                    Quantity(float(parts[3]), u.hour),
+                    Quantity(float(parts[4]), u.hour),
+                    Quantity(float(parts[5]), u.minute),
+                    **extra,
+                )
+            )
+        elif kind != "RECT":
+            raise ValueError(
+                f"Unknown patch type '{parts[1]}' in '{pstr}' — expected a "
+                "numeric weight (rectangle) or HORIZONTAL / SSO / COOLER"
+            )
+        else:
+            weight = float(parts[1])
+            lon_min, lat_max, lon_max, lat_min = [float(x) for x in parts[2:6]]
+            corners = [
+                (lon_min, lat_max),
+                (lon_max, lat_max),
+                (lon_max, lat_min),
+                (lon_min, lat_min),
+            ]
+            patches.append(Patch(name, weight, corners))
 
     def parse_time(s):
         return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
@@ -231,6 +427,7 @@ def run_scheduler(opts=None):
         el_min=qs(args.el_min),
         el_max=qs(args.el_max),
         sun_avoidance_angle=qs(args.sun_avoidance_angle),
+        moon_avoidance_angle=qs(args.moon_avoidance_angle),
         ces_max_time=qs(args.ces_max_time),
         gap=qs(args.gap),
     )
