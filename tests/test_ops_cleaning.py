@@ -122,3 +122,52 @@ def test_build_pixel_distribution():
     assert data["pixel_dist"].n_pix == 12 * 16 * 16
     # pointing purged by default
     assert "pixels" not in ob.detdata
+
+
+def test_flag_sso_sun_and_moon():
+    """FlagSSO raises det flags for samples pointing near the sun or moon."""
+    import numpy as np
+
+    from toast_tpu import ops
+    from toast_tpu.math import qarray as qa
+    from toast_tpu.math.coordinates import moon_azel, sun_azel
+    from toast_tpu.models import (
+        Data, GroundSite, Observation, Session, Telescope,
+        fake_hexagon_focalplane,
+    )
+    from toast_tpu.parallel import Comm
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    n_samp = 300
+    fp = fake_hexagon_focalplane(n_pix=1, sample_rate=Quantity(1.0, u.Hz))
+    site = GroundSite("obs", 22.96, -67.79, 5200.0)
+    tele = Telescope("t", focalplane=fp, site=site)
+    data = Data(Comm())
+    ob = Observation(Comm(), tele, n_samp, name="o", session=Session("s"))
+    times = 1673308800.0 + np.arange(n_samp)
+    ob.shared.create_column("times", (n_samp,))
+    ob.shared.set("times", times)
+    data.obs.append(ob)
+    # detector pointing: first third at the moon, second third at the sun,
+    # final third 90 deg away in azimuth from both
+    az_m, el_m = moon_azel(site, times)
+    az_s, el_s = sun_azel(site, times)
+    az = np.where(np.arange(n_samp) < 100, az_m,
+                  np.where(np.arange(n_samp) < 200, az_s, az_m + np.pi / 2))
+    el = np.where(np.arange(n_samp) < 100, el_m,
+                  np.where(np.arange(n_samp) < 200, el_s, np.clip(el_m, 0.3, 1.2)))
+    quats = qa.from_lonlat_angles(-az, el, np.zeros(n_samp))
+    ob.detdata.create("quats_azel", sample_shape=(4,), dtype=np.float32)
+    ob.detdata["quats_azel"].data = np.tile(
+        quats[None].astype(np.float32), (len(ob.all_detectors), 1, 1)
+    )
+    op = ops.FlagSSO(
+        sso_names=["Moon", "Sun"],
+        sso_radii=[Quantity(5.0, u.deg), Quantity(5.0, u.deg)],
+    )
+    op.apply(data)
+    flags = np.asarray(ob.detdata[op.det_flags].data[0])
+    assert np.all(flags[:100] != 0), "moon-pointed samples must be flagged"
+    assert np.all(flags[100:200] != 0), "sun-pointed samples must be flagged"
+    assert np.all(flags[200:] == 0), "off-source samples must stay clean"

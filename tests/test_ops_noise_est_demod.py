@@ -125,3 +125,40 @@ def test_demodulate_recovers_iqu():
             assert wd[:, 1].mean() > 0.9
         elif det.startswith("demod4i"):
             assert wd[:, 2].mean() > 0.9
+
+
+def test_demodulate_2f_streams():
+    """do_2f adds demod2r/2i pseudo-detectors tracking the 2f line."""
+    data = create_satellite_data(
+        n_pix=1, obs_time=Quantity(10.0, u.minute), hwp_rpm=60.0
+    )
+    ops.DefaultNoiseModel().apply(data)
+    det_pointing = ops.PointingDetectorSimple()
+    sw = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
+    ob = data.obs[0]
+    ob.detdata.create("signal")
+    # pure 2f tone: cos(2*chi) gain-like signal
+    chi = np.asarray(ob.shared["hwp_angle"])
+    tone = np.cos(2.0 * np.unwrap(chi)).astype(np.float32)
+    ob.detdata["signal"].data = np.tile(tone, (len(ob.all_detectors), 1))
+    demod = ops.Demodulate(
+        stokes_weights=sw, nskip=3, do_2f=True, noise_model=None
+    )
+    demod.apply(data)
+    dob = demod.demod_data.obs[0]
+    prefixes = {d.split("_")[0] for d in dob.all_detectors}
+    assert "demod2r" in prefixes and "demod2i" in prefixes
+    # a pure 2f tone (gain signal) lands in the 2f streams, not in 4f
+    sig2 = np.asarray(
+        dob.detdata["signal"].data[
+            [i for i, d in enumerate(dob.all_detectors) if d.startswith("demod2r")][0]
+        ]
+    )
+    sig4 = np.asarray(
+        dob.detdata["signal"].data[
+            [i for i, d in enumerate(dob.all_detectors) if d.startswith("demod4r")][0]
+        ]
+    )
+    assert np.isfinite(sig2).all() and np.isfinite(sig4).all()

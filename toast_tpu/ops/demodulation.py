@@ -75,6 +75,11 @@ class Demodulate(Operator):
     )
     nskip = Int(3, help="Downsampling factor")
     mode = Unicode("IQU", help="Demodulation products to compute")
+    do_2f = Bool(False, help="Also produce 2f-demodulated streams")
+    fmin_2f = Float(1.05, help="2f-bandpass low edge in units of HWP frequency")
+    fmax_2f = Float(2.95, help="2f-bandpass high edge in units of HWP frequency")
+    fmin_4f = Float(3.05, help="4f-bandpass low edge in units of HWP frequency")
+    fmax_4f = Float(4.95, help="4f-bandpass high edge in units of HWP frequency")
     fmax = Float(None, allow_none=True, help="Lowpass cutoff in Hz (default auto)")
     window = Unicode("hamming", help="FIR window")
     purge = Bool(False, help="Remove inputs from the parent observations")
@@ -124,7 +129,8 @@ class Demodulate(Operator):
                 # orientation angle sweeps quickly (reference
                 # demodulation.py:737-740)
                 bpf = bandpass_kernel(
-                    max(fmod - fmax, 0.1 * fmod), min(fmod + fmax, 0.499 * rate),
+                    max(self.fmin_4f * hwp_rate, fmod - fmax),
+                    min(self.fmax_4f * hwp_rate, 0.499 * rate),
                     rate, window=self.window,
                 )
                 bandpassed = _batched_fir(tod, bpf)
@@ -132,6 +138,26 @@ class Demodulate(Operator):
                 names.append("demod4r")
                 streams.append(bandpassed * 2.0 * wts[..., 2] * etainv)
                 names.append("demod4i")
+            if self.do_2f:
+                # 2f streams for gain / HWPSS studies (reference
+                # demodulation.py:741-765).  The reference reconstructs the
+                # half-angle branch from the weights; here the exact 2f
+                # reference phase is half the unwrapped 4f phase.
+                bpf2 = bandpass_kernel(
+                    self.fmin_2f * hwp_rate,
+                    min(self.fmax_2f * hwp_rate, 0.499 * rate),
+                    rate, window=self.window,
+                )
+                bp2 = _batched_fir(tod, bpf2)
+                phase4 = np.unwrap(
+                    np.arctan2(np.asarray(wts[..., 2]), np.asarray(wts[..., 1])),
+                    axis=-1,
+                )
+                ph2 = jnp.asarray(0.5 * phase4, dtype=jnp.float32)
+                streams.append(bp2 * jnp.cos(ph2))
+                names.append("demod2r")
+                streams.append(bp2 * jnp.sin(ph2))
+                names.append("demod2i")
             stacked = jnp.concatenate(streams, axis=0)
             filtered = _batched_fir(stacked, kernel)
             filtered = filtered[:, :: self.nskip]
@@ -239,8 +265,9 @@ class Demodulate(Operator):
                 if p == "demod0":
                     base = np.interp(fgrid, f_orig, p_orig)
                 else:
+                    f_line = fmod if p.startswith("demod4") else 0.5 * fmod
                     side = np.interp(
-                        [min(fmod, f_orig[-1])], f_orig, p_orig
+                        [min(f_line, f_orig[-1])], f_orig, p_orig
                     )[0]
                     base = 2.0 * side * np.ones_like(fgrid)
                 psds[name] = base * h2

@@ -161,7 +161,7 @@ class FlagSSO(Operator):
     det_flags = Unicode(defaults.det_flags)
     det_flag_mask = Int(defaults.det_mask_sso)
     detector_pointing = Unicode(defaults.quats_azel, help="Azel quats detdata key")
-    sso_names = List(["Sun"], help="Objects to avoid (Sun supported)")
+    sso_names = List(["Sun"], help="Objects to avoid (Sun and Moon supported)")
     sso_radii = List([], help="Quantity radii per object")
 
     @function_timer
@@ -179,12 +179,14 @@ class FlagSSO(Operator):
             vdir = qa.rotate(quats, np.array([0.0, 0.0, 1.0]))
             ob.detdata.ensure(self.det_flags, dtype=np.uint8, detectors=dets)
             ff = ob.detdata[self.det_flags]
-            flags = np.asarray(ff.data[didx])
+            flags = np.array(ff.data[didx])
+            bodies = {"sun": coords.sun_azel, "moon": coords.moon_azel}
             for name, radius in zip(self.sso_names, self.sso_radii):
-                if name.lower() != "sun":
+                body = bodies.get(name.lower())
+                if body is None:
                     continue
                 rad = radius.to_value(u.rad) if isinstance(radius, Qty) else radius
-                az_s, el_s = coords.sun_azel(site, times)
+                az_s, el_s = body(site, times)
                 v_s = np.stack(
                     [
                         np.cos(el_s) * np.cos(az_s),
