@@ -244,6 +244,19 @@ def sim_noise_batch(
         keys[3, i] = key2 & 0xFFFFFFFF
 
     counter_start = int(firstsamp) * int(oversample)
-    return _sim_noise_core(
+
+    # pad the stream batch to a multiple of 8 rows: the TPU backend's
+    # batched complex irfft produces a spurious all-NaN row for some
+    # non-sublane-aligned batch shapes (observed: row 13 of a (14, 2^19)
+    # transform, independent of the data), while aligned batches are clean
+    n_stream = len(stream_indices)
+    n_pad = (-n_stream) % 8
+    if n_pad:
+        keys = np.concatenate([keys, np.tile(keys[:, -1:], (1, n_pad))], axis=1)
+        scales = jnp.concatenate(
+            [scales, jnp.tile(scales[-1:], (n_pad, 1))], axis=0
+        )
+    out = _sim_noise_core(
         jnp.asarray(keys), counter_start, scales, fftlen, samples
     )
+    return out[:n_stream]

@@ -82,6 +82,16 @@ class SimNoise(Operator):
                 psds,
             )
 
+            # guard: a TPU backend FFT fault can emit NaN rows (see
+            # kernels/simnoise.py batch padding) — fail loudly, never let
+            # NaN noise silently poison the downstream reduction
+            n_bad = int(jnp.sum(~jnp.isfinite(noise)))
+            if n_bad:
+                raise RuntimeError(
+                    f"SimNoise generated {n_bad} non-finite samples in "
+                    f"observation '{ob.name}' — backend FFT fault"
+                )
+
             # mixing matrix: detector tod += sum_k weight(det,k) * stream_k
             mix = np.zeros((len(dets), len(keys)), dtype=np.float32)
             for i, d in enumerate(dets):

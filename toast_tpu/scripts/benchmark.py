@@ -41,6 +41,12 @@ def compare_output_stats(name, hits, rms, expected, rtol=0.1):
         ok = False
     for comp, key in enumerate(("rms_I", "rms_Q", "rms_U")):
         if key in expected and comp < len(rms):
+            # NaN must fail: every comparison with NaN is False, so an
+            # explicit finite check is required
+            if not (np.isfinite(rms[comp]) and np.isfinite(expected[key])):
+                print(f"{name}: {key} non-finite ({rms[comp]} vs {expected[key]})")
+                ok = False
+                continue
             rel = abs(rms[comp] - expected[key]) / expected[key]
             if rel > rtol:
                 print(f"{name}: {key} {rms[comp]:.5f} vs {expected[key]} ({rel:.1%})")
@@ -106,6 +112,12 @@ def benchmark_satellite(opts=None):
     parser.add_argument("--sample_rate", type=float, default=50.0)
     parser.add_argument("--n_detector", type=int, default=64)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument(
+        "--stats_file",
+        default=None,
+        help="Regression stats (reference stats.json analog): validate "
+        "against this file if it exists, otherwise record it",
+    )
     args = parser.parse_args(opts)
 
     telescope, schedule, total_samples = _build_satellite_case(
@@ -161,6 +173,38 @@ def benchmark_satellite(opts=None):
             }
         )
     )
+    # stats.json-style output validation (reference
+    # benchmarking_utilities.py:883 checks vs _aux/benchmarks/stats.json):
+    # deterministic RNG makes the outputs exactly reproducible, so the
+    # first run records and later runs regress against it
+    if args.stats_file is not None:
+        import os
+
+        key = f"satellite_{args.case}"
+        if os.path.exists(args.stats_file):
+            with open(args.stats_file) as f:
+                recorded = json.load(f)
+            if key in recorded:
+                ok = compare_output_stats(key, hits, rms, recorded[key])
+                if not ok:
+                    print(f"{key}: output statistics REGRESSED", file=sys.stderr)
+                    return 1
+                print(f"{key}: output statistics match recorded values")
+                return 0
+        recorded = {}
+        if os.path.exists(args.stats_file):
+            with open(args.stats_file) as f:
+                recorded = json.load(f)
+        recorded[key] = {
+            "hits": hits,
+            "rms_I": rms[0],
+            "rms_Q": rms[1] if len(rms) > 1 else None,
+            "rms_U": rms[2] if len(rms) > 2 else None,
+        }
+        recorded[key] = {k: v for k, v in recorded[key].items() if v is not None}
+        with open(args.stats_file, "w") as f:
+            json.dump(recorded, f, indent=2)
+        print(f"{key}: recorded output statistics to {args.stats_file}")
     return 0
 
 

@@ -287,6 +287,18 @@ def toast_run(opts=None):
     return 0
 
 
+def _benchmark_satellite(opts=None):
+    from .benchmark import benchmark_satellite
+
+    return benchmark_satellite(opts)
+
+
+def _benchmark_ground(opts=None):
+    from .benchmark import benchmark_ground
+
+    return benchmark_ground(opts)
+
+
 _COMMANDS = {
     "env": toast_env,
     "fake_focalplane": toast_fake_focalplane,
@@ -303,6 +315,8 @@ _COMMANDS = {
     "obsmatrix_combine": toast_obsmatrix_combine,
     "volume_reindex": toast_volume_reindex,
     "mini": toast_mini,
+    "benchmark_satellite": _benchmark_satellite,
+    "benchmark_ground": _benchmark_ground,
     "run": toast_run,
 }
 

@@ -11,5 +11,5 @@ from .misc import (
     object_fullname,
     rate_from_times,
 )
-from .timing import GlobalTimers, Timer, dump, function_timer, gather_timers
+from .timing import jax_profile, GlobalTimers, Timer, dump, function_timer, gather_timers
 from .units import Quantity, Unit, quantity_from_string, unit_from_string

@@ -194,3 +194,38 @@ def function_timer(func):
             gt.stop(key)
 
     return wrapped
+
+
+class jax_profile:
+    """Context manager capturing a ``jax.profiler`` trace.
+
+    TPU-native analog of the reference's kernel data-movement tracking
+    (``accelerator/data_localization.py``): wraps a region in an XLA
+    profiler trace viewable in TensorBoard/Perfetto.  Enabled explicitly
+    or via the ``TOAST_JAX_TRACE`` environment variable (its value is the
+    output directory).
+
+    Usage::
+
+        with jax_profile("/tmp/trace"):
+            mapper.apply(data)
+    """
+
+    def __init__(self, path=None):
+        self.path = path if path is not None else os.environ.get("TOAST_JAX_TRACE")
+        self._active = False
+
+    def __enter__(self):
+        if self.path:
+            import jax
+
+            jax.profiler.start_trace(self.path)
+            self._active = True
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False

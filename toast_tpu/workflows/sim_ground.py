@@ -21,7 +21,7 @@ from toast_tpu.models import Data, GroundSchedule, GroundSite, Telescope, fake_h
 from toast_tpu.parallel import Comm
 from toast_tpu.schedule_sim_ground import Patch, build_schedule
 from toast_tpu.templates import Offset
-from toast_tpu.utils import GlobalTimers, Logger, Timer, dump, gather_timers
+from toast_tpu.utils import GlobalTimers, Logger, Timer, dump, gather_timers, jax_profile
 from toast_tpu.utils import units as u
 from toast_tpu.utils.units import Quantity
 
@@ -169,7 +169,8 @@ def main(opts=None):
         templates=[job.templates.baselines]
     )
     o.mapmaker.output_dir = args.out_dir
-    o.mapmaker.apply(data)
+    with jax_profile():  # captures an XLA trace when TOAST_JAX_TRACE is set
+        o.mapmaker.apply(data)
     log.info_rank("Map-making complete", timer=timer)
 
     if o.filterbin.enabled:

@@ -27,7 +27,7 @@ from toast_tpu.models import (
 )
 from toast_tpu.parallel import Comm
 from toast_tpu.templates import Offset
-from toast_tpu.utils import GlobalTimers, Logger, Timer, dump, gather_timers
+from toast_tpu.utils import GlobalTimers, Logger, Timer, dump, gather_timers, jax_profile
 from toast_tpu.utils import units as u
 from toast_tpu.utils.units import Quantity
 
@@ -91,7 +91,8 @@ def reduce_data(job, args, data):
         templates=[job.templates.baselines]
     )
     ops_ns.mapmaker.output_dir = args.out_dir
-    ops_ns.mapmaker.apply(data)
+    with jax_profile():  # captures an XLA trace when TOAST_JAX_TRACE is set
+        ops_ns.mapmaker.apply(data)
     log.info_rank("Map-making complete", timer=timer)
 
 
