@@ -57,3 +57,28 @@ def test_interpolate_psd():
     # zero frequency maps to zero
     out = fft.interpolate_psd(freq, psd, np.array([0.0, 0.01]))
     assert out[0] == 0.0
+
+
+def test_filter_fourier_bluestein_odd_length():
+    """Any-length circular filter matches numpy's circular FFT filter
+    (TPU lowers non-pow2 FFTs to a DFT matmul; we use Bluestein)."""
+    import numpy as np
+
+    from toast_tpu.math.fft import filter_fourier, fourier_filter_freqs
+
+    rng = np.random.default_rng(2)
+    for n in (3001, 178571 // 97, 4096):  # odd, odd, pow2
+        tod = rng.normal(size=(3, n)).astype(np.float32)
+        freqs = fourier_filter_freqs(n, 10.0)
+        # complex per-detector kernel (time-constant-like)
+        taus = np.array([0.05, 0.1, 0.2])
+        H = 1.0 / (1.0 + 2.0j * np.pi * freqs[None, :] * taus[:, None])
+        got = np.asarray(filter_fourier(tod, H))
+        nh = n // 2 + 1
+        want = np.fft.irfft(np.fft.rfft(tod, axis=-1) * H, n=n, axis=-1)
+        assert np.allclose(got, want, atol=5e-4), (n, np.abs(got - want).max())
+        # real shared kernel
+        k = np.exp(-freqs)
+        got2 = np.asarray(filter_fourier(tod, k))
+        want2 = np.fft.irfft(np.fft.rfft(tod, axis=-1) * k, n=n, axis=-1)
+        assert np.allclose(got2, want2, atol=5e-4)

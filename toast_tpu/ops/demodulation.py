@@ -52,16 +52,33 @@ def bandpass_kernel(fmin_hz, fmax_hz, fsample_hz, wkernel=None, window="hamming"
     )
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("nfft", "start", "n"))
+def _batched_fir_core(tod, kernel, nfft, start, n):
+    from ..math.fft import irfft_batched
+
+    f_t = jnp.fft.rfft(tod, nfft, axis=-1)
+    f_k = jnp.fft.rfft(kernel, nfft)
+    full = irfft_batched(f_t * f_k[None, :], nfft, axis=-1)
+    return full[:, start : start + n]
+
+
 def _batched_fir(tod, kernel):
-    """'same'-mode FIR convolution of (n_det, n) with kernel (k,), on device."""
+    """'same'-mode FIR convolution of (n_det, n) with kernel (k,), on device.
+
+    One jitted program: complex intermediates never cross an XLA program
+    boundary (complex buffers are unsupported by the remote-TPU runtime).
+    """
     n = tod.shape[-1]
     k = len(kernel)
     nfft = int(2 ** np.ceil(np.log2(n + k)))
-    f_t = jnp.fft.rfft(tod, nfft, axis=-1)
-    f_k = jnp.fft.rfft(jnp.asarray(kernel, dtype=tod.dtype), nfft)
-    full = jnp.fft.irfft(f_t * f_k[None, :], nfft, axis=-1)
-    start = (k - 1) // 2
-    return full[:, start : start + n]
+    return _batched_fir_core(
+        tod, jnp.asarray(kernel, dtype=tod.dtype), nfft, (k - 1) // 2, n
+    )
 
 
 class Demodulate(Operator):

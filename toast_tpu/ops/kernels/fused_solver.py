@@ -42,6 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ...math.fft import irfft_batched as _irfft_b
 from ...pixels.covariance import _apply_tri
 from .mapkernels import segment_sum_sorted, sorted_bounds
 
@@ -143,13 +144,13 @@ def fused_offset_solve_runs(
     def apply_prior(a):
         a2d = a.reshape(n_det, n_base)
         fd = jnp.fft.rfft(a2d, axis=-1) * prior_filter
-        return jnp.fft.irfft(fd, n=n_base, axis=-1).reshape(-1)
+        return _irfft_b(fd, n_base, axis=-1).reshape(-1)
 
     def apply_precond(r):
         if use_prior:
             r2d = r.reshape(n_det, n_base)
             fd = jnp.fft.rfft(r2d, axis=-1) * precond_filter
-            return jnp.fft.irfft(fd, n=n_base, axis=-1).reshape(-1) * amp_mask
+            return _irfft_b(fd, n_base, axis=-1).reshape(-1) * amp_mask
         return r * precond * amp_mask
 
     def matvec(a):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..config.traits import Bool, Float, Int, Quantity, Unicode
 from ..math import rng as toast_rng
+from ..math.fft import filter_fourier as _filter_fourier
 from ..models.defaults import default_values as defaults
 from ..models.noise import Noise
 from ..utils import units as u
@@ -185,7 +186,9 @@ class TimeConstant(Operator):
                 continue
             (rate, _, _, _, _) = rate_from_times(np.asarray(ob.shared[self.times]))
             n = ob.n_local_samples
-            freqs = np.fft.rfftfreq(n, 1.0 / rate)
+            from ..math.fft import fourier_filter_freqs
+
+            freqs = fourier_filter_freqs(n, rate)
             taus = np.full(len(dets), self.tau.to_value(u.second))
             if self.tau_sigma > 0:
                 for i, det in enumerate(dets):
@@ -201,9 +204,8 @@ class TimeConstant(Operator):
             didx = ob.detector_indices(dets)
             field = ob.detdata[self.det_data]
             tod = field.data[didx]
-            fd = jnp.fft.rfft(tod, axis=-1) * jnp.asarray(H.astype(np.complex64))
             field.data = field.data.at[didx].set(
-                jnp.fft.irfft(fd, n=n, axis=-1).astype(field.dtype)
+                _filter_fourier(tod, H).astype(field.dtype)
             )
 
 

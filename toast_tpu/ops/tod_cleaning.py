@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config.traits import Float, Int, Quantity, Unicode
+from ..math.fft import filter_fourier as _filter_fourier
 from ..models.defaults import default_values as defaults
 from ..math import rng as toast_rng
 from ..utils import units as u
@@ -109,7 +110,9 @@ class NoiseFilter(Operator):
             nse = ob[self.noise_model]
             (rate, _, _, _, _) = rate_from_times(np.asarray(ob.shared[self.times]))
             n = ob.n_local_samples
-            freqs = np.fft.rfftfreq(n, 1.0 / rate)
+            from ..math.fft import fourier_filter_freqs
+
+            freqs = fourier_filter_freqs(n, rate)
             filt = np.empty((len(dets), len(freqs)), dtype=np.float64)
             for i, det in enumerate(dets):
                 psd = interpolate_psd(
@@ -126,11 +129,8 @@ class NoiseFilter(Operator):
             didx = ob.detector_indices(dets)
             field = ob.detdata[self.det_data]
             tod = field.data[didx]
-            fd = jnp.fft.rfft(tod, axis=-1) * jnp.asarray(
-                filt.astype(np.float32)
-            )
             field.data = field.data.at[didx].set(
-                jnp.fft.irfft(fd, n=n, axis=-1).astype(field.dtype)
+                _filter_fourier(tod, filt).astype(field.dtype)
             )
 
 

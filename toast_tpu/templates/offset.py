@@ -27,6 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..math.fft import irfft_batched as _irfft_b
 from ..config.traits import Bool, Float, Quantity, Unicode
 from ..models.defaults import default_values as defaults
 from ..utils import units as u
@@ -279,7 +280,7 @@ class Offset(Template):
                 a2d = amps_in.local[sl].reshape(len(info["dets"]), info["n_base"])
                 if "precond_filter" in info:
                     fd = jnp.fft.rfft(a2d, axis=-1) * info["precond_filter"]
-                    res = jnp.fft.irfft(fd, n=info["n_base"], axis=-1)
+                    res = _irfft_b(fd, info["n_base"], axis=-1)
                 else:
                     res = a2d * info["precond"].reshape(a2d.shape)
                 out = out.at[sl].set(res.reshape(-1))
@@ -303,7 +304,7 @@ class Offset(Template):
             sl = slice(info["offset"], info["offset"] + info["n_amp"])
             a2d = amps_in.local[sl].reshape(len(info["dets"]), info["n_base"])
             fd = jnp.fft.rfft(a2d, axis=-1) * info["prior_filter"]
-            res = jnp.fft.irfft(fd, n=info["n_base"], axis=-1)
+            res = _irfft_b(fd, info["n_base"], axis=-1)
             out = out.at[sl].add(res.reshape(-1))
         amps_out.local = out
         amps_out.apply_flags()
