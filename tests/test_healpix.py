@@ -153,3 +153,56 @@ def test_equator_ring_structure():
     assert np.allclose(theta, theta[0])
     z = np.cos(theta[0])
     np.testing.assert_allclose(z, 2.0 / 3.0 - 2.0 / (3.0 * nside) + 2.0 / (3.0 * nside), atol=1e-12)
+
+
+def test_pallas_pointing_equivalence():
+    """Fused Pallas pointing kernel matches the jnp kernel chain
+    (interpret mode; the TPU-compiled path is checked on hardware)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from toast_tpu.ops.kernels.pallas_pointing import (
+        pallas_available,
+        pointing_fused_pallas,
+    )
+    from toast_tpu.ops.kernels.pointing import (
+        pixels_healpix,
+        pointing_detector,
+        stokes_weights_iqu,
+    )
+
+    if not pallas_available:
+        import pytest
+
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(0)
+    n_det, n_samp, nside = 6, 700, 64
+    q = rng.normal(size=(n_samp, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    fp = rng.normal(size=(n_det, 4))
+    fp /= np.linalg.norm(fp, axis=1, keepdims=True)
+    eps = rng.uniform(0, 0.1, n_det)
+    gamma = rng.uniform(0, np.pi, n_det)
+    cal = rng.uniform(0.9, 1.1, n_det)
+    hwp = rng.uniform(0, 2 * np.pi, n_samp)
+
+    flags = jnp.zeros(n_samp, dtype=jnp.uint8)
+    quats = pointing_detector(
+        jnp.asarray(fp, dtype=jnp.float32), jnp.asarray(q, dtype=jnp.float32),
+        flags, 0,
+    )
+    pix_ref = np.asarray(pixels_healpix(quats, flags, 0, nside, True))
+    w_ref = np.asarray(stokes_weights_iqu(
+        quats, jnp.asarray(hwp, dtype=jnp.float32),
+        jnp.asarray(eps, dtype=jnp.float32),
+        jnp.asarray(gamma, dtype=jnp.float32),
+        jnp.asarray(cal, dtype=jnp.float32),
+    ))
+    pix, w = pointing_fused_pallas(
+        fp, q, eps, gamma, cal, hwp_angle=hwp, nside=nside, interpret=True
+    )
+    # the polynomial atan2 (~1e-6 rad) may flip samples exactly on pixel
+    # boundaries; everything else must agree
+    assert (np.asarray(pix) == pix_ref).mean() > 0.999
+    assert np.abs(np.asarray(w) - w_ref).max() < 1e-4

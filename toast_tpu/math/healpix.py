@@ -375,10 +375,18 @@ def _spread_bits_jax(v):
 
 def vec2pix_ring_jax(nside, vec):
     """Unit vectors (..., 3) -> RING pixels, int32, traceable under jit."""
+    return vec2pix_ring_xyz(nside, vec[..., 0], vec[..., 1], vec[..., 2])
+
+
+def vec2pix_ring_xyz(nside, x, y, z, phi=None):
+    """Component-plane variant of :func:`vec2pix_ring_jax` (same math;
+    callable from Pallas kernels where stacked (..., 3) layouts are
+    lane-hostile; those pass ``phi`` computed with their own arctan2,
+    which Pallas cannot lower)."""
     nside = check_nside(nside)
-    x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
     za = jnp.abs(z)
-    phi = jnp.arctan2(y, x)
+    if phi is None:
+        phi = jnp.arctan2(y, x)
     tt = (phi % (2.0 * jnp.pi)) * (2.0 / jnp.pi)
     ncap = 2 * nside * (nside - 1)
     npix = 12 * nside * nside
@@ -411,11 +419,16 @@ def vec2pix_ring_jax(nside, vec):
 
 def vec2pix_nest_jax(nside, vec):
     """Unit vectors (..., 3) -> NESTED pixels, int32, traceable under jit."""
+    return vec2pix_nest_xyz(nside, vec[..., 0], vec[..., 1], vec[..., 2])
+
+
+def vec2pix_nest_xyz(nside, x, y, z, phi=None):
+    """Component-plane variant of :func:`vec2pix_nest_jax`."""
     nside = check_nside(nside)
     lognside = int(np.log2(nside))
-    x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
     za = jnp.abs(z)
-    phi = jnp.arctan2(y, x)
+    if phi is None:
+        phi = jnp.arctan2(y, x)
     tt = (phi % (2.0 * jnp.pi)) * (2.0 / jnp.pi)
 
     temp1 = nside * (0.5 + tt)
