@@ -78,6 +78,76 @@ def test_sharded_step_matches_single_device():
     assert close.mean() > 0.9
 
 
+def _run_destripe(mesh_dist=None, nside=16):
+    """Full production pipeline: sim -> noise -> pointing -> destriped map."""
+    from toast_tpu import ops
+    from toast_tpu.templates import Offset
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    from helpers import create_satellite_data
+
+    # samples per obs = 1 + int(rate * duration): 1199.95 s @ 10 Hz -> 12000,
+    # divisible by the samp mesh axis
+    data = create_satellite_data(n_pix=4, obs_time=Quantity(1199.95, u.second))
+    fp = data.obs[0].telescope.focalplane
+    fp.detector_data["psd_fknee"][:] = 0.5
+    ops.DefaultNoiseModel().apply(data)
+    if mesh_dist is not None:
+        for ob in data.obs:
+            ob.redistribute(mesh_dist)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    ops.SimNoise().apply(data)
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+    tmpl = Offset(step_time=Quantity(10.0, u.second))
+    mapper = ops.MapMaker(
+        name="ds",
+        binning=binner,
+        template_matrix=ops.TemplateMatrix(templates=[tmpl]),
+        iter_max=10,
+        convergence="1e-10",
+    )
+    mapper.apply(data)
+    return (
+        data["ds_map"].numpy(),
+        data["ds_hits"].numpy(),
+        np.asarray(data.obs[0].detdata["signal"].data),
+        data.obs[0].detdata["signal"].data.sharding,
+    )
+
+
+def test_mapmaker_sharded_matches_single():
+    """The real MapMaker gives the same products det x samp sharded as on a
+    single device (reference runs the same tests at N MPI ranks,
+    ref tests/mpi.py:15-60)."""
+    m_single, h_single, sig_single, _ = _run_destripe(mesh_dist=None)
+
+    mesh = create_mesh(det=4, samp=2)
+    m_shard, h_shard, sig_shard, sharding = _run_destripe(mesh_dist=MeshDist(mesh))
+
+    # the sharded run must actually have been sharded
+    assert tuple(sharding.spec)[:2] == ("det", "samp")
+    # identical RNG streams -> identical TOD
+    np.testing.assert_allclose(sig_single, sig_shard, rtol=1e-5, atol=1e-6)
+    # hit maps are integer-exact
+    np.testing.assert_array_equal(h_single, h_shard)
+    # maps agree in the bulk (reduction order differs across layouts, same
+    # property as the reference across MPI process grids)
+    good = (h_single[:, 0] > 3) & np.isfinite(m_single[:, 0])
+    rel = np.abs(m_single[good] - m_shard[good]) / (
+        np.abs(m_single[good]) + 1e-3
+    )
+    assert np.median(rel) < 1e-4
+    assert np.quantile(rel, 0.9) < 1e-2
+
+
 def test_mesh_dist_placement():
     mesh = create_mesh(det=4, samp=2)
     md = MeshDist(mesh)

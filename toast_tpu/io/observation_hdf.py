@@ -47,7 +47,10 @@ def save_hdf5(
     fname = os.path.join(dir, f"{ob.name}_{ob.uid}.h5")
     comp = dict(compression="gzip", compression_opts=4) if compress else {}
     with h5py.File(fname, "w") as f:
-        f.attrs["toast_format_version"] = 1
+        # own format marker — deliberately NOT "toast_format_version": the
+        # layout is not the reference's v1/v2 format and reference loaders
+        # must not be misled into trying (advisor finding r1)
+        f.attrs["toast_tpu_format_version"] = 1
         f.attrs["software"] = "toast_tpu"
         f.attrs["observation_name"] = ob.name or ""
         f.attrs["observation_uid"] = int(ob.uid or 0)
@@ -165,6 +168,30 @@ def load_hdf5(
     if comm is None:
         comm = Comm()
     with h5py.File(path, "r") as f:
+        version = f.attrs.get("toast_tpu_format_version")
+        if version is None:
+            ref_version = f.attrs.get("toast_format_version")
+            if ref_version is not None:
+                from .observation_hdf_ref import load_hdf5_reference
+
+                return load_hdf5_reference(
+                    f,
+                    comm=comm,
+                    meta=meta,
+                    detdata=detdata,
+                    shared=shared,
+                    intervals=intervals,
+                )
+            raise RuntimeError(
+                f"{path} has neither 'toast_tpu_format_version' nor a "
+                "reference 'toast_format_version' attribute — not a "
+                "recognized observation file"
+            )
+        if int(version) != 1:
+            raise RuntimeError(
+                f"{path}: toast_tpu format version {version} not supported "
+                "(this reader handles version 1)"
+            )
         inst = f["instrument"]
         fp = Focalplane.load_hdf5(inst)
         if inst.attrs.get("site_class", "SpaceSite") == "GroundSite":

@@ -67,10 +67,22 @@ class Observation(MutableMapping):
         self._all_detectors = list(telescope.focalplane.detectors)
         self._det_flags = {d: 0 for d in self._all_detectors}
 
-        self.detdata = DetDataManager(self._all_detectors, self._n_samples)
+        self.detdata = DetDataManager(
+            self._all_detectors, self._n_samples, placer=self._place_detdata
+        )
         self.shared = SharedDataManager(self._n_samples)
         self.intervals = IntervalsManager(self._times_or_index, self._n_samples)
         self._internal = {}
+
+    def _place_detdata(self, array):
+        """Shard-place a detdata array onto this observation's live mesh.
+
+        Called on every full-array rebind by :class:`DetectorData`, so data
+        written by any operator keeps the det x samp layout declared via
+        ``redistribute`` (the functional analog of the reference keeping
+        buffers inside the fixed MPI process grid, ``observation.py:142``).
+        """
+        return self.mesh_dist.place_detdata(array)
 
     def _times_or_index(self):
         if defaults.times in self.shared:
@@ -218,12 +230,8 @@ class Observation(MutableMapping):
         self.mesh_dist = mesh_dist
         for k in self.detdata:
             dd = self.detdata[k]
-            n_det, n_samp = dd.data.shape[:2]
-            if (
-                n_det % mesh_dist.n_det_shards == 0
-                and n_samp % mesh_dist.n_samp_shards == 0
-            ):
-                dd.data = mesh_dist.put_detdata(dd.data)
+            # rebinding through the setter runs the placer on the new mesh
+            dd.data = dd.data
 
     def __repr__(self):
         return (

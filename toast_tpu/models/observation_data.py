@@ -33,7 +33,14 @@ from .intervals import IntervalList
 class DetectorData:
     """Dense per-detector timestream data with units."""
 
-    def __init__(self, detectors, shape, dtype=np.float32, units=u.dimensionless):
+    def __init__(
+        self,
+        detectors,
+        shape,
+        dtype=np.float32,
+        units=u.dimensionless,
+        placer=None,
+    ):
         self.detectors = list(detectors)
         self._indices = {d: i for i, d in enumerate(self.detectors)}
         if np.isscalar(shape):
@@ -42,8 +49,17 @@ class DetectorData:
         self._n_samp = int(shape[0])
         self.units = units
         self.dtype = np.dtype(dtype)
+        # Optional sharding placer (Observation wires the live MeshDist in):
+        # every full-array rebind is placed onto the observation's device
+        # mesh, so detdata written by any operator stays det x samp sharded.
+        self._placer = placer
         full = (len(self.detectors), self._n_samp) + self._sample_shape
-        self._data = jnp.zeros(full, dtype=self.dtype)
+        self._data = self._place(jnp.zeros(full, dtype=self.dtype))
+
+    def _place(self, value):
+        if self._placer is None:
+            return value
+        return self._placer(value)
 
     @property
     def data(self):
@@ -56,7 +72,7 @@ class DetectorData:
             raise ValueError(
                 f"shape {value.shape} does not match {self._data.shape}"
             )
-        self._data = value
+        self._data = self._place(value)
 
     @property
     def shape(self):
@@ -99,7 +115,7 @@ class DetectorData:
         self.detectors = list(detectors)
         self._indices = {d: i for i, d in enumerate(self.detectors)}
         full = (len(self.detectors), self._n_samp) + self._sample_shape
-        self._data = jnp.zeros(full, dtype=self.dtype)
+        self._data = self._place(jnp.zeros(full, dtype=self.dtype))
 
     def memory_use(self):
         return int(np.prod(self._data.shape)) * self.dtype.itemsize
@@ -114,9 +130,10 @@ class DetectorData:
 class DetDataManager(MutableMapping):
     """Dict of named DetectorData, with create/ensure helpers."""
 
-    def __init__(self, detectors, n_samples):
+    def __init__(self, detectors, n_samples, placer=None):
         self._detectors = list(detectors)
         self._n_samples = int(n_samples)
+        self._placer = placer
         self._fields: dict[str, DetectorData] = {}
 
     def create(
@@ -131,7 +148,11 @@ class DetDataManager(MutableMapping):
             sample_shape = (sample_shape,)
         dets = self._detectors if detectors is None else list(detectors)
         self._fields[name] = DetectorData(
-            dets, (self._n_samples,) + tuple(sample_shape), dtype=dtype, units=units
+            dets,
+            (self._n_samples,) + tuple(sample_shape),
+            dtype=dtype,
+            units=units,
+            placer=self._placer,
         )
         return self._fields[name]
 
@@ -183,6 +204,7 @@ class DetDataManager(MutableMapping):
                     self._detectors,
                     (self._n_samples,) + tuple(arr.shape[2:]),
                     dtype=arr.dtype,
+                    placer=self._placer,
                 )
                 dd.data = arr
                 self._fields[name] = dd

@@ -103,6 +103,9 @@ extern "C" {
 long long ttc_compress(const float *data, long long n, float quanta,
                        uint8_t *out, long long out_cap) {
     if (n <= 0 || quanta <= 0) return -1;
+    // the header stores the sample count as uint32; larger inputs would
+    // silently truncate and decompress to the wrong length
+    if (n > static_cast<long long>(UINT32_MAX)) return -1;
     // quantize
     std::vector<int32_t> q(n);
     for (long long i = 0; i < n; ++i) {

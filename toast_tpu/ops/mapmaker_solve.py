@@ -222,7 +222,10 @@ def solve(
         if delta_new < best:
             best = delta_new
         if it > 0 and it % 10 == 0:
-            if last_best < best * 2.0 and last_best <= best:
+            # reference 2x stall rule (ref: ops/mapmaker_solve.py:721): if
+            # the best residual improved by less than 2x over 10 iterations,
+            # the solve has stalled
+            if last_best < best * 2.0:
                 log.info("PCG stalled, exiting")
                 break
             last_best = best

@@ -85,6 +85,37 @@ class MeshDist:
     def replicated_sharding(self):
         return NamedSharding(self.mesh, P())
 
+    def auto_detdata_sharding(self, shape):
+        """Best-effort sharding for a ``(n_det, n_samp, ...)`` shape.
+
+        Each mesh axis is used only when the corresponding dimension is
+        divisible by its shard count (XLA requires equal shards); otherwise
+        that dimension stays unsharded.  This is the TPU analog of the
+        reference's uneven process-grid chunks (``dist.py:205``): instead of
+        ragged per-process chunks we drop to a coarser layout.
+        """
+        det = DET_AXIS if shape[0] % self.n_det_shards == 0 else None
+        samp = None
+        if len(shape) > 1 and shape[1] % self.n_samp_shards == 0:
+            samp = SAMP_AXIS
+        spec = P(det, samp, *([None] * max(0, len(shape) - 2)))
+        return NamedSharding(self.mesh, spec)
+
+    def place_detdata(self, array):
+        """Shard-place a detdata array with the best layout it admits.
+
+        No-op on a single-device mesh, and no-copy when the array already
+        carries the target sharding.
+        """
+        if self.n_devices == 1:
+            return array
+        sharding = self.auto_detdata_sharding(array.shape)
+        if all(ax is None for ax in sharding.spec):
+            # nothing divides: leave placement alone rather than paying an
+            # n_devices-fold replication for no parallelism
+            return array
+        return jax.device_put(array, sharding)
+
     # -- padding -----------------------------------------------------------
     def pad_dets(self, n_det):
         """Padded detector count divisible by the det mesh axis."""

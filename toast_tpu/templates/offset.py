@@ -13,9 +13,13 @@ TPU design: ``add_to_signal`` is a gather ``amps[det, samp // step]`` and
 ``project_signal`` is a reshape-and-sum over fixed-length segments — both
 one jitted expression over the whole detector block, no per-detector or
 per-baseline loops.  Sample flagging enters as a 0/1 mask.  The
-preconditioner is diagonal: 1 / (detector_weight * n_good) per baseline
-(reference ``offset.py:268-344``); the optional Fourier noise prior is not
-yet implemented (reference ``offset.py:884-910``).
+default preconditioner is diagonal: 1 / (detector_weight * n_good) per
+baseline (reference ``offset.py:268-344``).  With ``use_noise_prior`` a
+circulant noise prior is applied: the baseline-offset PSD is interpolated
+from the detector noise model, turned into a real-space correlation filter
+(``_build_prior``), convolved with the amplitudes in ``_add_prior``, and
+the matching circulant inverse is used as the preconditioner in
+``_apply_precond`` (reference ``offset.py:592-618,884-910``).
 """
 
 from __future__ import annotations
