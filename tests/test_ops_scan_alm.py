@@ -1,0 +1,102 @@
+"""ScanAlm operator tests: TOD from a_lm against direct Y_lm evaluation at
+each sample's pointing (scipy oracle) and an analytic polarized quadrupole."""
+
+import numpy as np
+from scipy.special import sph_harm_y
+
+import jax.numpy as jnp
+
+from toast_tpu import ops
+from toast_tpu.math import qarray as qa
+from toast_tpu.utils import units as u
+from toast_tpu.utils.units import Quantity
+
+from helpers import create_satellite_data
+
+
+def _pointing_angles(ob):
+    quats = np.asarray(ob.detdata["quats"].data, dtype=np.float64)
+    vd = qa.rotate(quats, np.broadcast_to([0.0, 0.0, 1.0], quats.shape[:-1] + (3,)))
+    theta = np.arccos(np.clip(vd[..., 2], -1, 1))
+    phi = np.arctan2(vd[..., 1], vd[..., 0])
+    return theta, phi
+
+
+def test_scan_alm_temperature_matches_direct():
+    data = create_satellite_data(n_pix=2, obs_time=Quantity(2.0, u.minute))
+    ops.PointingDetectorSimple().apply(data)
+
+    lmax = 8
+    rng = np.random.default_rng(17)
+    alm = (
+        rng.normal(size=(lmax + 1, lmax + 1))
+        + 1j * rng.normal(size=(lmax + 1, lmax + 1))
+    )
+    m = np.arange(lmax + 1)
+    alm[m[None, :] > m[:, None]] = 0.0
+    alm[:, 0] = alm[:, 0].real
+    data["sky_alm"] = {"T": alm}
+
+    ops.ScanAlm(alm="sky_alm", det_data="signal", pol=False, oversample=16).apply(data)
+
+    ob = data.obs[0]
+    got = ob.detdata["signal"].numpy()
+    theta, phi = _pointing_angles(ob)
+    want = np.zeros_like(theta)
+    for l in range(lmax + 1):
+        for mm in range(l + 1):
+            y = sph_harm_y(l, mm, theta, phi)
+            contrib = alm[l, mm] * y
+            want += contrib.real if mm == 0 else 2.0 * contrib.real
+    scale = np.std(want)
+    assert np.max(np.abs(got - want)) < 2e-3 * scale
+
+
+def test_scan_alm_polarized_quadrupole():
+    """Pure E (2,0): Q(theta) = -(1/8) sqrt(30/pi) sin^2(theta), U = 0;
+    detector sees I + wQ Q + wU U."""
+    data = create_satellite_data(
+        n_pix=2, obs_time=Quantity(2.0, u.minute), hwp_rpm=6.0
+    )
+    det_pointing = ops.PointingDetectorSimple()
+    weights = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
+    ops.Pipeline(operators=[det_pointing, weights]).apply(data)
+
+    lmax = 4
+    aE = np.zeros((lmax + 1, lmax + 1), dtype=np.complex128)
+    aT = np.zeros_like(aE)
+    data["sky_alm"] = {"T": aT, "E": aE.copy()}
+    data["sky_alm"]["E"][2, 0] = 1.0
+
+    ops.ScanAlm(alm="sky_alm", det_data="signal", pol=True, oversample=16).apply(data)
+
+    ob = data.obs[0]
+    got = ob.detdata["signal"].numpy()
+    theta, _ = _pointing_angles(ob)
+    wts = np.asarray(ob.detdata["weights"].data, dtype=np.float64)
+    Q = -(1.0 / 8.0) * np.sqrt(30.0 / np.pi) * np.sin(theta) ** 2
+    want = wts[..., 1] * Q  # U = 0, T = 0
+    assert np.max(np.abs(got - want)) < 2e-3 * np.std(Q)
+
+
+def test_scan_alm_beam_smoothing_reduces_power():
+    """A 5-degree beam must suppress l=8 structure strongly."""
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(1.0, u.minute))
+    ops.PointingDetectorSimple().apply(data)
+    lmax = 8
+    alm = np.zeros((lmax + 1, lmax + 1), dtype=np.complex128)
+    alm[8, 3] = 3.0 + 1.0j
+    data["sky_alm"] = {"T": alm}
+    ops.ScanAlm(alm="sky_alm", det_data="raw").apply(data)
+    ops.ScanAlm(alm="sky_alm", det_data="smooth", fwhm=Quantity(20.0, u.deg)).apply(data)
+    ob = data.obs[0]
+    raw = ob.detdata["raw"].numpy()
+    smooth = ob.detdata["smooth"].numpy()
+    from toast_tpu.math.sht import gaussian_beam
+
+    bl = gaussian_beam(lmax, np.radians(20.0))[8]
+    np.testing.assert_allclose(
+        np.std(smooth), bl * np.std(raw), rtol=0.05
+    )

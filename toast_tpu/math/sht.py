@@ -266,31 +266,51 @@ def synthesize_grid_pol(alm_E, alm_B, lmax, n_theta, n_phi):
     return Q, U
 
 
+def _catmull_rom_w(t):
+    """Catmull-Rom cubic weights for fractional offset t in [0, 1)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return w0, w1, w2, w3
+
+
 def grid_interpolate(grid, theta, phi):
-    """Bilinear interpolation of an equiangular-grid map at (theta, phi).
+    """Bicubic (Catmull-Rom) interpolation of an equiangular-grid map.
 
     grid: (n_theta, n_phi) from synthesize_grid_*; theta rows at
-    pi (i+0.5)/n_theta, phi columns at 2 pi k / n_phi (periodic).
+    pi (i+0.5)/n_theta, phi columns at 2 pi k / n_phi (periodic in phi,
+    clamped in theta).  Interpolation error is O((lmax/n_theta)^4) per
+    mode — negligible at 2x+ oversampling of the band limit.
     """
     n_theta, n_phi = grid.shape[-2], grid.shape[-1]
     ti = theta * (n_theta / jnp.pi) - 0.5
-    i0 = jnp.clip(jnp.floor(ti), 0, n_theta - 1).astype(jnp.int32)
-    i1 = jnp.clip(i0 + 1, 0, n_theta - 1)
-    wt = jnp.clip(ti - i0, 0.0, 1.0)
+    i1 = jnp.floor(ti).astype(jnp.int32)
+    wt = jnp.clip(ti - i1, 0.0, 1.0)
+    tw = _catmull_rom_w(wt)
+
     pk = (phi % (2.0 * jnp.pi)) * (n_phi / (2.0 * jnp.pi))
-    k0 = jnp.floor(pk).astype(jnp.int32) % n_phi
-    k1 = (k0 + 1) % n_phi
-    wp = pk - jnp.floor(pk)
-    g00 = grid[..., i0, k0]
-    g01 = grid[..., i0, k1]
-    g10 = grid[..., i1, k0]
-    g11 = grid[..., i1, k1]
-    return (
-        g00 * (1 - wt) * (1 - wp)
-        + g01 * (1 - wt) * wp
-        + g10 * wt * (1 - wp)
-        + g11 * wt * wp
-    )
+    k1 = jnp.floor(pk).astype(jnp.int32)
+    wp = pk - k1
+    pw = _catmull_rom_w(wp)
+
+    out = 0.0
+    for dr, a in zip((-1, 0, 1, 2), tw):
+        r = i1 + dr
+        # pole reflection: theta -> -theta corresponds to phi -> phi + pi
+        # (exact on an equiangular grid with even n_phi)
+        over = r >= n_theta
+        under = r < 0
+        r_ref = jnp.where(under, -1 - r, jnp.where(over, 2 * n_theta - 1 - r, r))
+        shift = jnp.where(under | over, n_phi // 2, 0)
+        row_val = 0.0
+        for dc, b in zip((-1, 0, 1, 2), pw):
+            c = (k1 + dc + shift) % n_phi
+            row_val = row_val + grid[..., r_ref, c] * b
+        out = out + row_val * a
+    return out
 
 
 def synthesize_healpix(alm_T, lmax, nside, alm_E=None, alm_B=None, oversample=2):
@@ -302,13 +322,13 @@ def synthesize_healpix(alm_T, lmax, nside, alm_E=None, alm_B=None, oversample=2)
 
     Returns (n_pix,) for T-only or (n_pix, 3) IQU.
     """
-    from .healpix import pix2ang_ring
+    from .healpix import ring2ang
 
     n_theta = max(oversample * (lmax + 1), 16)
     n_phi = 2 * n_theta
     n_pix = 12 * nside * nside
     pix = np.arange(n_pix, dtype=np.int64)
-    theta, phi = pix2ang_ring(nside, pix)
+    theta, phi = ring2ang(nside, pix)
     theta = jnp.asarray(theta, jnp.float32)
     phi = jnp.asarray(phi, jnp.float32)
 

@@ -24,11 +24,11 @@ from .external import (
     Madam,
     RunSpt3g,
     SaveSpt3g,
-    ScanAlm,
     SimConviqt,
     SimTotalconvolve,
     madam_params_from_mapmaker,
 )
+from .scan_alm import ScanAlm
 from .filterbin import FilterBin, ObsMat
 from .flag_ops import (
     AzimuthIntervals,

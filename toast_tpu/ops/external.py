@@ -4,7 +4,7 @@ Rebuilds of the reference's optional external-library operators:
 ``ops/madam.py`` (``Madam`` — libmadam destriper), ``ops/conviqt.py``
 (``SimConviqt`` — 4 pi beam convolution via libconviqt),
 ``ops/totalconvolve.py`` (``SimTotalconvolve`` — ducc0.totalconvolve),
-``ops/scan_alm.py`` (``ScanAlm`` — spherical-harmonic sky scanning), and the
+and the
 SPT3G interop operators (``ops/save_spt3g.py``, ``load_spt3g.py``).
 
 None of these third-party packages exist in this environment; each class
@@ -147,16 +147,6 @@ class SimTotalconvolve(_UnavailableExternal):
     sky_file = Unicode(None, allow_none=True)
     beam_file = Unicode(None, allow_none=True)
     det_data = Unicode(defaults.det_data)
-
-
-class ScanAlm(_UnavailableExternal):
-    """Scan from a_lm coefficients with per-detector beams
-    (reference ``ops/scan_alm.py``); requires a spherical-harmonic
-    transform library (ducc0/healpy)."""
-
-    _module = "ducc0"
-    det_data = Unicode(defaults.det_data)
-    file = Unicode(None, allow_none=True)
 
 
 class SaveSpt3g(_UnavailableExternal):
