@@ -8,22 +8,43 @@ generation, pointing expansion, and a destriping (template-solve) map-maker
 
 Metric: the reference's science metric, ``total_samples / (n_nodes x
 runtime)`` in samples per node-second
-(``src/toast/scripts/benchmarking_utilities.py:828-846``).  The reference
-publishes no absolute numbers; ``vs_baseline`` is computed against 1.0e6
-samples/node-second, a representative throughput for the MPI reference on
-a multi-core CPU node (BASELINE.md: the north-star is beating 64 CPU cores).
+(``ref:src/toast/scripts/benchmarking_utilities.py:828-846``).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is computed against a MEASURED number: a C++ -O3
+reimplementation of the reference's hot kernels timed on this host
+(toast_tpu/native/ref_baseline.cpp + numpy pocketfft for the noise FFT),
+scaled to the BASELINE.json north-star node of 64 CPU cores with perfect
+efficiency — see BASELINE_MEASURED.json / scripts/measure_baseline.py.
+That is a kernel-time-only upper bound on real reference throughput, so
+vs_baseline >= 1 means definitively beating MPI TOAST on a 64-core node.
+
+The run also validates outputs against the reference's bundled benchmark
+statistics (``ref:src/toast/_aux/benchmarks/stats.json``) by reproducing
+the tiny satellite case (scripts/benchmark_reference.py): exact hit-count
+match plus map-RMS agreement to cosmic-variance-limited tolerance.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BASELINE_SAMPLES_PER_NODE_SECOND = 1.0e6
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _load_measured_baseline():
+    path = os.path.join(_REPO, "BASELINE_MEASURED.json")
+    if not os.path.exists(path):
+        from toast_tpu.scripts.measure_baseline import measure
+
+        return measure(out_path=path)
+    with open(path) as f:
+        return json.load(f)
 
 
 def main():
@@ -33,16 +54,12 @@ def main():
     parser.add_argument("--n_samp", type=int, default=None)
     parser.add_argument("--nside", type=int, default=None)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument(
+        "--no-validate",
+        action="store_true",
+        help="skip the reference-stats validation case",
+    )
     args = parser.parse_args()
-
-    if args.tiny:
-        n_det = args.n_det or 14
-        n_samp = args.n_samp or 16384
-        nside = args.nside or 64
-    else:
-        n_det = args.n_det or 64
-        n_samp = args.n_samp or 262144
-        nside = args.nside or 512
 
     import jax
     import jax.numpy as jnp
@@ -50,6 +67,22 @@ def main():
     # persistent compilation cache: compile once per machine, not per run
     jax.config.update("jax_compilation_cache_dir", "/tmp/toast_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if args.tiny:
+        n_det = args.n_det or 14
+        n_samp = args.n_samp or 16384
+        nside = args.nside or 64
+    elif not on_tpu:
+        n_det = args.n_det or 64
+        n_samp = args.n_samp or 262144
+        nside = args.nside or 512
+    else:
+        # Size the case to actually exercise the chip: 128 det x 2M samples
+        # = 268M samples (~10 GB of detdata in HBM at nside 512).
+        n_det = args.n_det or 128
+        n_samp = args.n_samp or 2**21
+        nside = args.nside or 512
 
     from toast_tpu import ops
     from toast_tpu.models import (
@@ -133,6 +166,10 @@ def main():
         ops.DefaultNoiseModel().apply(data)
         ops.SimNoise().apply(data)
         ops.Pipeline(operators=[pixels, weights]).apply(data)
+        # detector quats are no longer needed once pixels/weights exist;
+        # free the largest HBM block before the solver
+        if "quats" in ob.detdata:
+            del ob.detdata["quats"]
         # force completion: block_until_ready can return early through the
         # remote TPU tunnel, a scalar fetch cannot
         float(jnp.sum(ob.detdata["weights"].data[0, :8]))
@@ -173,12 +210,32 @@ def main():
 
     total_samples = n_det * n_samp
     value = total_samples / runtime
+
+    baseline = _load_measured_baseline()
+    base_rate = baseline["baseline_samples_per_node_second"]
+
     result = {
         "metric": "satellite_destriping_samples_per_node_second",
         "value": round(value, 1),
         "unit": "samples/node-second",
-        "vs_baseline": round(value / BASELINE_SAMPLES_PER_NODE_SECOND, 3),
+        "vs_baseline": round(value / base_rate, 3),
+        "baseline_measured": base_rate,
     }
+
+    # reference-stats output validation (tiny satellite case)
+    if not args.no_validate:
+        from toast_tpu.scripts.benchmark_reference import validate_satellite_case
+
+        try:
+            ok, stats = validate_satellite_case(
+                case="tiny", log=lambda m: print(m, file=sys.stderr)
+            )
+            result["stats_check"] = "pass" if ok else "fail"
+            result["stats_rms_I"] = round(stats["rms_I"], 5)
+            result["stats_hits"] = stats["totalhits"]
+        except Exception as e:  # validation failure should not hide the metric
+            result["stats_check"] = f"error: {e}"
+
     print(json.dumps(result))
     print(
         f"# n_det={n_det} n_samp={n_samp} nside={nside} iters={args.iters} "

@@ -148,6 +148,125 @@ def test_mapmaker_sharded_matches_single():
     assert np.quantile(rel, 0.9) < 1e-2
 
 
+def _run_destripe_sharded_maps(nside=32, iters=40):
+    """Destripe with the map pixel axis sharded over the mesh (the
+    reduce-scatter path of kernels/mapkernels.py sharded_scatter_accum)."""
+    from toast_tpu import ops
+    from toast_tpu.templates import Offset
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    from helpers import create_satellite_data
+
+    # HWP keeps every pixel well-conditioned, so the rcond cut is far from
+    # its threshold and cross-layout comparisons are not dominated by
+    # borderline flips
+    data = create_satellite_data(
+        n_pix=4, obs_time=Quantity(1199.95, u.second), hwp_rpm=6.0
+    )
+    ops.DefaultNoiseModel().apply(data)
+    mesh = create_mesh(det=4, samp=2)
+    for ob in data.obs:
+        ob.redistribute(MeshDist(mesh))
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    ops.SimNoise().apply(data)
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist",
+        pixel_pointing=pixels,
+        stokes_weights=weights,
+        sharded=True,
+    )
+    mapper = ops.MapMaker(
+        name="shm",
+        binning=binner,
+        template_matrix=ops.TemplateMatrix(
+            templates=[Offset(step_time=Quantity(10.0, u.second))]
+        ),
+        iter_max=iters,
+        convergence="1e-10",
+    )
+    mapper.apply(data)
+    return data
+
+
+def test_sharded_map_domain_matches_replicated():
+    """BinMap/MapMaker with sharded=True: products carry the pixel-axis
+    sharding, match the replicated path, and the reduce-scatter binning is
+    bitwise stable across executions (BASELINE.json requirement)."""
+    from toast_tpu import ops
+    from toast_tpu.templates import Offset
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    from helpers import create_satellite_data
+
+    nside = 32
+    data = _run_destripe_sharded_maps(nside=nside)
+    m_shard = data["shm_map"]
+    # the stored map really is pixel-sharded over the full mesh
+    spec = tuple(m_shard.data.sharding.spec)
+    assert spec and spec[0] == ("det", "samp"), spec
+    hits_shard = data["shm_hits"].numpy()
+
+    # replicated reference run (same data shapes, fresh pipeline)
+    data2 = create_satellite_data(
+        n_pix=4, obs_time=Quantity(1199.95, u.second), hwp_rpm=6.0
+    )
+    ops.DefaultNoiseModel().apply(data2)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
+    ops.Pipeline(operators=[pixels, weights]).apply(data2)
+    ops.SimNoise().apply(data2)
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+    mapper = ops.MapMaker(
+        name="rep",
+        binning=binner,
+        template_matrix=ops.TemplateMatrix(
+            templates=[Offset(step_time=Quantity(10.0, u.second))]
+        ),
+        iter_max=40,
+        convergence="1e-10",
+        # generic-vs-generic comparison (the sharded path cannot fuse)
+        use_fused=False,
+    )
+    mapper.apply(data2)
+
+    np.testing.assert_array_equal(hits_shard, data2["rep_hits"].numpy())
+    a = m_shard.numpy()
+    b = data2["rep_map"].numpy()
+    good = np.abs(b[:, 0]) > 0
+    rel = np.abs(a[good] - b[good]) / (np.abs(b[good]) + 1e-3)
+    # residual differences come from a handful of borderline rcond flips
+    # between summation orders (same property across reference MPI layouts)
+    assert np.median(rel) < 5e-4
+    assert np.quantile(rel, 0.9) < 5e-3
+
+
+def test_sharded_binning_bitwise_stable():
+    """The reduce-scatter accumulation gives bitwise-identical maps on
+    repeated execution (fixed ring reduction order)."""
+    d1 = _run_destripe_sharded_maps(nside=16, iters=3)
+    d2 = _run_destripe_sharded_maps(nside=16, iters=3)
+    np.testing.assert_array_equal(d1["shm_map"].numpy(), d2["shm_map"].numpy())
+    np.testing.assert_array_equal(
+        d1["shm_hits"].numpy(), d2["shm_hits"].numpy()
+    )
+
+
 def test_mesh_dist_placement():
     mesh = create_mesh(det=4, samp=2)
     md = MeshDist(mesh)

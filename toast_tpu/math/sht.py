@@ -182,7 +182,7 @@ def ring_coeffs(alm, theta, lmax, spin=0):
     (_, _, _, acc_r, acc_i), _ = lax.scan(
         step, init, jnp.arange(lmax + 1, dtype=jnp.int32)
     )
-    return (acc_r + 1j * acc_i).astype(jnp.complex64)
+    return jax.lax.complex(acc_r, acc_i)
 
 
 def _recurrence_step_dyn(lf, x, m, s_val):
@@ -210,24 +210,46 @@ def _recurrence_step_dyn(lf, x, m, s_val):
     return a * x + b, c
 
 
-def _ring_ifft(coeffs, n_phi, phi0):
+def _ring_ifft(cr, ci, n_phi, phi0):
     """Real ring synthesis S_k = Re sum_m C_m e^{i m (phi0 + 2 pi k/n)}.
 
-    coeffs: complex (..., n_m) with each m counted ONCE (pack any +/-m
-    doubling into C_m before calling).  Returns real (..., n_phi).
+    cr/ci: real/imag parts of complex coefficients (..., n_m) with each m
+    counted ONCE (pack any +/-m doubling into C_m before calling).
+    Returns real (..., n_phi).  Everything is computed on real planes and
+    assembled with lax.complex only for the final irfft: the axon TPU
+    backend lacks several complex kernels (complex scatter in particular).
     """
-    n_m = coeffs.shape[-1]
+    n_m = cr.shape[-1]
     m = jnp.arange(n_m, dtype=jnp.float32)
-    ph = coeffs * jnp.exp(1j * m * phi0[..., None]).astype(jnp.complex64)
     n_half = n_phi // 2 + 1
     if n_m > n_half:
         raise NotImplementedError(
             "ring synthesis requires n_phi >= 2*lmax+2; oversample the grid"
         )
-    X = jnp.zeros(ph.shape[:-1] + (n_half,), dtype=jnp.complex64)
-    X = X.at[..., :n_m].set(ph * (0.5 * n_phi))
-    X = X.at[..., 0].set(jnp.real(ph[..., 0]) * n_phi)
+    ang = m * phi0[..., None]
+    cos_a = jnp.cos(ang)
+    sin_a = jnp.sin(ang)
+    ph_r = cr * cos_a - ci * sin_a
+    ph_i = cr * sin_a + ci * cos_a
+    scale = jnp.full((n_m,), 0.5 * n_phi, dtype=jnp.float32).at[0].set(n_phi)
+    ph_r = ph_r * scale
+    ph_i = (ph_i * scale).at[..., 0].set(0.0)
+    zpad = [(0, 0)] * (ph_r.ndim - 1) + [(0, n_half - n_m)]
+    X = jax.lax.complex(jnp.pad(ph_r, zpad), jnp.pad(ph_i, zpad))
+    # TPU batched-irfft quirk: non-multiple-of-8 batch shapes can emit NaN
+    # rows (same hazard as ops/kernels/simnoise.py) — pad the ring batch
+    pad = (-X.shape[0]) % 8
+    if pad and X.ndim == 2:
+        Xp = jnp.pad(X, ((0, pad), (0, 0)))
+        return jnp.fft.irfft(Xp, n=n_phi, axis=-1)[: X.shape[0]]
     return jnp.fft.irfft(X, n=n_phi, axis=-1)
+
+
+def _mask_m0(arr, value_at_0):
+    """Replace column m=0 (real-plane helper; avoids complex scatter)."""
+    n_m = arr.shape[-1]
+    keep = (jnp.arange(n_m) > 0).astype(arr.dtype)
+    return arr * keep + value_at_0[..., None] * (1.0 - keep)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -239,9 +261,10 @@ def synthesize_grid_T(alm_T, lmax, n_theta, n_phi):
     """
     theta = jnp.pi * (jnp.arange(n_theta, dtype=jnp.float32) + 0.5) / n_theta
     G = ring_coeffs(alm_T, theta, lmax, spin=0)
-    C = G.at[:, 1:].multiply(2.0)
+    Gr, Gi = jnp.real(G), jnp.imag(G)
+    scale = jnp.where(jnp.arange(lmax + 1) > 0, 2.0, 1.0).astype(jnp.float32)
     phi0 = jnp.zeros((n_theta,), jnp.float32)
-    return _ring_ifft(C, n_phi, phi0)
+    return _ring_ifft(Gr * scale, Gi * scale, n_phi, phi0)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -255,14 +278,24 @@ def synthesize_grid_pol(alm_E, alm_B, lmax, n_theta, n_phi):
     d_minus = -(alm_E - 1j * alm_B).astype(jnp.complex64)
     Fp = ring_coeffs(c_plus, theta, lmax, spin=2)
     Fm = ring_coeffs(d_minus, theta, lmax, spin=-2)
+    Fpr, Fpi = jnp.real(Fp), jnp.imag(Fp)
+    Fmr, Fmi = jnp.real(Fm), jnp.imag(Fm)
     phi0 = jnp.zeros((n_theta,), jnp.float32)
     # Q = Re F+_0 + sum_{m>0} Re[(F+ + F-)_m e^{im phi}]
-    Cq = (Fp + Fm).at[:, 0].set(Fp[:, 0])
-    Q = _ring_ifft(Cq, n_phi, phi0)
+    Q = _ring_ifft(
+        _mask_m0(Fpr + Fmr, Fpr[:, 0]),
+        _mask_m0(Fpi + Fmi, Fpi[:, 0]),
+        n_phi,
+        phi0,
+    )
     # U = Im F+_0 + sum_{m>0} Im[(F+ - F-)_m e^{im phi}]
-    #   = Re[-i F+_0] + sum Re[-i (F+ - F-) e^{im phi}]
-    Cu = (-1j * (Fp - Fm)).at[:, 0].set(-1j * Fp[:, 0])
-    U = _ring_ifft(Cu, n_phi, phi0)
+    #   = Re[-i F+_0 ...]: -i (a + ib) = b - ia
+    U = _ring_ifft(
+        _mask_m0(Fpi - Fmi, Fpi[:, 0]),
+        _mask_m0(-(Fpr - Fmr), -Fpr[:, 0]),
+        n_phi,
+        phi0,
+    )
     return Q, U
 
 
@@ -277,6 +310,7 @@ def _catmull_rom_w(t):
     return w0, w1, w2, w3
 
 
+@jax.jit
 def grid_interpolate(grid, theta, phi):
     """Bicubic (Catmull-Rom) interpolation of an equiangular-grid map.
 

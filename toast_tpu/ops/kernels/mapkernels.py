@@ -130,6 +130,145 @@ def build_bin_plan(pixels_flat, n_pix):
 _SEG_BLOCK = 512
 
 
+# ---------------------------------------------------------------------------
+# Sharded map domain: explicit reduce-scatter accumulation.
+#
+# For maps too large to replicate per device (nside >= 4096), the pixel
+# axis of the map is sharded over the flattened mesh
+# (MeshDist.pixel_sharding).  Each device scatter-adds its LOCAL block of
+# (det, samp)-sharded TOD into a full-size partial map, then a single
+# psum_scatter reduces partials across devices while scattering the pixel
+# axis — the exact XLA-collective analog of the reference's submap-owner
+# Alltoallv reduction (ref:src/toast/pixels.py:878-970), riding ICI with a
+# fixed (ring-order) reduction -> deterministic, bitwise-stable maps.
+# ---------------------------------------------------------------------------
+
+
+_SHARDED_PLAN_CACHE: dict = {}
+
+
+def get_sharded_bin_plan(pixels, mesh_dist, n_pix_padded):
+    """Per-device local sort plans for sharded binning, cached by pixel id.
+
+    Each device sorts its local (det, samp) block of pixel indices once;
+    subsequent accumulations are gather + compensated segment sums (same
+    numerical quality as the single-device plan path) followed by the
+    psum_scatter reduction.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import DET_AXIS, SAMP_AXIS
+
+    key = (id(pixels), id(mesh_dist.mesh), int(n_pix_padded))
+    hit = _SHARDED_PLAN_CACHE.get(key)
+    if hit is not None and hit[0] is pixels:
+        return hit[1]
+
+    axes = (DET_AXIS, SAMP_AXIS)
+
+    def local(pix_l):
+        flat = jnp.maximum(pix_l.reshape(-1), 0)
+        order = jnp.argsort(flat)
+        sorted_pix = flat[order]
+        # scatter-based bounds (see sorted_bounds: jnp.searchsorted lowers
+        # to a sequential binary-search scan on TPU, ~50x slower)
+        bounds = sorted_bounds(sorted_pix, n_pix_padded)
+        return order[None].astype(jnp.int32), bounds[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh_dist.mesh,
+        in_specs=P(*axes),
+        out_specs=(P(axes, None), P(axes, None)),
+    )
+    plan = fn(pixels)
+    if len(_SHARDED_PLAN_CACHE) > 32:
+        _SHARDED_PLAN_CACHE.clear()
+    _SHARDED_PLAN_CACHE[key] = (pixels, plan)
+    return plan
+
+
+def sharded_scatter_accum(target, pixels, vals, mesh_dist, plan=None):
+    """Accumulate ``target[p] += sum vals`` with a sharded pixel axis.
+
+    Each device bins its local block of the (det, samp)-sharded TOD —
+    through its cached sort plan with compensated segment sums when
+    available, else a plain scatter-add — and one ``psum_scatter`` reduces
+    the partial maps across devices while scattering the pixel axis.
+
+    Args:
+        target: (n_pix_padded, k) array placed with ``pixel_sharding()``;
+            n_pix_padded divisible by the device count.
+        pixels: (n_det, n_samp) int32 (flagged samples already redirected
+            to pixel 0 with zeroed vals).
+        vals: (n_det, n_samp, k) contribution values.
+        mesh_dist: the MeshDist whose mesh the arrays live on.
+        plan: optional result of :func:`get_sharded_bin_plan`.
+
+    Returns:
+        updated target, sharded P(("det", "samp"), None).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ...parallel.mesh import DET_AXIS, SAMP_AXIS
+
+    mesh = mesh_dist.mesh
+    axes = (DET_AXIS, SAMP_AXIS)
+    n_pix_padded = target.shape[0]
+    k = vals.shape[-1]
+
+    if plan is not None:
+        order, bounds = plan
+
+        def local_plan(tgt_l, vals_l, order_l, bounds_l):
+            sv = vals_l.reshape(-1, k)[order_l[0]]
+            pm = segment_sum_sorted(sv, bounds_l[0])
+            red = jax.lax.psum_scatter(
+                pm, axes, scatter_dimension=0, tiled=True
+            )
+            return tgt_l + red.astype(tgt_l.dtype)
+
+        fn = shard_map(
+            local_plan,
+            mesh=mesh,
+            in_specs=(
+                P(axes, None),
+                P(*axes, None),
+                P(axes, None),
+                P(axes, None),
+            ),
+            out_specs=P(axes, None),
+        )
+        return fn(target, vals, order, bounds)
+
+    def local(tgt_l, pix_l, vals_l):
+        pm = jnp.zeros((n_pix_padded, k), dtype=vals_l.dtype)
+        pm = pm.at[pix_l.reshape(-1)].add(vals_l.reshape(-1, k))
+        red = jax.lax.psum_scatter(pm, axes, scatter_dimension=0, tiled=True)
+        return tgt_l + red.astype(tgt_l.dtype)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(*axes), P(*axes, None)),
+        out_specs=P(axes, None),
+    )
+    return fn(target, pixels, vals)
+
+
+def _shardable(mesh_dist, pixels):
+    """Whether the sharded accumulation path applies to this block."""
+    if mesh_dist is None or mesh_dist.n_devices == 1:
+        return False
+    n_det, n_samp = pixels.shape
+    return (
+        n_det % mesh_dist.n_det_shards == 0
+        and n_samp % mesh_dist.n_samp_shards == 0
+    )
+
+
 def _twosum(a, b):
     """Error-free float addition: returns (s, err) with a+b = s+err exactly."""
     s = a + b
@@ -266,6 +405,7 @@ def build_noise_weighted(
     shared_flags,
     shared_flag_mask,
     plan=None,
+    mesh_dist=None,
 ):
     """Accumulate noise-weighted map: zmap[p] += scale_d * d_t * w_t.
 
@@ -278,11 +418,19 @@ def build_noise_weighted(
         det_flags/shared_flags: flag arrays or None.
         plan: optional (order, bounds) from :func:`get_bin_plan` — the fast
             gather-only path; otherwise a scatter-add is used.
+        mesh_dist: when set (and zmap is pixel-sharded over its mesh), use
+            the explicit reduce-scatter path instead of plan/scatter.
 
     Returns:
         updated zmap.
     """
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    if mesh_dist is not None and _shardable(mesh_dist, pixels):
+        contrib = _bnw_vals(weights, det_data, det_scale, good)
+        contrib = contrib.reshape(pixels.shape + (contrib.shape[-1],))
+        pix = jnp.where(good, pixels, 0)
+        splan = get_sharded_bin_plan(pixels, mesh_dist, zmap.shape[0])
+        return sharded_scatter_accum(zmap, pix, contrib, mesh_dist, plan=splan)
     contrib = _bnw_vals(weights, det_data, det_scale, good)
     if plan is not None:
         return zmap + plan_segment_sum(contrib, plan)
@@ -291,10 +439,24 @@ def build_noise_weighted(
 
 
 def cov_accum_diag_hits(
-    hits, pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask, plan=None
+    hits,
+    pixels,
+    det_flags,
+    det_flag_mask,
+    shared_flags,
+    shared_flag_mask,
+    plan=None,
+    mesh_dist=None,
 ):
     """Accumulate hit counts: hits[p] += 1 for each good sample."""
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
+    if mesh_dist is not None and _shardable(mesh_dist, pixels):
+        ones = good.astype(jnp.int32)[..., None]
+        pix = jnp.where(good, pixels, 0)
+        splan = get_sharded_bin_plan(pixels, mesh_dist, hits.shape[0])
+        return sharded_scatter_accum(
+            hits[:, None], pix, ones, mesh_dist, plan=splan
+        )[:, 0]
     if plan is not None:
         ones = good.astype(jnp.float32).reshape(-1, 1)
         return hits + plan_segment_sum(ones, plan)[:, 0].astype(hits.dtype)
@@ -337,6 +499,7 @@ def cov_accum_diag_invnpp(
     shared_flag_mask,
     nnz,
     plan=None,
+    mesh_dist=None,
 ):
     """Accumulate inverse pixel covariance: N_pp^-1[p] += scale * w w^T.
 
@@ -345,6 +508,11 @@ def cov_accum_diag_invnpp(
     """
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
     outer = _invnpp_vals(weights, det_scale, good, nnz)
+    if mesh_dist is not None and _shardable(mesh_dist, pixels):
+        outer = outer.reshape(pixels.shape + (outer.shape[-1],))
+        pix = jnp.where(good, pixels, 0)
+        splan = get_sharded_bin_plan(pixels, mesh_dist, invnpp.shape[0])
+        return sharded_scatter_accum(invnpp, pix, outer, mesh_dist, plan=splan)
     if plan is not None:
         return invnpp + plan_segment_sum(outer, plan)
     pix = jnp.where(good, pixels, 0)
@@ -370,6 +538,7 @@ def cov_accum_diag_invnpp_hits(
     shared_flag_mask,
     nnz,
     plan=None,
+    mesh_dist=None,
 ):
     """Fused inverse-covariance + hit-count accumulation in one binning pass
     (reference ``toast_map_cov.cpp`` ``cov_accum_diag_invnpp_hits``).
@@ -381,6 +550,15 @@ def cov_accum_diag_invnpp_hits(
     good = _good_mask(pixels, det_flags, det_flag_mask, shared_flags, shared_flag_mask)
     vals = _invnpp_hits_vals(weights, det_scale, good, nnz)
     n_tri = nnz * (nnz + 1) // 2
+    if mesh_dist is not None and _shardable(mesh_dist, pixels):
+        vals = vals.reshape(pixels.shape + (vals.shape[-1],))
+        pix = jnp.where(good, pixels, 0)
+        both = jnp.concatenate(
+            [invnpp, hits[:, None].astype(invnpp.dtype)], axis=-1
+        )
+        splan = get_sharded_bin_plan(pixels, mesh_dist, invnpp.shape[0])
+        acc = sharded_scatter_accum(both, pix, vals, mesh_dist, plan=splan)
+        return acc[:, :n_tri], acc[:, n_tri].astype(hits.dtype)
     if plan is not None:
         acc = plan_segment_sum(vals, plan)
         return invnpp + acc[:, :n_tri], hits + acc[:, n_tri].astype(hits.dtype)

@@ -37,6 +37,9 @@ class MapMaker(Operator):
         klass=object, allow_none=True, help="BinMap for the final map (optional)"
     )
     template_matrix = Instance(klass=object, allow_none=True)
+    use_fused = Bool(
+        True, help="Use the fused on-device PCG solver when applicable"
+    )
     output_dir = Unicode(None, allow_none=True, help="Write products here")
     write_binmap = Bool(True)
     write_map = Bool(True)
@@ -76,6 +79,7 @@ class MapMaker(Operator):
                 binning=self.binning,
                 template_matrix=self.template_matrix,
                 keep_solver_products=self.keep_solver_products,
+                use_fused=self.use_fused,
             )
             solver.apply(data, detectors=detectors)
             log.info_rank("MapMaker: amplitude solve complete", timer=timer)
@@ -92,6 +96,7 @@ class MapMaker(Operator):
             stokes_weights=map_binning.stokes_weights,
             noise_model=map_binning.noise_model,
             rcond_threshold=float(self.map_rcond_threshold),
+            sharded=getattr(map_binning, "sharded", False),
         )
         cov_and_hits.apply(data, detectors=detectors)
 

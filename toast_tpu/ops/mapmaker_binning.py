@@ -40,6 +40,9 @@ class BinMap(Operator):
     pre_process = Instance(klass=object, allow_none=True, help="Operator run first")
     sync_type = Unicode("allreduce")
     full_pointing = Bool(False, help="Unused; pointing is always precomputed here")
+    sharded = Bool(
+        False, help="Shard the map pixel axis over the observation's mesh"
+    )
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
@@ -63,6 +66,7 @@ class BinMap(Operator):
             det_flag_mask=self.det_flag_mask,
             shared_flags=self.shared_flags,
             shared_flag_mask=self.shared_flag_mask,
+            sharded=self.sharded,
         )
         ops = [self.pixel_pointing, self.stokes_weights, build_zmap]
         if self.pre_process is not None:

@@ -135,6 +135,9 @@ class SolveAmplitudes(Operator):
             and len(self.template_matrix.templates) == 1
             and isinstance(self.template_matrix.templates[0], Offset)
             and self.template_matrix.templates[0].view is None
+            # the fused solver works in compressed hit-pixel space on one
+            # program; the sharded map domain uses the generic chain
+            and not getattr(self.binning, "sharded", False)
         )
 
     def _solve_fused(self, data, detectors, binning, prefix, solver_flags):
@@ -259,6 +262,7 @@ class SolveAmplitudes(Operator):
                 stokes_weights=binning.stokes_weights,
                 noise_model=binning.noise_model,
                 rcond_threshold=float(self.solve_rcond_threshold),
+                sharded=getattr(binning, "sharded", False),
             )
             cov_and_hits.apply(data, detectors=detectors)
 

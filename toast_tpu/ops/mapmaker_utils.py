@@ -31,13 +31,28 @@ from .kernels.mapkernels import (
 from .operator import Operator
 
 
-def _pix_and_plan(ob, pixels_name, didx, dist):
-    """Pixel block for the selected detectors plus a cached bin plan."""
+def _map_mesh(op, ob):
+    """The observation's MeshDist when this op runs in sharded-map mode."""
+    md = ob.mesh_dist
+    if getattr(op, "sharded", False) and md is not None and md.n_devices > 1:
+        return md
+    return None
+
+
+def _pix_and_plan(ob, pixels_name, didx, dist, mesh_dist=None):
+    """Pixel block for the selected detectors plus a cached bin plan.
+
+    In sharded-map mode the sort-based bin plan is skipped: the sharded
+    reduce-scatter path bins with local scatter-adds instead
+    (kernels.mapkernels.sharded_scatter_accum).
+    """
     dd = ob.detdata[pixels_name]
     if len(didx) == dd.data.shape[0]:
         pix = dd.data
     else:
         pix = dd.data[didx]
+    if mesh_dist is not None:
+        return pix, None
     n_padded = dist.n_submap * dist.n_pix_submap
     return pix, get_bin_plan(pix, n_padded)
 
@@ -66,21 +81,27 @@ class BuildHitMap(Operator):
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
     shared_flag_mask = Int(defaults.shared_mask_invalid)
     sync_type = Unicode("allreduce", help="allreduce or alltoallv")
+    sharded = Bool(
+        False, help="Shard the map pixel axis over the observation's mesh"
+    )
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         if self.pixel_dist not in data:
             raise RuntimeError(f"Data does not contain '{self.pixel_dist}'")
         dist = data[self.pixel_dist]
+        md = _map_mesh(self, data.obs[0]) if data.obs else None
         if self.hits not in data:
-            data[self.hits] = PixelData(dist, dtype=np.int32, n_value=1)
+            data[self.hits] = PixelData(
+                dist, dtype=np.int32, n_value=1, mesh_dist=md
+            )
         hits = data[self.hits]
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors, flagmask=self.det_flag_mask)
             if len(dets) == 0:
                 continue
             didx = ob.detector_indices(dets)
-            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist)
+            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist, mesh_dist=md)
             new = cov_accum_diag_hits(
                 hits.data[:, 0],
                 pix,
@@ -89,6 +110,7 @@ class BuildHitMap(Operator):
                 _shared_flags(ob, self.shared_flags),
                 self.shared_flag_mask,
                 plan=plan,
+                mesh_dist=md,
             )
             hits.data = new[:, None]
 
@@ -127,6 +149,9 @@ class BuildInverseCovariance(Operator):
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
     shared_flag_mask = Int(defaults.shared_mask_invalid)
     sync_type = Unicode("allreduce")
+    sharded = Bool(
+        False, help="Shard the map pixel axis over the observation's mesh"
+    )
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
@@ -135,16 +160,21 @@ class BuildInverseCovariance(Operator):
             dets = ob.select_local_detectors(detectors, flagmask=self.det_flag_mask)
             if len(dets) == 0:
                 continue
+            md = _map_mesh(self, ob)
             nse = ob[self.noise_model]
             didx = ob.detector_indices(dets)
-            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist)
+            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist, mesh_dist=md)
             wts = ob.detdata[self.weights].data[didx]
             nnz = wts.shape[-1]
             n_tri = nnz * (nnz + 1) // 2
             if self.inverse_covariance not in data:
                 invcov_units = self.det_data_units**-2
                 data[self.inverse_covariance] = PixelData(
-                    dist, dtype=np.float32, n_value=n_tri, units=invcov_units
+                    dist,
+                    dtype=np.float32,
+                    n_value=n_tri,
+                    units=invcov_units,
+                    mesh_dist=md,
                 )
             invcov = data[self.inverse_covariance]
             det_weights = np.array(
@@ -161,6 +191,7 @@ class BuildInverseCovariance(Operator):
                 self.shared_flag_mask,
                 nnz,
                 plan=plan,
+                mesh_dist=md,
             )
 
     def _finalize(self, data, **kwargs):
@@ -202,6 +233,9 @@ class BuildNoiseWeighted(Operator):
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
     shared_flag_mask = Int(defaults.shared_mask_invalid)
     sync_type = Unicode("allreduce")
+    sharded = Bool(
+        False, help="Shard the map pixel axis over the observation's mesh"
+    )
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
@@ -210,9 +244,10 @@ class BuildNoiseWeighted(Operator):
             dets = ob.select_local_detectors(detectors, flagmask=self.det_flag_mask)
             if len(dets) == 0:
                 continue
+            md = _map_mesh(self, ob)
             nse = ob[self.noise_model]
             didx = ob.detector_indices(dets)
-            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist)
+            pix, plan = _pix_and_plan(ob, self.pixels, didx, dist, mesh_dist=md)
             wts = ob.detdata[self.weights].data[didx]
             tod = ob.detdata[self.det_data].data[didx]
             nnz = wts.shape[-1]
@@ -220,7 +255,7 @@ class BuildNoiseWeighted(Operator):
                 # zmap = P^T N^-1 d: tod units times 1/K^2 detector weights
                 zunits = ob.detdata[self.det_data].units * u.K**-2
                 data[self.zmap] = PixelData(
-                    dist, dtype=np.float32, n_value=nnz, units=zunits
+                    dist, dtype=np.float32, n_value=nnz, units=zunits, mesh_dist=md
                 )
             zmap = data[self.zmap]
             det_weights = np.array(
@@ -237,6 +272,7 @@ class BuildNoiseWeighted(Operator):
                 _shared_flags(ob, self.shared_flags),
                 self.shared_flag_mask,
                 plan=plan,
+                mesh_dist=md,
             )
 
     def _finalize(self, data, **kwargs):
@@ -281,10 +317,15 @@ class CovarianceAndHits(Operator):
     noise_model = Unicode(defaults.noise_model)
     rcond_threshold = Float(1.0e-8, help="rcond cut for pixel inversion")
     sync_type = Unicode("allreduce")
+    sharded = Bool(
+        False, help="Shard the map pixel axis over the observation's mesh"
+    )
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         from .operator import Pipeline
+
+        md = _map_mesh(self, data.obs[0]) if data.obs else None
 
         # ensure pixel distribution exists
         if self.pixel_dist not in data:
@@ -322,7 +363,9 @@ class CovarianceAndHits(Operator):
             )
             data[invcov_key] = inv_raw.duplicate()
             dist = data[self.pixel_dist]
-            data[self.rcond] = PixelData(dist, dtype=np.float32, n_value=1)
+            data[self.rcond] = PixelData(
+                dist, dtype=np.float32, n_value=1, mesh_dist=md
+            )
             if self.inverse_covariance is not None:
                 data[self.covariance] = data[invcov_key].duplicate()
             covariance_invert(
@@ -351,7 +394,9 @@ class CovarianceAndHits(Operator):
                 continue
             nse = ob[self.noise_model]
             didx = ob.detector_indices(dets)
-            pix, plan = _pix_and_plan(ob, self.pixel_pointing.pixels, didx, dist)
+            pix, plan = _pix_and_plan(
+                ob, self.pixel_pointing.pixels, didx, dist, mesh_dist=md
+            )
             wts = ob.detdata[self.stokes_weights.weights].data[didx]
             nnz = wts.shape[-1]
             n_tri = nnz * (nnz + 1) // 2
@@ -361,8 +406,11 @@ class CovarianceAndHits(Operator):
                     dtype=np.float32,
                     n_value=n_tri,
                     units=self.det_data_units**-2,
+                    mesh_dist=md,
                 )
-                data[self.hits] = PixelData(dist, dtype=np.int32, n_value=1)
+                data[self.hits] = PixelData(
+                    dist, dtype=np.int32, n_value=1, mesh_dist=md
+                )
             det_weights = np.array(
                 [nse.detector_weight(d).value for d in dets], dtype=np.float32
             )
@@ -378,6 +426,7 @@ class CovarianceAndHits(Operator):
                 self.shared_flag_mask,
                 nnz,
                 plan=plan,
+                mesh_dist=md,
             )
             data[invcov_key].data = new_ic
             data[self.hits].data = new_hits[:, None]
@@ -392,7 +441,9 @@ class CovarianceAndHits(Operator):
                 "CovarianceAndHits: no observations contributed data "
                 "(empty schedule or all detectors flagged?)"
             )
-        data[self.rcond] = PixelData(dist, dtype=np.float32, n_value=1)
+        data[self.rcond] = PixelData(
+            dist, dtype=np.float32, n_value=1, mesh_dist=md
+        )
         data._internal["_covhits_cache"] = (
             cache_key,
             data[invcov_key].duplicate(),

@@ -116,6 +116,25 @@ class MeshDist:
             return array
         return jax.device_put(array, sharding)
 
+    def pixel_sharding(self, extra_dims=1):
+        """Sharding for map-domain arrays: pixel axis split over ALL devices.
+
+        This is the TPU replacement for the reference's submap-owner
+        distribution (``ref:src/toast/pixels.py:245-315``): the dense map's
+        leading (pixel) axis is sharded over the flattened mesh, so an
+        nside-4096 covariance (12*4096^2 x 6 float32 = 4.8 GB) stores
+        4.8/n_devices GB per chip.  Accumulation kernels reduce-scatter into
+        this layout; gathers out of it (map2tod scans) all-gather
+        transiently via GSPMD.
+        """
+        spec = P((DET_AXIS, SAMP_AXIS), *([None] * extra_dims))
+        return NamedSharding(self.mesh, spec)
+
+    def pad_pixels(self, n_pix):
+        """Padded pixel count divisible by the full device count."""
+        q = self.n_devices
+        return ((n_pix + q - 1) // q) * q
+
     # -- padding -----------------------------------------------------------
     def pad_dets(self, n_det):
         """Padded detector count divisible by the det mesh axis."""

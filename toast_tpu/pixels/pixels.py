@@ -98,13 +98,47 @@ class PixelData:
     a whole number of submaps so submap-structured I/O reshapes cleanly.
     """
 
-    def __init__(self, dist, dtype=np.float32, n_value=1, units=u.dimensionless):
+    def __init__(
+        self,
+        dist,
+        dtype=np.float32,
+        n_value=1,
+        units=u.dimensionless,
+        mesh_dist=None,
+    ):
         self._dist = dist
         self.dtype = np.dtype(dtype)
         self._n_value = int(n_value)
         self.units = units
         n_padded = dist.n_submap * dist.n_pix_submap
-        self._data = jnp.zeros((n_padded, self._n_value), dtype=self.dtype)
+        # Sharded map domain: with a multi-device MeshDist the pixel axis is
+        # split over the flattened mesh (TPU analog of the reference's
+        # submap-owner distribution, ref:pixels.py:245-315).  Pad so every
+        # device gets an equal shard.
+        self._mesh_dist = None
+        self._sharding = None
+        if mesh_dist is not None and mesh_dist.n_devices > 1:
+            self._mesh_dist = mesh_dist
+            n_padded = mesh_dist.pad_pixels(n_padded)
+            self._sharding = mesh_dist.pixel_sharding()
+        self._n_padded = n_padded
+        self._data = self._place(
+            jnp.zeros((n_padded, self._n_value), dtype=self.dtype)
+        )
+
+    def _place(self, arr):
+        if self._sharding is None:
+            return arr
+        return jax.device_put(arr, self._sharding)
+
+    @property
+    def sharding(self):
+        """The map-domain NamedSharding, or None when replicated."""
+        return self._sharding
+
+    @property
+    def mesh_dist(self):
+        return self._mesh_dist
 
     @property
     def distribution(self):
@@ -123,7 +157,7 @@ class PixelData:
         value = jnp.asarray(value, dtype=self.dtype)
         if value.shape != self._data.shape:
             raise ValueError(f"shape {value.shape} != {self._data.shape}")
-        self._data = value
+        self._data = self._place(value)
 
     def numpy(self):
         """Host copy restricted to real pixels, shape (n_pix, n_value)."""
@@ -131,7 +165,8 @@ class PixelData:
 
     def submap_view(self):
         """Host copy shaped (n_submap, n_pix_submap, n_value) for I/O."""
-        return np.asarray(self._data).reshape(
+        n_sub_total = self._dist.n_submap * self._dist.n_pix_submap
+        return np.asarray(self._data)[:n_sub_total].reshape(
             (self._dist.n_submap, self._dist.n_pix_submap, self._n_value)
         )
 
@@ -139,14 +174,18 @@ class PixelData:
         arr = np.asarray(arr)
         full = np.zeros(self._data.shape, dtype=self.dtype)
         full[: self._dist.n_pix] = arr.reshape((self._dist.n_pix, self._n_value))
-        self._data = jnp.asarray(full)
+        self._data = self._place(jnp.asarray(full))
 
     def zero(self):
-        self._data = jnp.zeros_like(self._data)
+        self._data = self._place(jnp.zeros_like(self._data))
 
     def duplicate(self):
         out = PixelData(
-            self._dist, dtype=self.dtype, n_value=self._n_value, units=self.units
+            self._dist,
+            dtype=self.dtype,
+            n_value=self._n_value,
+            units=self.units,
+            mesh_dist=self._mesh_dist,
         )
         out._data = self._data
         return out

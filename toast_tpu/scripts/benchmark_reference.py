@@ -1,0 +1,357 @@
+"""Reproduce the reference benchmark cases and validate output statistics.
+
+The reference ships expected outputs for its benchmark workflows
+(``ref:src/toast/_aux/benchmarks/stats.json``, checked by
+``ref:scripts/benchmarking_utilities.py:883``).  This module rebuilds the
+*satellite* benchmark configuration with our operator stack and compares
+total map hits and map RMS against those bundled values.
+
+Configuration reproduced from ``ref:scripts/toast_benchmark_satellite.py``
+(hardcoded args at :154-168) and ``benchmarking_utilities.py``:
+
+* 100 Hz sampling, hexagon focalplane with width 10 deg, NET 50 uK sqrt(s),
+  fmin 1e-5 Hz (fknee 0.05 Hz / alpha 1 defaults), built at the hexagon
+  size from ``make_focalplane`` (:651) then truncated to n_detector
+* one-hour observations, precession period 50 min, spin period 10 min,
+  SimSatellite defaults (spin angle 30 deg, precession angle 65 deg)
+* nside 1024 NESTED pixelization, nside_submap 16
+* input sky: Gaussian random field with the exact T/E spectra of
+  ``create_input_maps`` (:686), 3 arcmin beam — synthesized with our
+  native SHT (the realization differs from healpy's seeded one, so RMS is
+  compared to tolerance; hits are geometry-only and compared exactly)
+* MapMaker with offset baselines (default 10000 s step -> one baseline
+  per observation) and rcond thresholds 1e-6 (the tiny-case override,
+  ``toast_benchmark_satellite.py:322``)
+
+Case sizes (``benchmarking_utilities.py:402``): tiny = 12 detectors x 1
+observation, xsmall = 138 detectors x 1 observation.
+
+Statistics are computed the way the reference does (``ref:pixels.py:972``):
+mean/std over all pixels of *locally-hit submaps* of the destriped map,
+and the total of the hit map.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from datetime import datetime, timezone
+
+import numpy as np
+
+# Expected outputs, copied from ref:src/toast/_aux/benchmarks/stats.json
+# (also recorded in BASELINE.md).
+SATELLITE_EXPECTED = {
+    "tiny": {
+        "totalhits": 4320000,
+        "rms_I": 7.407852082899325,
+        "rms_Q": 0.41916328165172373,
+        "rms_U": 0.4161516955249392,
+        "n_detector": 12,
+        "n_obs": 1,
+    },
+    "xsmall": {
+        "totalhits": 49680000,
+        "rms_I": 17.653306987512835,
+        "rms_Q": 0.993140637242038,
+        "rms_U": 0.9928140202652976,
+        "n_detector": 138,
+        "n_obs": 1,
+    },
+}
+
+# RMS tolerance: the sky realization necessarily differs (healpy's seeded
+# synfast stream is not reproducible without healpy), so agreement is
+# limited by cosmic variance of the observed region — ~1% for the
+# l<~150 temperature spectrum, ~0.3% for the l~500 E spectrum — plus
+# beam/pixelization systematics.  5% validates the amplitude chain.
+RMS_RTOL = 0.05
+
+
+def reference_input_spectra(lmax):
+    """The exact fake-sky spectra of ``create_input_maps``
+    (``ref:scripts/benchmarking_utilities.py:697-713``)."""
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    sig = 50.0
+    tspec = (1.0 / (sig * np.sqrt(2.0 * np.pi))) * np.exp(
+        -0.5 * (ell - 30.0) ** 2 / sig**2
+    )
+    tspec *= 2000.0
+    sig = 100.0
+    espec = (1.0 / (sig * np.sqrt(2.0 * np.pi))) * np.exp(
+        -0.5 * (ell - 500.0) ** 2 / sig**2
+    )
+    espec *= 1.0
+    return tspec, espec
+
+
+def make_input_sky(nside, lmax=1024, seed=123456789, fwhm_arcmin=3.0):
+    """Native-SHT equivalent of ``create_input_maps``: IQU HEALPix map
+    (NESTED ordering to match the pipeline's default pixelization).
+
+    lmax 1024 truncates the reference's 3*nside-1: both spectra carry no
+    power beyond l ~ 900 (gaussians centered at 30/500 with sigma 50/100),
+    so the truncation changes the map rms by < 0.1%.
+    """
+    import jax.numpy as jnp
+
+    from ..math import sht
+    from ..math.healpix import nest2ang
+
+    # one-time cache: the input sky is deterministic in (nside, lmax, seed)
+    import os
+    import tempfile
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"toast_tpu_input_sky_n{nside}_l{lmax}_s{seed}.npy",
+    )
+    if os.path.exists(cache):
+        return np.load(cache)
+
+    if os.environ.get("TOAST_TPU_SKY_SUBPROCESS") != "0":
+        # The axon TPU tunnel intermittently fails one of the large SHT
+        # programs and then poisons the in-process device state.  Run the
+        # (deterministic) synthesis in a fresh subprocess with retries; it
+        # writes the cache file on success.
+        import subprocess
+        import sys as _sys
+
+        code = (
+            "import os; os.environ['TOAST_TPU_SKY_SUBPROCESS']='0';"
+            "from toast_tpu.scripts.benchmark_reference import make_input_sky;"
+            f"make_input_sky({nside}, lmax={lmax}, seed={seed}, "
+            f"fwhm_arcmin={fwhm_arcmin})"
+        )
+        last = None
+        for _ in range(3):
+            proc = subprocess.run(
+                [_sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            if proc.returncode == 0 and os.path.exists(cache):
+                return np.load(cache)
+            last = (proc.stdout or "")[-500:] + (proc.stderr or "")[-500:]
+        raise RuntimeError(f"input sky synthesis failed 3x:\n{last}")
+
+    tspec, espec = reference_input_spectra(lmax)
+    beam = sht.gaussian_beam(lmax, np.radians(fwhm_arcmin / 60.0))
+    alms = sht.synalm({"TT": tspec, "EE": espec}, lmax, seed=seed)
+    aT = alms["T"] * beam[:, None]
+    aE = alms["E"] * beam[:, None]
+    aB = np.zeros_like(aE)
+
+    import jax
+
+    n_theta = 2 * (lmax + 1)
+    n_phi = 2 * n_theta
+    # Explicit syncs between the large SHT programs: the axon TPU tunnel
+    # mishandles deeply queued async dispatch of these multi-second
+    # programs (UNIMPLEMENTED errors that vanish with a barrier).
+    T_grid = sht.synthesize_grid_T(jnp.asarray(aT), lmax, n_theta, n_phi)
+    jax.block_until_ready(T_grid)
+    Q_grid, U_grid = sht.synthesize_grid_pol(
+        jnp.asarray(aE), jnp.asarray(aB), lmax, n_theta, n_phi
+    )
+    jax.block_until_ready((Q_grid, U_grid))
+    n_pix = 12 * nside * nside
+    pix = np.arange(n_pix, dtype=np.int64)
+    theta, phi = nest2ang(nside, pix)
+    theta = jnp.asarray(theta, jnp.float32)
+    phi = jnp.asarray(phi, jnp.float32)
+    out = np.empty((n_pix, 3), dtype=np.float32)
+    for col, grid in enumerate((T_grid, Q_grid, U_grid)):
+        # the axon tunnel intermittently fails large device->host reads
+        # with UNIMPLEMENTED; the programs are deterministic, so retry
+        for attempt in range(3):
+            try:
+                vals = sht.grid_interpolate(grid, theta, phi)
+                jax.block_until_ready(vals)
+                out[:, col] = np.asarray(vals)
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+    np.save(cache, out)
+    return out
+
+
+def make_benchmark_focalplane(n_detector, sample_rate_hz=100.0, width_deg=10.0):
+    """``make_focalplane`` (:651): hexagon sized by the ring formula, then
+    truncated to the first n_detector rows."""
+    from ..models import fake_hexagon_focalplane
+    from ..utils import units as u
+    from ..utils.units import Quantity
+
+    ring = (
+        math.ceil(math.sqrt((n_detector - 2) / 6)) if n_detector > 2 else 0
+    )
+    n_pixel = 1 + 3 * ring * (ring + 1)
+    fp = fake_hexagon_focalplane(
+        n_pix=n_pixel,
+        width=Quantity(width_deg, u.deg),
+        sample_rate=Quantity(sample_rate_hz, u.Hz),
+        psd_net=Quantity(50.0e-6, u.K_sqrt_s),
+        psd_fmin=Quantity(1.0e-5, u.Hz),
+    )
+    if 2 * n_pixel != n_detector:
+        fp.detector_data = {k: v[:n_detector] for k, v in fp.detector_data.items()}
+        fp._index = {d: i for i, d in enumerate(fp.detector_data["name"])}
+    return fp
+
+
+def run_satellite_case(case="tiny", nside=1024, lmax=1024, out=None, log=print):
+    """Run the satellite benchmark case; returns (results, expected)."""
+    from .. import ops
+    from ..models import (
+        Data,
+        SpaceSite,
+        Telescope,
+        create_satellite_schedule,
+    )
+    from ..parallel import Comm
+    from ..pixels import PixelData
+    from ..templates import Offset
+    from ..utils import units as u
+    from ..utils.units import Quantity
+
+    expected = SATELLITE_EXPECTED[case]
+    n_det = expected["n_detector"]
+    n_obs = expected["n_obs"]
+
+    fp = make_benchmark_focalplane(n_det)
+    tele = Telescope("satellite", focalplane=fp, site=SpaceSite("space"))
+
+    # One-hour observations.  The bundled stats correspond to 360000
+    # samples per detector per observation (totalhits / n_det); the
+    # current reference code computes 1 + int(rate * duration) samples, so
+    # target the recorded count with a duration just under one hour.
+    obs_seconds = 3599.995
+    schedule = create_satellite_schedule(
+        prefix="",
+        mission_start=datetime(2027, 1, 1, tzinfo=timezone.utc),
+        observation_time=Quantity(obs_seconds, u.second),
+        gap_time=Quantity(0.0, u.second),
+        num_observations=n_obs,
+        prec_period=Quantity(50.0, u.minute),
+        spin_period=Quantity(10.0, u.minute),
+    )
+
+    comm = Comm()
+    data = Data(comm)
+    t0 = time.perf_counter()
+
+    # input sky (native synfast equivalent) — synthesized first, before the
+    # pointing pipeline populates device state
+    sky_vals = make_input_sky(nside, lmax=lmax)
+    log(f"[bench-ref] input sky synthesized ({time.perf_counter()-t0:.1f}s)")
+
+    ops.SimSatellite(
+        name="sim_satellite", telescope=tele, schedule=schedule
+    ).apply(data)
+    n_samp = data.obs[0].n_local_samples
+    total_samples = n_det * sum(ob.n_local_samples for ob in data.obs)
+    log(f"[bench-ref] {case}: {n_det} dets x {n_samp} samples x {n_obs} obs")
+
+    ops.DefaultNoiseModel().apply(data)
+
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside,
+        nside_submap=16,
+        nest=True,
+        detector_pointing=det_pointing,
+        create_dist="pix_dist",
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    import jax
+
+    jax.block_until_ready(data.obs[0].detdata["weights"].data)
+    log(f"[bench-ref] pointing expanded ({time.perf_counter()-t0:.1f}s)")
+
+    sky = PixelData(data["pix_dist"], n_value=3, units=u.K)
+    sky.set_numpy(sky_vals)
+    data["input_sky"] = sky
+    ops.ScanMap(map_key="input_sky", det_data="signal").apply(data)
+    ops.SimNoise().apply(data)
+
+    binner = ops.BinMap(
+        pixel_dist="pix_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+    tmpl = Offset()  # default 10000 s step -> one baseline per observation
+    mapper = ops.MapMaker(
+        name="mapmaker",
+        binning=binner,
+        template_matrix=ops.TemplateMatrix(templates=[tmpl]),
+        solve_rcond_threshold="1e-6",
+        map_rcond_threshold="1e-6",
+        write_binmap=False,
+    )
+    mapper.apply(data)
+    runtime = time.perf_counter() - t0
+
+    # Stats the reference way (ref:pixels.py:972: mean/std over stored
+    # pixels, zeros included).  The bundled values match full-map
+    # statistics: expected rms_I/rms_Q both equal the full-sky spectrum rms
+    # (111 K / 6.31 K at lmax 1024) diluted by the same sqrt(hit fraction)
+    # over ALL 12 nside^2 pixels (0.0667 and 0.0664 for tiny) — our maps
+    # are dense, so compute over the full map directly.
+    final_map = data["mapmaker_map"].numpy()
+    hits = data["mapmaker_hits"].numpy()
+    results = {
+        "totalhits": int(hits.sum()),
+        "rms_I": float(np.std(final_map[:, 0])),
+        "mean_Q": float(np.mean(final_map[:, 1])),
+        "rms_Q": float(np.std(final_map[:, 1])),
+        "mean_U": float(np.mean(final_map[:, 2])),
+        "rms_U": float(np.std(final_map[:, 2])),
+        "total_samples": int(total_samples),
+        "runtime_s": round(runtime, 2),
+    }
+    return results, expected
+
+
+def validate_satellite_case(case="tiny", nside=1024, log=print):
+    """Run + compare to the bundled reference stats; returns (ok, results)."""
+    results, expected = run_satellite_case(case=case, nside=nside, log=log)
+    checks = {}
+    # hits are geometry-only: exact
+    checks["totalhits"] = results["totalhits"] == expected["totalhits"]
+    for key in ("rms_I", "rms_Q", "rms_U"):
+        rel = abs(results[key] - expected[key]) / expected[key]
+        checks[key] = rel < RMS_RTOL
+        log(
+            f"[bench-ref] {key}: got {results[key]:.5f} expected "
+            f"{expected[key]:.5f} (rel {rel:.3%}) -> "
+            f"{'ok' if checks[key] else 'FAIL'}"
+        )
+    log(
+        f"[bench-ref] totalhits: got {results['totalhits']} expected "
+        f"{expected['totalhits']} -> "
+        f"{'ok' if checks['totalhits'] else 'FAIL'}"
+    )
+    ok = all(checks.values())
+    results["checks"] = checks
+    results["pass"] = ok
+    return ok, results
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--case", default="tiny", choices=list(SATELLITE_EXPECTED))
+    parser.add_argument("--nside", type=int, default=1024)
+    args = parser.parse_args()
+    ok, results = validate_satellite_case(case=args.case, nside=args.nside)
+    print(json.dumps(results, indent=2))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
