@@ -70,11 +70,72 @@ def test_filterbin_obs_matrix_unbiased():
     obsmat = data["obs_matrix"]
     fmap = data["fbm_map"].numpy()
 
-    predicted = (obsmat @ np.pad(
-        sky, ((0, obsmat.shape[0] // 3 - n_pix), (0, 0))
-    ).reshape(-1)).reshape(-1, 3)[:n_pix]
+    predicted = obsmat.apply(sky)
     rcond = data["fbm_rcond"].numpy()[:, 0]
     good = rcond > 1e-2
     np.testing.assert_allclose(
         predicted[good], fmap[good], atol=5e-3
     )
+
+
+def test_filterbin_obs_matrix_high_nside(tmp_path):
+    """The factored observation matrix scales: nside 128 on one device,
+    with ObsMat.apply(input_sky) reproducing the filtered+binned map and
+    the npz round trip preserving it (VERDICT r1 item 5)."""
+    import os
+
+    nside = 128
+    n_pix = 12 * nside * nside
+    data = create_ground_data(n_pix=1, duration_s=600.0)
+    ops.DefaultNoiseModel().apply(data)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    # intensity-only: a single CES scan cannot condition IQU at nside 128
+    weights = ops.StokesWeights(mode="I", detector_pointing=det_pointing)
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+
+    rng = np.random.default_rng(11)
+    sky = rng.normal(size=(n_pix, 1)).astype(np.float32)
+    px = PixelData(data["pixel_dist"], n_value=1, units=u.K)
+    px.set_numpy(sky)
+    data["input_sky"] = px
+    ops.ScanMap(map_key="input_sky", det_data="signal").apply(data)
+
+    fb = ops.FilterBin(
+        name="fbh",
+        binning=binner,
+        poly_filter_order=1,
+        ground_filter_order=2,
+        write_obs_matrix=True,
+        output_dir=str(tmp_path),
+    )
+    fb.apply(data)
+    obsmat = data["obs_matrix"]
+    fmap = data["fbh_map"].numpy()
+
+    predicted = obsmat.apply(sky)
+    rcond = data["fbh_rcond"].numpy()[:, 0]
+    good = rcond > 1e-2
+    assert good.sum() > 100
+    resid = np.abs(predicted[good] - fmap[good])
+    assert np.quantile(resid, 0.99) < 5e-3
+
+    # npz round trip
+    path = os.path.join(tmp_path, "fbh_obs_matrix.npz")
+    assert os.path.exists(path)
+    from toast_tpu.ops import ObsMat
+
+    loaded = ObsMat(path)
+    predicted2 = loaded.apply(sky)
+    np.testing.assert_allclose(predicted2, predicted, rtol=1e-5, atol=1e-6)
+
+    # coadd with itself doubles the unnormalized content but apply stays
+    # consistent: (2 invnpp, 2 corr) with cov halved -> same output
+    loaded.coadd(ObsMat(path))
+    predicted3 = loaded.apply(sky)
+    np.testing.assert_allclose(predicted3, predicted, rtol=1e-4, atol=1e-5)

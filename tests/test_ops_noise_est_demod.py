@@ -28,6 +28,47 @@ def test_noise_estimation_recovers_psd():
     assert abs(plateau / net2 - 1.0) < 0.2
 
 
+def test_cross_psd_recovers_common_mode():
+    """Two detectors sharing an injected common mode: the cross-PSD must
+    recover the common-mode PSD while independent noise averages away
+    (reference noise_estimation_utils.py:259 crosscov_psd capability)."""
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(60.0, u.minute))
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ob = data.obs[0]
+    n = ob.n_local_samples
+    rate = 10.0
+    rng = np.random.default_rng(7)
+    # white common mode at a known level, well above the detector noise
+    # plateau (NET 0.05 -> 2.5e-3 K^2 s); common PSD = sigma^2 / rate
+    sigma = 0.5
+    common = rng.normal(0.0, sigma, n).astype(np.float32)
+    sig = np.asarray(ob.detdata["signal"].data)
+    ob.detdata["signal"].data = sig + common[None, :]
+
+    ops.NoiseEstim(name="est", out_model="noise_est", pairs="ALL").apply(data)
+    est = ob["noise_est"]
+    d0, d1 = ob.local_detectors[:2]
+    key = f"{d0}_x_{d1}"
+    assert key in est.keys
+    f = np.asarray(est.freq(key).value)
+    p = np.asarray(est.psd(key).value)
+    want = sigma**2 / rate
+    plateau = np.median(p[f > 0.5])
+    assert abs(plateau / want - 1.0) < 0.2
+
+    # without a common mode the cross-PSD is consistent with zero at the
+    # common-mode scale
+    data2 = create_satellite_data(n_pix=1, obs_time=Quantity(60.0, u.minute))
+    ops.DefaultNoiseModel().apply(data2)
+    ops.SimNoise().apply(data2)
+    ops.NoiseEstim(name="est", out_model="noise_est", pairs="ALL").apply(data2)
+    est2 = data2.obs[0]["noise_est"]
+    p2 = np.asarray(est2.psd(key).value)
+    f2 = np.asarray(est2.freq(key).value)
+    assert np.abs(np.median(p2[f2 > 0.5])) < 0.05 * want
+
+
 def test_fit_noise_model():
     data = create_satellite_data(n_pix=1, obs_time=Quantity(60.0, u.minute))
     fp = data.obs[0].telescope.focalplane

@@ -310,6 +310,36 @@ def _catmull_rom_w(t):
     return w0, w1, w2, w3
 
 
+def grid_interpolate_np(grid, theta, phi):
+    """Numpy twin of :func:`grid_interpolate` (host-side, for setup paths
+    where device gathers are not worth their transfer/flakiness cost)."""
+    grid = np.asarray(grid)
+    theta = np.asarray(theta, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    n_theta, n_phi = grid.shape[-2], grid.shape[-1]
+    ti = theta * (n_theta / np.pi) - 0.5
+    i1 = np.floor(ti).astype(np.int64)
+    wt = np.clip(ti - i1, 0.0, 1.0)
+    tw = _catmull_rom_w(wt)
+    pk = (phi % (2.0 * np.pi)) * (n_phi / (2.0 * np.pi))
+    k1 = np.floor(pk).astype(np.int64)
+    wp = pk - k1
+    pw = _catmull_rom_w(wp)
+    out = np.zeros(theta.shape, dtype=grid.dtype)
+    for dr, a in zip((-1, 0, 1, 2), tw):
+        r = i1 + dr
+        over = r >= n_theta
+        under = r < 0
+        r_ref = np.where(under, -1 - r, np.where(over, 2 * n_theta - 1 - r, r))
+        shift = np.where(under | over, n_phi // 2, 0)
+        row_val = np.zeros_like(out)
+        for dc, b in zip((-1, 0, 1, 2), pw):
+            c = (k1 + dc + shift) % n_phi
+            row_val = row_val + grid[..., r_ref, c] * b
+        out = out + row_val * a
+    return out
+
+
 @jax.jit
 def grid_interpolate(grid, theta, phi):
     """Bicubic (Catmull-Rom) interpolation of an equiangular-grid map.

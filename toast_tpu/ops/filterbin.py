@@ -172,7 +172,10 @@ class FilterBin(Operator):
             model = jnp.einsum("nk,dk->dn", basis, coeff)
             field.data = field.data.at[didx].set(tod - model * good)
 
-            # observation matrix correction term
+            # observation matrix factors (see ObsMat): per detector,
+            # B_d = F^T N^-1 P restricted to hit pixels and
+            # G_d = (F^T N^-1 F)^-1 — the correction term
+            # sum_d B_d^T G_d B_d is never materialized
             if self.write_obs_matrix:
                 nse = ob[binning.noise_model]
                 wvec = jnp.asarray(
@@ -183,28 +186,29 @@ class FilterBin(Operator):
                 )
                 pix = ob.detdata[binning.pixel_pointing.pixels].data[didx]
                 wts = ob.detdata[binning.stokes_weights.weights].data[didx]
-                nnz = wts.shape[-1]
-                plan = get_bin_plan(pix, n_padded)
                 if obs_correction is None:
-                    obs_correction = jnp.zeros(
-                        (n_padded * nnz, n_padded * nnz), dtype=jnp.float32
-                    )
-                ftf_chol = jnp.linalg.cholesky(ftf)
+                    hits_map = data[f"{self.name}_hits"].numpy()[:, 0]
+                    hit_pix = np.nonzero(hits_map > 0)[0].astype(np.int64)
+                    obs_correction = []
+                hitj = jnp.asarray(hit_pix)
                 for di in range(len(dets)):
-                    # B_d = F^T N^-1 P: bin each template column (k maps)
-                    vals = basis * (good[di] * wvec[di])[:, None]  # (n, k)
+                    # The filter projector is the UNWEIGHTED regression
+                    # Z = I - F (F^T F)^-1 F^T, so the correction term
+                    # P^T N^-1 F (F^T F)^-1 F^T P symmetrizes (with
+                    # N^-1 = w_d I) as w_d * B~^T (F^T F)^-1 B~ with the
+                    # unweighted B~ = F^T P: fold w_d into G.
+                    vals = basis * good[di][:, None]  # (n, k)
                     contrib = (
                         vals.T[:, :, None] * wts[di][None, :, :]
                     )  # (k, n, nnz)
                     dplan = get_bin_plan(pix[di], n_padded)
                     Bd = [
-                        plan_segment_sum(contrib[kk], dplan)
+                        plan_segment_sum(contrib[kk], dplan)[hitj]
                         for kk in range(k)
                     ]
-                    B = jnp.stack(Bd).reshape(k, -1)  # (k, n_padded*nnz)
-                    # correction += B^T (F^T N^-1 F)^-1 B via cholesky solve
-                    y = jax.scipy.linalg.cho_solve((ftf_chol[di], True), B)
-                    obs_correction = obs_correction + B.T @ y
+                    B = np.asarray(jnp.stack(Bd))  # (k, n_hit, nnz)
+                    G = float(wvec[di]) * np.asarray(jnp.linalg.inv(ftf[di]))
+                    obs_correction.append((B, G))
 
         # bin the filtered map
         binning.det_data = self.det_data
@@ -212,7 +216,7 @@ class FilterBin(Operator):
         binning.apply(data, detectors=detectors)
         log.info_rank("FilterBin: filtered map complete", timer=timer)
 
-        # assemble and store the observation matrix
+        # assemble and store the (matrix-free) observation matrix
         if self.write_obs_matrix and obs_correction is not None:
             from .mapmaker_utils import BuildInverseCovariance
 
@@ -230,38 +234,20 @@ class FilterBin(Operator):
             ).apply(data, detectors=detectors)
             invcov = data[invcov_key]
             nnz = 3 if invcov.n_value == 6 else 1
-            # expand block-diagonal P^T N^-1 P to the dense layout
-            n_p = n_padded
-            dense = np.zeros((n_p * nnz, n_p * nnz), dtype=np.float32)
-            tri = invcov.numpy()
-            rows = [0, 0, 0, 1, 1, 2][: tri.shape[1]]
-            colsi = [0, 1, 2, 1, 2, 2][: tri.shape[1]]
-            pixidx = np.arange(invcov.distribution.n_pix)
-            for t, (r, c) in enumerate(zip(rows, colsi)):
-                dense[pixidx * nnz + r, pixidx * nnz + c] = tri[:, t]
-                dense[pixidx * nnz + c, pixidx * nnz + r] = tri[:, t]
-            # reorder obs_correction from (pix-major per stokes stacking) to
-            # interleaved: our B columns are (n_padded * nnz) with pixel-major
-            # blocks [pix, stokes]; dense uses pix*nnz+stokes -- same layout
-            corr = np.asarray(obs_correction)[: n_p * nnz, : n_p * nnz]
-            mat = dense - corr
-            # left-multiply by the white-noise covariance C
-            cov = data[cov_key]
-            ctri = cov.numpy()
-            cdense = np.zeros_like(dense)
-            for t, (r, c) in enumerate(zip(rows, colsi)):
-                cdense[pixidx * nnz + r, pixidx * nnz + c] = ctri[:, t]
-                cdense[pixidx * nnz + c, pixidx * nnz + r] = ctri[:, t]
-            obsmat = cdense @ mat
+            obsmat = ObsMat()
+            obsmat.init_from_factors(
+                n_pix=invcov.distribution.n_pix,
+                nnz=nnz,
+                hit_pix=hit_pix,
+                invnpp_tri=invcov.numpy()[hit_pix],
+                factors=obs_correction,
+                rcond_threshold=1.0e-8,
+            )
             data[self.obs_matrix] = obsmat
             if self.output_dir is not None:
                 os.makedirs(self.output_dir, exist_ok=True)
-                import scipy.sparse as sp
-
-                sparse = sp.csr_matrix(obsmat)
-                sp.save_npz(
-                    os.path.join(self.output_dir, f"{self.name}_obs_matrix.npz"),
-                    sparse,
+                obsmat.save(
+                    os.path.join(self.output_dir, f"{self.name}_obs_matrix.npz")
                 )
 
         binning.det_data, binning.binned, binning.covariance = saved
@@ -279,37 +265,194 @@ class FilterBin(Operator):
                     )
 
 
+def _tri_rowscols(nnz):
+    rows = [0, 0, 0, 1, 1, 2][: nnz * (nnz + 1) // 2]
+    cols = [0, 1, 2, 1, 2, 2][: nnz * (nnz + 1) // 2]
+    return rows, cols
+
+
+def _tri_matvec(tri, x):
+    """Per-pixel symmetric (packed upper-tri) matrix times vector."""
+    nnz = x.shape[-1]
+    rows, cols = _tri_rowscols(nnz)
+    out = np.zeros_like(x)
+    for t, (r, c) in enumerate(zip(rows, cols)):
+        out[:, r] += tri[:, t] * x[:, c]
+        if r != c:
+            out[:, c] += tri[:, t] * x[:, r]
+    return out
+
+
+def _tri_invert(tri, nnz, rcond_threshold):
+    """Per-pixel inversion of packed symmetric matrices with an rcond cut
+    (numpy twin of pixels/covariance.py, for host-side ObsMat work)."""
+    n = tri.shape[0]
+    rows, cols = _tri_rowscols(nnz)
+    full = np.zeros((n, nnz, nnz), dtype=np.float64)
+    for t, (r, c) in enumerate(zip(rows, cols)):
+        full[:, r, c] = tri[:, t]
+        full[:, c, r] = tri[:, t]
+    w = np.linalg.eigvalsh(full)
+    rcond = np.where(w[:, -1] > 0, np.abs(w[:, 0]) / np.maximum(w[:, -1], 1e-30), 0.0)
+    good = rcond > rcond_threshold
+    inv = np.zeros_like(full)
+    if good.any():
+        inv[good] = np.linalg.inv(full[good])
+    out = np.zeros_like(tri)
+    for t, (r, c) in enumerate(zip(rows, cols)):
+        out[:, t] = inv[:, r, c]
+    return out
+
+
 class ObsMat:
-    """Observation matrix load/apply/coadd (reference ``ops/obsmat.py:20``)."""
+    """Matrix-free observation matrix (reference ``ops/obsmat.py:20``,
+    CSR accumulation ``_libtoast/ops_filterbin.cpp:482``).
+
+    The reference materializes M_obs as a CSR matrix, which caps the
+    resolution memory can afford.  Here the matrix is kept in its exact
+    factored form over the HIT pixels,
+
+        M = C_hit [ invnpp_hit  -  sum_i B_i^T G_i B_i ]
+
+    with per-(obs, detector) factors ``B_i = F^T N^-1 P`` of shape
+    (n_templates, n_hit, nnz) and ``G_i = (F^T N^-1 F)^-1`` — a few MB at
+    any nside.  ``apply`` costs O(n_hit * n_templates); ``to_dense``
+    materializes the full matrix for small cases.
+    """
 
     def __init__(self, filename=None):
         self.filename = filename
-        self.matrix = None
+        self.n_pix = 0
+        self.stokes = 0
+        self.hit_pix = None
+        self.invnpp_tri = None
+        self.factors = []
+        self.rcond_threshold = 1.0e-8
+        self._cov_tri = None
         if filename is not None:
             self.load()
 
-    def load(self, filename=None):
-        import scipy.sparse as sp
-
-        if filename is not None:
-            self.filename = filename
-        self.matrix = sp.load_npz(self.filename)
+    def init_from_factors(
+        self, n_pix, nnz, hit_pix, invnpp_tri, factors, rcond_threshold=1.0e-8
+    ):
+        self.n_pix = int(n_pix)
+        self.stokes = int(nnz)
+        self.hit_pix = np.asarray(hit_pix, dtype=np.int64)
+        self.invnpp_tri = np.asarray(invnpp_tri, dtype=np.float64)
+        self.factors = [
+            (np.asarray(B, dtype=np.float64), np.asarray(G, dtype=np.float64))
+            for B, G in factors
+        ]
+        self.rcond_threshold = float(rcond_threshold)
+        self._cov_tri = None
         return self
 
+    @property
+    def cov_tri(self):
+        if self._cov_tri is None:
+            self._cov_tri = _tri_invert(
+                self.invnpp_tri, self.stokes, self.rcond_threshold
+            )
+        return self._cov_tri
+
     def apply(self, map_arr):
-        """Apply to a flattened (n_pix * nnz,) map vector or (n_pix, nnz)."""
-        arr = np.asarray(map_arr)
+        """Apply to an (n_pix, nnz) map (or flat vector); returns same shape."""
+        arr = np.asarray(map_arr, dtype=np.float64)
         shape = arr.shape
-        out = self.matrix @ arr.reshape(-1)
-        return out.reshape(shape)
+        x_full = arr.reshape(self.n_pix, self.stokes)
+        x = x_full[self.hit_pix]
+        y = _tri_matvec(self.invnpp_tri, x)
+        for B, G in self.factors:
+            t = np.einsum("khn,hn->k", B, x)
+            y -= np.einsum("khn,k->hn", B, G @ t)
+        out_h = _tri_matvec(self.cov_tri, y)
+        out = np.zeros((self.n_pix, self.stokes))
+        out[self.hit_pix] = out_h
+        return out.reshape(shape).astype(np.asarray(map_arr).dtype)
 
     def coadd(self, other):
-        if self.matrix is None:
-            self.matrix = other.matrix
-        else:
-            self.matrix = self.matrix + other.matrix
+        """Accumulate another observation matrix (same pixelization)."""
+        if self.hit_pix is None:
+            self.init_from_factors(
+                other.n_pix,
+                other.stokes,
+                other.hit_pix,
+                other.invnpp_tri,
+                other.factors,
+                other.rcond_threshold,
+            )
+            return self
+        if other.n_pix != self.n_pix or other.stokes != self.stokes:
+            raise ValueError("coadd requires matching pixelization")
+        union = np.union1d(self.hit_pix, other.hit_pix)
+        rank = np.full(self.n_pix, -1, dtype=np.int64)
+        rank[union] = np.arange(len(union))
+        inv = np.zeros((len(union), self.invnpp_tri.shape[1]))
+        inv[rank[self.hit_pix]] += self.invnpp_tri
+        inv[rank[other.hit_pix]] += other.invnpp_tri
+
+        def remap(factors, old_hits):
+            out = []
+            for B, G in factors:
+                nb = np.zeros((B.shape[0], len(union), B.shape[2]))
+                nb[:, rank[old_hits], :] = B
+                out.append((nb, G))
+            return out
+
+        self.factors = remap(self.factors, self.hit_pix) + remap(
+            other.factors, other.hit_pix
+        )
+        self.hit_pix = union
+        self.invnpp_tri = inv
+        self._cov_tri = None
+        return self
+
+    def to_dense(self):
+        """Materialize the full (n_pix*nnz, n_pix*nnz) matrix (small cases)."""
+        n = self.n_pix * self.stokes
+        out = np.zeros((n, n))
+        eye = np.eye(n)
+        for j in range(n):
+            out[:, j] = self.apply(eye[:, j].reshape(self.n_pix, self.stokes)).ravel()
+        return out
+
+    def save(self, filename=None):
+        if filename is not None:
+            self.filename = filename
+        payload = {
+            "n_pix": self.n_pix,
+            "stokes": self.stokes,
+            "hit_pix": self.hit_pix,
+            "invnpp_tri": self.invnpp_tri,
+            "rcond_threshold": self.rcond_threshold,
+            "n_factors": len(self.factors),
+        }
+        for i, (B, G) in enumerate(self.factors):
+            payload[f"B{i}"] = B.astype(np.float32)
+            payload[f"G{i}"] = G
+        np.savez_compressed(self.filename, **payload)
+        return self
+
+    def load(self, filename=None):
+        if filename is not None:
+            self.filename = filename
+        with np.load(self.filename) as f:
+            self.n_pix = int(f["n_pix"])
+            self.stokes = int(f["stokes"])
+            self.hit_pix = f["hit_pix"]
+            self.invnpp_tri = f["invnpp_tri"].astype(np.float64)
+            self.rcond_threshold = float(f["rcond_threshold"])
+            nf = int(f["n_factors"])
+            self.factors = [
+                (f[f"B{i}"].astype(np.float64), f[f"G{i}"]) for i in range(nf)
+            ]
+        self._cov_tri = None
         return self
 
     @property
     def nnz(self):
-        return self.matrix.nnz if self.matrix is not None else 0
+        """Stored element count (factored representation)."""
+        n = 0 if self.invnpp_tri is None else self.invnpp_tri.size
+        for B, G in self.factors:
+            n += B.size + G.size
+        return n

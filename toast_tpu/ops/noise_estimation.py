@@ -56,6 +56,104 @@ def smooth_with_hits(hits, values, wbin):
     return hs, out
 
 
+def communicate_overlap(times, signal, flags, lagmax, comm=None):
+    """Extend a sample-distributed stream across shard boundaries
+    (reference ``noise_estimation_utils.py:105``).
+
+    The reference exchanges ``lagmax`` boundary samples between MPI
+    processes holding adjacent sample ranges so lag covariances spanning
+    the cut are correct.  Here a process owns whole observations (sample
+    sharding lives on the device mesh and the estimator gathers to host),
+    so the stream is already complete; the API is kept for workflow parity.
+    """
+    return times, signal, flags
+
+
+def crosscov_psd(
+    times,
+    signal1,
+    signal2,
+    good,
+    lagmax,
+    rate,
+    stationary_period=None,
+    symmetric=False,
+):
+    """Lag-domain (cross-)covariance -> cross-PSD
+    (reference ``noise_estimation_utils.py:259``).
+
+    The flag-aware biased cross-covariance is computed for lags in
+    [-lagmax, lagmax) with one pair of FFTs (the reference's
+    ``fod_crosssums`` lag loop, ``toast_fod_psd.cpp:49``, evaluated in the
+    Fourier domain), hit-normalized, Hann-windowed, and transformed to a
+    spectral density.
+
+    Args:
+        times: (n,) timestamps.
+        signal1/signal2: (n,) streams (signal2 None -> auto-PSD).
+        good: (n,) bool mask.
+        lagmax: largest lag to evaluate.
+        rate: sampling rate [Hz].
+        stationary_period: optional split into independent stretches
+            [seconds]; None = one stretch.
+        symmetric: average positive and negative lags (real cross-PSD).
+
+    Returns:
+        list of (t_start, t_stop, freqs, psd) per stationary stretch.
+    """
+    times = np.asarray(times, dtype=np.float64)
+    auto = signal2 is None
+    if auto:
+        signal2 = signal1
+        symmetric = True
+
+    if stationary_period is None or stationary_period <= 0:
+        bounds = [(0, len(times))]
+    else:
+        nreal = max(1, int(np.ceil((times[-1] - times[0]) / stationary_period)))
+        ireal = np.minimum(
+            ((times - times[0]) / stationary_period).astype(np.int64), nreal - 1
+        )
+        bounds = [
+            (int(np.searchsorted(ireal, r)), int(np.searchsorted(ireal, r + 1)))
+            for r in range(nreal)
+        ]
+
+    out = []
+    for lo, hi in bounds:
+        n = hi - lo
+        if n < 2 * lagmax:
+            continue
+        g = good[lo:hi].astype(np.float64)
+        s1 = np.asarray(signal1[lo:hi], dtype=np.float64) * g
+        s2 = np.asarray(signal2[lo:hi], dtype=np.float64) * g
+        nfft = int(2 ** np.ceil(np.log2(2 * n)))
+        f1 = np.fft.rfft(s1, nfft)
+        f2 = np.fft.rfft(s2, nfft)
+        corr = np.fft.irfft(np.conj(f1) * f2, nfft)
+        fh = np.fft.rfft(g, nfft)
+        hits = np.fft.irfft(fh * np.conj(fh), nfft)
+        pos = corr[:lagmax].copy()
+        neg = np.concatenate([corr[:1], corr[-lagmax + 1 :][::-1]])
+        hpos = np.maximum(hits[:lagmax], 0.5)
+        pos /= hpos
+        neg /= hpos  # |hits(-lag)| == |hits(lag)| for a single mask
+        if symmetric:
+            pos = 0.5 * (pos + neg)
+            neg = pos
+        window = np.hanning(2 * lagmax)[lagmax:]
+        # assemble the two-sided windowed covariance in FFT order:
+        # [c(0), c(1), ..., c(lagmax-1), c(-lagmax+1), ..., c(-1)]
+        two_sided = np.concatenate(
+            [pos * window, (neg[1:] * window[1:])[::-1]]
+        )
+        spec = np.fft.rfft(two_sided)
+        psd = np.real(spec)[:lagmax] / rate
+        freqs = np.fft.rfftfreq(2 * lagmax - 1, 1.0 / rate)[:lagmax]
+        out.append((times[lo], times[hi - 1], freqs[1:], psd[1:]))
+    return out
+
+
 def autocov_psd(times, signal, good, lagmax, stationary_period, rate):
     """Lag-domain autocovariance -> PSD (reference ``:203``), single stream.
 
@@ -95,7 +193,12 @@ class NoiseEstim(Operator):
     lagmax = Int(0, help="If > 0, use the lag autocovariance method")
     naverage = Int(100, help="Running-average highpass width (samples)")
     segment_samples = Int(0, help="Welch segment length (0 = auto, n/8)")
-    pairs = Unicode(None, allow_none=True, help="Unused (cross-PSD pairs)")
+    pairs = Unicode(
+        None,
+        allow_none=True,
+        help="Cross-PSD pairs: 'detA:detB,detC:detD' or 'ALL' for every "
+        "unordered detector pair",
+    )
     mapfile = Unicode(None, allow_none=True, help="Map to subtract (data key)")
     pixel_pointing = Unicode(None, allow_none=True)
 
@@ -174,6 +277,49 @@ class NoiseEstim(Operator):
                     pb = np.append(pb, pb[-1])
                 freqs[det] = fb
                 psds[det] = pb
+            # cross-PSDs (reference cross path: fod_crosssums /
+            # crosscov_psd): stored as extra streams "<d1>_x_<d2>"
+            if self.pairs is not None:
+                if self.pairs == "ALL":
+                    pair_list = [
+                        (dets[i], dets[j])
+                        for i in range(len(dets))
+                        for j in range(i + 1, len(dets))
+                    ]
+                else:
+                    pair_list = []
+                    for item in self.pairs.split(","):
+                        d1, d2 = item.split(":")
+                        if d1.strip() in dets and d2.strip() in dets:
+                            pair_list.append((d1.strip(), d2.strip()))
+                lagmax = self.lagmax if self.lagmax > 0 else min(n // 4, 4096)
+                t_arr = np.asarray(ob.shared[self.times])
+                dmap = {d: i for i, d in enumerate(dets)}
+                for d1, d2 in pair_list:
+                    i1, i2 = dmap[d1], dmap[d2]
+                    both = good[i1] & good[i2]
+                    results = crosscov_psd(
+                        t_arr,
+                        tod[i1],
+                        tod[i2],
+                        both,
+                        lagmax,
+                        rate,
+                        symmetric=True,
+                    )
+                    if not results:
+                        continue
+                    _, _, cf, cp = results[0]
+                    hb, pb = smooth_with_hits(
+                        np.ones(len(cp)), cp, max(1, len(cp) // self.nbin_psd)
+                    )
+                    _, fb = smooth_with_hits(
+                        np.ones(len(cf)), cf, max(1, len(cf) // self.nbin_psd)
+                    )
+                    key = f"{d1}_x_{d2}"
+                    freqs[key] = fb[hb > 0]
+                    psds[key] = pb[hb > 0]
+
             model = Noise(detectors=dets, freqs=freqs, psds=psds)
             out_key = self.out_model if self.out_model is not None else f"{self.name}_noise"
             ob[out_key] = model

@@ -161,21 +161,11 @@ def make_input_sky(nside, lmax=1024, seed=123456789, fwhm_arcmin=3.0):
     n_pix = 12 * nside * nside
     pix = np.arange(n_pix, dtype=np.int64)
     theta, phi = nest2ang(nside, pix)
-    theta = jnp.asarray(theta, jnp.float32)
-    phi = jnp.asarray(phi, jnp.float32)
+    # host-side interpolation: a one-time setup step, and the axon tunnel
+    # intermittently fails the 12.6M-point device gather
     out = np.empty((n_pix, 3), dtype=np.float32)
     for col, grid in enumerate((T_grid, Q_grid, U_grid)):
-        # the axon tunnel intermittently fails large device->host reads
-        # with UNIMPLEMENTED; the programs are deterministic, so retry
-        for attempt in range(3):
-            try:
-                vals = sht.grid_interpolate(grid, theta, phi)
-                jax.block_until_ready(vals)
-                out[:, col] = np.asarray(vals)
-                break
-            except Exception:
-                if attempt == 2:
-                    raise
+        out[:, col] = sht.grid_interpolate_np(np.asarray(grid), theta, phi)
     np.save(cache, out)
     return out
 
