@@ -51,6 +51,143 @@ def test_atm_red_spectrum():
     assert p[lo].mean() > 30 * p[hi].mean()
 
 
+def test_atm_screen_spatial_slope_kolmogorov():
+    """The 2-D screen power spectrum follows the von Karman slope -11/3 in
+    the inertial range (ref toast_atm_sim.cpp:28 Kolmogorov spectrum)."""
+    from toast_tpu.ops.sim_atm import kolmogorov_screen
+
+    n = 512
+    dtheta = 1.0e-3
+    scr = np.asarray(
+        kolmogorov_screen(n, dtheta, l0_rad=n * dtheta, key=(1, 2))
+    ).astype(np.float64)
+    f2 = np.abs(np.fft.fft2(scr)) ** 2
+    kx = np.fft.fftfreq(n, dtheta)
+    kk = np.hypot(kx[:, None], kx[None, :])
+    # azimuthal average in log-spaced annuli within the inertial range
+    kmin, kmax = 4 / (n * dtheta), 0.25 / dtheta
+    edges = np.logspace(np.log10(kmin), np.log10(kmax), 12)
+    kcen, pk = [], []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sel = (kk >= lo) & (kk < hi)
+        if sel.sum() > 8:
+            kcen.append(np.sqrt(lo * hi))
+            pk.append(f2[sel].mean())
+    slope = np.polyfit(np.log(kcen), np.log(pk), 1)[0]
+    assert abs(slope - (-11.0 / 3.0)) < 0.35, slope
+
+
+def test_atm_temporal_psd_slope():
+    """A staring detector through the advected frozen screen sees a
+    temporal PSD with the Kolmogorov 1-D slope ~ -8/3 in the inertial
+    range (Taylor frozen-flow hypothesis)."""
+    data, ob = _make(duration_s=600.0, n_pix=1)
+    tod = ob.detdata["signal"].numpy()[0].astype(np.float64)
+    tod -= tod.mean()
+    n = len(tod)
+    rate = 1.0 / np.median(np.diff(np.asarray(ob.shared["times"])))
+    psd = np.abs(np.fft.rfft(tod * np.hanning(n))) ** 2
+    f = np.fft.rfftfreq(n, 1.0 / rate)
+    sel = (f > 0.05) & (f < 1.0)
+    slope = np.polyfit(np.log(f[sel]), np.log(psd[sel]), 1)[0]
+    assert -4.0 < slope < -1.7, slope
+
+
+def test_atm_detector_correlation_decreases_with_separation():
+    """Pair correlation falls with focalplane angular separation
+    (ref: the covariance model of toast_atm_sim.cpp)."""
+    data, ob = _make(duration_s=300.0, n_pix=19)
+    fp = ob.telescope.focalplane
+    from toast_tpu.math import qarray as qa
+
+    tod = ob.detdata["signal"].numpy().astype(np.float64)
+    tod -= tod.mean(axis=1, keepdims=True)
+    corr = np.corrcoef(tod)
+    quats = np.array([fp[d]["quat"] for d in ob.local_detectors])
+    vecs = qa.rotate(quats, np.broadcast_to([0.0, 0.0, 1.0], quats.shape[:-1] + (3,)))
+    seps, cors = [], []
+    nd = len(ob.local_detectors)
+    for i in range(nd):
+        for j in range(i + 1, nd):
+            cosang = np.clip(np.dot(vecs[i], vecs[j]), -1, 1)
+            seps.append(np.arccos(cosang))
+            cors.append(corr[i, j])
+    seps = np.array(seps)
+    cors = np.array(cors)
+    close = cors[seps < np.quantile(seps, 0.2)].mean()
+    far = cors[seps > np.quantile(seps, 0.8)].mean()
+    assert close > far
+
+
+def test_atm_band_absorption_and_loading():
+    """Higher-frequency bands see more atmosphere: absorption and loading
+    increase from 90 to 150 to 280 GHz, and loading grows with pwv
+    (ref toast_atm_utils.cpp:82-203 capability)."""
+    from toast_tpu.ops.atm_utils import (
+        atm_absorption_coefficient,
+        atm_atmospheric_loading,
+        band_averaged,
+    )
+
+    vals = [
+        band_averaged(
+            lambda nu: atm_absorption_coefficient(5000.0, 270.0, 0, 1.0, nu),
+            bc,
+            0.25 * bc,
+        )
+        for bc in (90.0, 150.0, 280.0)
+    ]
+    assert vals[0] < vals[1] < vals[2]
+    assert 0.005 < vals[0] < 0.05
+    loads = [
+        atm_atmospheric_loading(5000.0, 270.0, 0, pwv, 150.0) for pwv in (0.5, 2.0, 6.0)
+    ]
+    assert loads[0] < loads[1] < loads[2]
+    assert loads[2] < 270.0
+
+    # the operator picks the band up from the focalplane: a 280 GHz array
+    # sees a larger atmosphere signal than a 90 GHz array
+    amps = {}
+    for bc in (90.0, 280.0):
+        data = create_ground_data(n_pix=1, duration_s=120.0)
+        ob = data.obs[0]
+        fp = ob.telescope.focalplane
+        fp.detector_data["bandcenter"][:] = bc
+        ob.detdata.create("signal", units=u.K)
+        ops.SimAtmosphere(add_loading=False).apply(data)
+        amps[bc] = np.std(ob.detdata["signal"].numpy())
+    assert amps[280.0] > 2.0 * amps[90.0]
+
+
+def test_atm_cache_and_polarization(tmp_path):
+    """Screen realizations round-trip through the disk cache, and the
+    polarization option perturbs the signal by the expected magnitude."""
+    import os
+
+    data1 = create_ground_data(n_pix=1, duration_s=120.0)
+    data1.obs[0].detdata.create("signal", units=u.K)
+    ops.SimAtmosphere(add_loading=False, cache_dir=str(tmp_path)).apply(data1)
+    cached = [f for f in os.listdir(tmp_path) if f.startswith("atm_")]
+    assert len(cached) == 1
+    data2 = create_ground_data(n_pix=1, duration_s=120.0)
+    data2.obs[0].detdata.create("signal", units=u.K)
+    ops.SimAtmosphere(add_loading=False, cache_dir=str(tmp_path)).apply(data2)
+    np.testing.assert_array_equal(
+        data1.obs[0].detdata["signal"].numpy(),
+        data2.obs[0].detdata["signal"].numpy(),
+    )
+
+    data3 = create_ground_data(n_pix=1, duration_s=120.0)
+    data3.obs[0].detdata.create("signal", units=u.K)
+    ops.SimAtmosphere(
+        add_loading=False, polarization_fraction=0.2, cache_dir=str(tmp_path)
+    ).apply(data3)
+    a = data1.obs[0].detdata["signal"].numpy()
+    b = data3.obs[0].detdata["signal"].numpy()
+    rel = np.abs(b - a).max() / np.abs(a).max()
+    assert 0.001 < rel < 0.5
+
+
 def test_atm_scales_with_pwv_and_airmass():
     data, ob = _make(duration_s=120.0, n_pix=1)
     rms1 = ob.detdata["signal"].numpy().std()

@@ -111,7 +111,11 @@ class SimAtmosphere(Operator):
     elevation = Unicode(defaults.elevation)
     realization = Int(0)
     component = Int(123456, help="RNG component for atmosphere")
-    gain = Float(3.0e-4, help="Scale factor from unit screen to Kelvin per mm PWV")
+    gain = Float(
+        1.0e-2,
+        help="Dimensionless calibration from (unit screen x band absorption "
+        "x airmass) to Kelvin",
+    )
     lmin_center = Quantity(Qty(0.01, u.meter), help="Unused (API compat)")
     lmax_center = Quantity(Qty(300.0, u.meter), help="Outer turbulence scale")
     n_screen = Int(3, help="Number of frozen screens (altitudes)")
@@ -119,8 +123,18 @@ class SimAtmosphere(Operator):
     wind_dispersion = Float(0.3, help="Fractional wind spread between screens")
     scale_heights = Unicode("1000,2000,4000", help="Screen altitudes in meters")
     add_loading = Bool(True, help="Add elevation-dependent mean loading")
-    cache_dir = Unicode(None, allow_none=True, help="Unused (no disk cache needed)")
-    polarization_fraction = Float(0.0, help="Unused (unpolarized atmosphere)")
+    cache_dir = Unicode(
+        None,
+        allow_none=True,
+        help="Directory for cached screen realizations (reference "
+        "sim_tod_atm_generate.py:301 disk cache analog)",
+    )
+    polarization_fraction = Float(
+        0.0,
+        help="Fractional atmospheric polarization, projected with "
+        "(1 - sin(el)) and the detector polarization angle "
+        "(reference sim_tod_atm_observe polarized-atmosphere option)",
+    )
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
@@ -192,13 +206,33 @@ class SimAtmosphere(Operator):
             span = max(az_span, el_span)
             dtheta = span / (n - 2)
             l0 = self.lmax_center.to_value(u.meter) / min(heights)  # angular L0
-            for s in range(len(heights)):
-                scr = kolmogorov_screen(
-                    n, dtheta, max(l0, 4 * dtheta), (key1, (sindx << 8) | s)
+            # screen realization cache (reference disk cache,
+            # sim_tod_atm_generate.py:301): keyed by RNG identity + geometry
+            cache_path = None
+            if self.cache_dir is not None:
+                import os
+
+                os.makedirs(self.cache_dir, exist_ok=True)
+                cache_path = os.path.join(
+                    self.cache_dir,
+                    f"atm_{self.realization}_{telescope}_{sindx}_"
+                    f"{n}_{dtheta:.6e}_{len(heights)}.npz",
                 )
-                # higher screens contribute less power
-                screens.append(scr / (s + 1.0))
-            screens = jnp.asarray(np.stack(screens))
+            if cache_path is not None and os.path.exists(cache_path):
+                with np.load(cache_path) as f:
+                    screens = jnp.asarray(f["screens"])
+            else:
+                stack = []
+                for s in range(len(heights)):
+                    scr = kolmogorov_screen(
+                        n, dtheta, max(l0, 4 * dtheta), (key1, (sindx << 8) | s)
+                    )
+                    # higher screens contribute less power
+                    stack.append(scr / (s + 1.0))
+                stack = np.stack(stack)
+                if cache_path is not None:
+                    np.savez_compressed(cache_path, screens=stack)
+                screens = jnp.asarray(stack)
 
             atm = _observe_screens(
                 screens,
@@ -211,16 +245,95 @@ class SimAtmosphere(Operator):
                 jnp.asarray(tvec),
                 jnp.asarray(np.array(rates, dtype=np.float32)),
             )
-            # amplitude: gain * pwv, scaled by airmass (1/sin el)
+            # band-dependent amplitude (reference: gain calibrated by PWV
+            # absorption via libaatm; here ops/atm_utils.py tables):
+            # fluctuations trace the wet absorption of each detector band,
+            # the loading offset follows the total-opacity sky temperature.
+            from .atm_utils import (
+                atm_absorption_coefficient,
+                atm_atmospheric_loading,
+                band_averaged,
+            )
+
+            fp = ob.telescope.focalplane
+            alt_m = 5000.0
+            temp_k = 270.0
+            if weather is not None:
+                try:
+                    temp_k = weather.air_temperature.to_value(u.K)
+                except AttributeError:
+                    pass
+            if hasattr(site, "alt"):
+                try:
+                    alt_m = site.alt.to_value(u.meter)
+                except (AttributeError, ValueError):
+                    pass
+
+            def _band(det):
+                # focalplane stores bandcenter/bandwidth in GHz
+                try:
+                    bc = float(fp[det]["bandcenter"])
+                    bw = float(fp[det]["bandwidth"])
+                except (KeyError, TypeError, ValueError):
+                    bc, bw = 150.0, 20.0
+                if bc > 1.0e9:  # Hz-valued table
+                    bc, bw = bc / 1.0e9, bw / 1.0e9
+                if not (10.0 < bc < 1000.0):
+                    bc, bw = 150.0, 20.0
+                return bc, max(bw, 1.0)
+
+            absorp = np.empty(len(dets), dtype=np.float32)
+            loading = np.empty(len(dets), dtype=np.float32)
+            band_cache = {}
+            for i, det in enumerate(dets):
+                band = _band(det)
+                if band not in band_cache:
+                    band_cache[band] = (
+                        band_averaged(
+                            lambda nu: atm_absorption_coefficient(
+                                alt_m, temp_k, 0, pwv_mm, nu
+                            ),
+                            band[0],
+                            band[1],
+                        ),
+                        band_averaged(
+                            lambda nu: atm_atmospheric_loading(
+                                alt_m, temp_k, 0, pwv_mm, nu
+                            ),
+                            band[0],
+                            band[1],
+                        ),
+                    )
+                absorp[i], loading[i] = band_cache[band]
+
             airmass = 1.0 / jnp.sin(jnp.asarray(el_det))
-            tod = self.gain * pwv_mm * atm * airmass
+            tod = self.gain * jnp.asarray(absorp)[:, None] * atm * airmass
+            if self.polarization_fraction != 0.0:
+                # polarized atmosphere (reference sim_tod_atm_observe
+                # option): fraction grows toward the horizon, projected on
+                # the detector polarization angle gamma
+                try:
+                    gamma = np.array(
+                        [float(fp[d].get("gamma", 0.0)) for d in dets],
+                        dtype=np.float32,
+                    )
+                except (KeyError, TypeError, AttributeError):
+                    gamma = np.zeros(len(dets), dtype=np.float32)
+                pol = (
+                    self.polarization_fraction
+                    * (1.0 - jnp.sin(jnp.asarray(el_det)))
+                    * jnp.cos(2.0 * jnp.asarray(gamma))[:, None]
+                )
+                tod = tod * (1.0 + pol)
             if self.add_loading:
-                tod = tod + self.gain * pwv_mm * 10.0 * airmass
+                tod = tod + jnp.asarray(loading)[:, None] * airmass
             ob.detdata.ensure(self.det_data, detectors=dets, create_units=u.K)
             field = ob.detdata[self.det_data]
             field.data = field.data.at[didx].add(tod.astype(jnp.float32))
             log.debug(
-                f"SimAtmosphere: {ob.name} pwv={pwv_mm:.2f}mm wind={wind_speed:.1f}m/s"
+                f"SimAtmosphere: {ob.name} pwv={pwv_mm:.2f}mm "
+                f"wind={wind_speed:.1f}m/s abs[0]={absorp[0]:.4f} "
+                f"load[0]={loading[0]:.2f}K"
             )
 
     def _requires(self):

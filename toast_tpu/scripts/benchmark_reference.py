@@ -149,23 +149,59 @@ def make_input_sky(nside, lmax=1024, seed=123456789, fwhm_arcmin=3.0):
 
     n_theta = 2 * (lmax + 1)
     n_phi = 2 * n_theta
-    # Explicit syncs between the large SHT programs: the axon TPU tunnel
-    # mishandles deeply queued async dispatch of these multi-second
-    # programs (UNIMPLEMENTED errors that vanish with a barrier).
-    T_grid = sht.synthesize_grid_T(jnp.asarray(aT), lmax, n_theta, n_phi)
-    jax.block_until_ready(T_grid)
-    Q_grid, U_grid = sht.synthesize_grid_pol(
-        jnp.asarray(aE), jnp.asarray(aB), lmax, n_theta, n_phi
-    )
-    jax.block_until_ready((Q_grid, U_grid))
+    # Chunked synthesis: the Legendre recurrence runs on device in short
+    # ring batches (the axon tunnel intermittently fails D2H reads issued
+    # after multi-second programs), the phi synthesis and pixel-center
+    # interpolation run host-side in numpy — all one-time setup work.
+    thetas = np.pi * (np.arange(n_theta) + 0.5) / n_theta
+    chunk = 256
+    split = jax.jit(lambda c: (jnp.real(c), jnp.imag(c)))
+
+    def ring_coeffs_host(alm, spin):
+        alm_j = jnp.asarray(alm.astype(np.complex64))
+        out = np.empty((n_theta, lmax + 1), dtype=np.complex128)
+        for s0 in range(0, n_theta, chunk):
+            th = thetas[s0 : s0 + chunk]
+            pad = chunk - len(th)
+            th_j = jnp.asarray(
+                np.pad(th, (0, pad), constant_values=np.pi / 2), jnp.float32
+            )
+            F = sht.ring_coeffs(alm_j, th_j, lmax, spin=spin)
+            fr, fi = split(F)
+            jax.block_until_ready((fr, fi))
+            fr = np.asarray(fr)[: len(th)]
+            fi = np.asarray(fi)[: len(th)]
+            out[s0 : s0 + len(th)] = fr + 1j * fi
+        return out
+
+    def ring_ifft_host(C, phi0=0.0):
+        """Host twin of sht._ring_ifft: S = Re sum_m C_m e^{im phi}."""
+        n_half = n_phi // 2 + 1
+        X = np.zeros((C.shape[0], n_half), dtype=np.complex128)
+        X[:, : C.shape[1]] = C * (0.5 * n_phi)
+        X[:, 0] = np.real(C[:, 0]) * n_phi
+        return np.fft.irfft(X, n=n_phi, axis=-1)
+
+    GT = ring_coeffs_host(aT, 0)
+    scale = np.where(np.arange(lmax + 1) > 0, 2.0, 1.0)
+    T_grid = ring_ifft_host(GT * scale)
+    del GT
+    Fp = ring_coeffs_host(-(aE + 1j * aB), 2)
+    Fm = ring_coeffs_host(-(aE - 1j * aB), -2)
+    Cq = Fp + Fm
+    Cq[:, 0] = Fp[:, 0]
+    Q_grid = ring_ifft_host(Cq)
+    Cu = -1j * (Fp - Fm)
+    Cu[:, 0] = -1j * Fp[:, 0]
+    U_grid = ring_ifft_host(Cu)
+    del Fp, Fm, Cq, Cu
+
     n_pix = 12 * nside * nside
     pix = np.arange(n_pix, dtype=np.int64)
     theta, phi = nest2ang(nside, pix)
-    # host-side interpolation: a one-time setup step, and the axon tunnel
-    # intermittently fails the 12.6M-point device gather
     out = np.empty((n_pix, 3), dtype=np.float32)
     for col, grid in enumerate((T_grid, Q_grid, U_grid)):
-        out[:, col] = sht.grid_interpolate_np(np.asarray(grid), theta, phi)
+        out[:, col] = sht.grid_interpolate_np(grid, theta, phi)
     np.save(cache, out)
     return out
 
