@@ -94,6 +94,123 @@ def test_sim_ground_structure():
     assert ob.telescope.site.weather.pwv.value > 0
 
 
+def test_sim_ground_el_modulation():
+    """Continuous and stepped elevation modulation + el-nods
+    (reference ops/sim_ground.py:172-198,265)."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.models import (
+        Data,
+        GroundScan,
+        GroundSchedule,
+        GroundSite,
+        Telescope,
+        fake_hexagon_focalplane,
+    )
+    from toast_tpu.parallel import Comm
+
+    def make_data(**simkw):
+        fp = fake_hexagon_focalplane(n_pix=1, sample_rate=Quantity(10.0, u.Hz))
+        site = GroundSite(
+            "atacama",
+            Quantity(-22.96, u.deg),
+            Quantity(-67.79, u.deg),
+            Quantity(5200.0, u.meter),
+        )
+        tele = Telescope("t", focalplane=fp, site=site)
+        start = datetime(2023, 6, 1, 4, 0, tzinfo=timezone.utc)
+        scans = [
+            GroundScan(
+                name="p",
+                start=start,
+                stop=datetime(2023, 6, 1, 4, 10, tzinfo=timezone.utc),
+                az_min=Quantity(0.4, u.rad),
+                az_max=Quantity(0.9, u.rad),
+                el=Quantity(50.0, u.deg),
+            )
+        ]
+        schedule = GroundSchedule(
+            scans=scans,
+            site_name="atacama",
+            telescope_name="t",
+            site_lat=Quantity(-22.96, u.deg),
+            site_lon=Quantity(-67.79, u.deg),
+            site_alt=Quantity(5200.0, u.meter),
+        )
+        data = Data(Comm())
+        ops.SimGround(telescope=tele, schedule=schedule, **simkw).apply(data)
+        return data.obs[0]
+
+    # continuous sine modulation
+    ob = make_data(
+        el_mod_rate=Quantity(0.05, u.Hz),
+        el_mod_amplitude=Quantity(1.0, u.deg),
+        el_mod_sine=True,
+    )
+    el = np.asarray(ob.shared["elevation"])
+    assert np.ptp(el) > np.radians(1.5)
+    assert abs(np.ptp(el) - np.radians(2.0)) < np.radians(0.3)
+
+    # stepped modulation: elevation increases between scan pairs
+    ob = make_data(el_mod_step=Quantity(0.5, u.deg))
+    el = np.asarray(ob.shared["elevation"])
+    assert el[-1] > el[0] + np.radians(0.4)
+    assert len(np.unique(np.round(el, 6))) < 50  # piecewise constant
+
+    # cosecant-modulated scan still covers the az range
+    ob = make_data(scan_cosecant_modulation=True)
+    az = np.asarray(ob.shared["azimuth"])
+    assert az.min() < 0.45 and az.max() > 0.85
+
+    # el-nod at the start produces the elnod interval + el excursion
+    ob = make_data(elnod_start=True, elnods="-1,1")
+    assert "elnod" in ob.intervals
+    el = np.asarray(ob.shared["elevation"])
+    assert np.ptp(el[:100]) > np.radians(1.5)
+
+
+def test_ground_scheduler_partial_and_elevation_balance():
+    """Partial visibility admits patches straddling the elevation limit;
+    elevation balancing spreads scans over elevations
+    (reference schedule_sim_ground.py:2379 behaviors)."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.schedule_sim_ground import Patch, build_schedule
+
+    corners = [(40.0, -60.0), (50.0, -60.0), (50.0, -30.0), (40.0, -30.0)]
+    start = datetime(2023, 6, 1, tzinfo=timezone.utc)
+    stop = datetime(2023, 6, 2, tzinfo=timezone.utc)
+
+    def run(**kw):
+        return build_schedule(
+            patches=[Patch("big", 1.0, corners)],
+            start=start,
+            stop=stop,
+            el_min=Quantity(40.0, u.deg),
+            el_max=Quantity(70.0, u.deg),
+            sun_avoidance_angle=Quantity(20.0, u.deg),
+            **kw,
+        )
+
+    strict = run()
+    partial = run(partial_visibility=True)
+    # a 30-degree-tall patch rarely fits entirely inside the limits:
+    # partial visibility must find strictly more observing time
+    t_strict = sum(
+        (s.stop - s.start).total_seconds() for s in strict.scans
+    )
+    t_partial = sum(
+        (s.stop - s.start).total_seconds() for s in partial.scans
+    )
+    assert t_partial > t_strict
+
+    balanced = run(partial_visibility=True, elevation_balance=True)
+    els_b = np.array([s.el.to_value(u.deg) for s in balanced.scans])
+    els_p = np.array([s.el.to_value(u.deg) for s in partial.scans])
+    if len(els_b) > 3 and len(els_p) > 3:
+        assert np.std(els_b) >= 0.5 * np.std(els_p)
+
+
 def test_sim_ground_radec_tracks_sky():
     data = create_ground_data(duration_s=1200.0)
     ob = data.obs[0]

@@ -22,7 +22,12 @@ from ..utils import units as u
 from ..utils.timing import function_timer
 from ..utils.units import Quantity as Qty
 from .operator import Operator
-from .sim_ground_utils import add_solar_intervals, simulate_ces_scan
+from .sim_ground_utils import (
+    add_solar_intervals,
+    oscillate_el,
+    simulate_ces_scan,
+    simulate_elnod,
+)
 
 ZAXIS = np.array([0.0, 0.0, 1.0])
 
@@ -56,6 +61,29 @@ class SimGround(Operator):
     )
     detset_key = Unicode(None, allow_none=True)
     track_azimuth = Bool(False, help="Unused (API compatibility)")
+    # elevation modulation (reference ops/sim_ground.py:172-198)
+    scan_cosecant_modulation = Bool(
+        False, help="Modulate the az scan rate as 1/sin(az) for uniform depth"
+    )
+    el_mod_step = Quantity(
+        Qty(0.0, u.deg),
+        help="Step elevation by this amount after each left-right scan pair",
+    )
+    el_mod_rate = Quantity(
+        Qty(0.0, u.Hz), help="Continuously modulate elevation at this rate"
+    )
+    el_mod_amplitude = Quantity(
+        Qty(1.0, u.deg), help="Range of the continuous elevation modulation"
+    )
+    el_mod_sine = Bool(
+        False, help="Sine-wave elevation modulation instead of triangle"
+    )
+    # el-nods (reference ops/sim_ground.py:265-271)
+    elnod_start = Bool(False, help="Perform an el-nod before the scan")
+    elnod_end = Bool(False, help="Perform an el-nod after the scan")
+    elnods = Unicode(
+        "", help="Comma-separated relative el-nod offsets in degrees"
+    )
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
@@ -104,8 +132,51 @@ class SimGround(Operator):
                 scan.az_max.to_value(u.rad),
                 self.scan_rate_az.to_value(u.rad),
                 self.scan_accel_az.to_value(u.rad),
+                cosecant_modulation=self.scan_cosecant_modulation,
             )
             el = np.full(n_samp, scan.el.to_value(u.rad))
+
+            # elevation modulation (reference sim_ground.py:172-198)
+            el_rate = self.el_mod_rate.to_value(u.Hz)
+            if el_rate > 0:
+                amp = self.el_mod_amplitude.to_value(u.rad)
+                if self.el_mod_sine:
+                    el = oscillate_el(times, el[0], amp, 1.0 / el_rate)
+                else:
+                    # triangle wave of the same period and range
+                    phase = ((times - times[0]) * el_rate) % 1.0
+                    el = el + amp * (2.0 * np.abs(2.0 * phase - 1.0) - 1.0)
+            step_rad = self.el_mod_step.to_value(u.rad)
+            if step_rad != 0.0:
+                # step after each left-right scan pair
+                pair_count = np.zeros(n_samp, dtype=np.int64)
+                for lo, hi in ces["spans_scan_leftright"]:
+                    pair_count[hi + 1 :] += 1
+                el = el + step_rad * pair_count
+
+            # el-nods (reference sim_ground_utils.py:125 simulate_elnod)
+            nods = [
+                np.radians(float(x))
+                for x in self.elnods.split(",")
+                if x.strip()
+            ]
+            elnod_flags = np.zeros(n_samp, dtype=bool)
+            if nods and (self.elnod_start or self.elnod_end):
+                nod_len = max(1, int(len(nods) * 2.0 * rate_hz))
+                if self.elnod_start:
+                    seg = slice(0, min(nod_len, n_samp))
+                    el_seg, mask = simulate_elnod(
+                        times[seg], rate_hz, el[0], nods
+                    )
+                    el[seg] = el_seg
+                    elnod_flags[seg] |= mask
+                if self.elnod_end:
+                    seg = slice(max(0, n_samp - nod_len), n_samp)
+                    el_seg, mask = simulate_elnod(
+                        times[seg], rate_hz, el[-1], nods
+                    )
+                    el[seg] = el_seg
+                    elnod_flags[seg] |= mask
             ob.shared.create_column(self.azimuth, (n_samp,))
             ob.shared.set(self.azimuth, ces["az"])
             ob.shared.create_column(self.elevation, (n_samp,))
@@ -161,6 +232,15 @@ class SimGround(Operator):
                 samplespans=ces["spans_throw_leftright"]
                 + ces["spans_throw_rightleft"],
             )
+            if elnod_flags.any():
+                idx_el = np.nonzero(elnod_flags)[0]
+                bounds = np.nonzero(np.diff(idx_el) > 1)[0]
+                starts = np.concatenate([[idx_el[0]], idx_el[bounds + 1]])
+                stops = np.concatenate([idx_el[bounds], [idx_el[-1]]])
+                ob.intervals.create(
+                    dv.elnod_interval,
+                    samplespans=list(zip(starts, stops)),
+                )
 
             # solar intervals + flags
             sun_up, sun_close = add_solar_intervals(

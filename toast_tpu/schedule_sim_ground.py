@@ -47,6 +47,10 @@ class Patch:
         )
         self.hits = 0
         self.time_observed = 0.0
+        # elevation-balancing bookkeeping (reference schedule_sim_ground.py
+        # elevation balancing: spread integration over scan elevations)
+        self.el_time = 0.0
+        self.el_time_weighted = 0.0
 
     @property
     def ra_center(self):
@@ -85,16 +89,38 @@ class Patch:
                 return False
         return True
 
-    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
-        """(az_min, az_max, el_scan, ces_s or None) when observable at t."""
+    def visible(
+        self,
+        site,
+        t,
+        el_min,
+        el_max,
+        sun_rad,
+        moon_rad,
+        partial=False,
+        min_visible_fraction=0.5,
+    ):
+        """(az_min, az_max, el_scan, ces_s or None) when observable at t.
+
+        With ``partial`` (reference partial-visibility logic,
+        ``schedule_sim_ground.py:2379`` region): the patch counts as
+        observable when at least ``min_visible_fraction`` of its corners
+        are inside the elevation limits, scanning only the visible part.
+        """
         az, el = self.corners_azel(site, t)
-        if el.min() < el_min or el.max() > el_max:
+        inside = (el >= el_min) & (el <= el_max)
+        if partial:
+            if inside.mean() < min_visible_fraction:
+                return None
+            az = az[inside]
+            el = el[inside]
+        elif not inside.all():
             return None
         if not self.avoids(site, t, az, el, sun_rad, moon_rad):
             return None
-        # scan elevation: bottom of the patch (constant-elevation scanning
-        # sweeps the patch as the sky rotates through it)
-        el_scan = el.min()
+        # scan elevation: bottom of the (visible part of the) patch —
+        # constant-elevation scanning sweeps it as the sky rotates through
+        el_scan = max(el.min(), el_min)
         # unwrap azimuths around the circular mean to avoid branch issues
         az0 = np.arctan2(np.mean(np.sin(az)), np.mean(np.cos(az)))
         az_rel = (az - az0 + np.pi) % (2 * np.pi) - np.pi
@@ -123,8 +149,12 @@ class HorizontalPatch(Patch):
         self.max_time_s = None
         self.hits = 0
         self.time_observed = 0.0
+        # elevation-balancing bookkeeping (reference schedule_sim_ground.py
+        # elevation balancing: spread integration over scan elevations)
+        self.el_time = 0.0
+        self.el_time_weighted = 0.0
 
-    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad, **kw):
         if self.el < el_min or self.el > el_max:
             return None
         az = np.array([self.az_min, self.az_max])
@@ -155,8 +185,12 @@ class SSOPatch(Patch):
         self.max_time_s = None
         self.hits = 0
         self.time_observed = 0.0
+        # elevation-balancing bookkeeping (reference schedule_sim_ground.py
+        # elevation balancing: spread integration over scan elevations)
+        self.el_time = 0.0
+        self.el_time_weighted = 0.0
 
-    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad, **kw):
         az_b, el_b = self._BODIES[self.body](site, np.array([t]))
         azc, elc = float(az_b[0]), float(el_b[0])
         if elc - self.radius < el_min or elc + self.radius > el_max:
@@ -202,6 +236,10 @@ class CoolerCyclePatch(Patch):
         self.max_time_s = None
         self.hits = 0
         self.time_observed = 0.0
+        # elevation-balancing bookkeeping (reference schedule_sim_ground.py
+        # elevation balancing: spread integration over scan elevations)
+        self.el_time = 0.0
+        self.el_time_weighted = 0.0
 
     def priority(self, t):
         held = t - self.last_cycle_end
@@ -214,7 +252,7 @@ class CoolerCyclePatch(Patch):
         )
         return self.weight * frac
 
-    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad):
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad, **kw):
         if t - self.last_cycle_end < self.hold_min_s:
             return None
         return self.az - 0.01, self.az + 0.01, self.el, self.cycle_s
@@ -236,8 +274,17 @@ def build_schedule(
     ces_max_time=Quantity(20.0, u.minute),
     gap=Quantity(1.0, u.minute),
     gap_small=Quantity(10.0, u.second),
+    partial_visibility=False,
+    elevation_balance=False,
 ):
     """Plan constant-elevation scans of the given patches.
+
+    ``partial_visibility`` admits patches with only part of their corners
+    inside the elevation limits (scanning the visible part);
+    ``elevation_balance`` boosts patches whose currently-available scan
+    elevation differs from their time-weighted mean observed elevation,
+    spreading integration depth over elevations (reference
+    ``schedule_sim_ground.py:2379`` behaviors).
 
     Returns a GroundSchedule.
     """
@@ -273,12 +320,23 @@ def build_schedule(
         best_score = -np.inf
         for patch in patches:
             score = patch.priority(t)
-            if score <= best_score:
+            if score == -np.inf:
                 continue
             vis = patch.visible(
-                site, t, el_min_rad, el_max_rad, sun_rad, moon_rad
+                site,
+                t,
+                el_min_rad,
+                el_max_rad,
+                sun_rad,
+                moon_rad,
+                partial=partial_visibility,
             )
             if vis is None:
+                continue
+            if elevation_balance and patch.el_time > 0:
+                mean_el = patch.el_time_weighted / patch.el_time
+                score *= 1.0 + 2.0 * abs(vis[2] - mean_el)
+            if score <= best_score:
                 continue
             best_score = score
             best = (patch, vis)
@@ -302,6 +360,8 @@ def build_schedule(
             )
         )
         patch.time_observed += t_end - t
+        patch.el_time += t_end - t
+        patch.el_time_weighted += (t_end - t) * el_scan
         patch.hits += 1
         scan_idx[patch.name] += 1
         t = t_end + gap_s
