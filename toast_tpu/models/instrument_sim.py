@@ -199,8 +199,111 @@ def fake_boresight_focalplane(
     return Focalplane(detector_data=detector_data, sample_rate=sample_rate)
 
 
-def fake_rhombihex_focalplane(n_pix_rhombus=16, width=Quantity(5.0, u.deg), **kwargs):
-    """Three rhombi arranged in a hexagon (simplified reference ``:803``)."""
-    # Build as a hexagon with 3*n_pix_rhombus pixels — detector naming and
-    # noise parameters follow fake_hexagon_focalplane.
-    return fake_hexagon_focalplane(n_pix=3 * n_pix_rhombus, width=width, **kwargs)
+def _rhombus_grid_xy(npos):
+    """(xi, eta) positions of a dim x dim rhombus standing on its corner,
+    in units of the pixel diameter (reference ``rhombus_layout:410``:
+    rowang/colang construction)."""
+    dim = int(round(np.sqrt(npos)))
+    if dim * dim != npos:
+        raise ValueError("rhombus position count must be a perfect square")
+    pos = []
+    for row in range(2 * dim - 1):
+        relrow = row if row < dim else (2 * dim - 2) - row
+        ncol = relrow + 1
+        eta = 0.5 * np.sqrt(3.0) * ((dim - 1) - row)
+        for col in range(ncol):
+            xi = col - relrow / 2.0
+            pos.append((xi, eta))
+    return np.array(pos)
+
+
+def fake_rhombihex_focalplane(
+    n_pix_rhombus=16,
+    width=Quantity(5.0, u.deg),
+    gap=Quantity(0.0, u.rad),
+    sample_rate=Quantity(1.0, u.Hz),
+    epsilon=0.0,
+    fwhm=Quantity(10.0, u.arcmin),
+    bandcenter=Quantity(150.0, u.GHz),
+    bandwidth=Quantity(20.0, u.GHz),
+    psd_net=Quantity(0.1, u.K_sqrt_s),
+    psd_fmin=Quantity(1e-5, u.Hz),
+    psd_alpha=1.0,
+    psd_fknee=Quantity(0.05, u.Hz),
+    random_seed=123456,
+):
+    """Hexagon built from three rotated rhombi, two detectors per pixel
+    (reference ``fake_rhombihex_focalplane:803`` + ``rhombus_hex_layout:514``).
+
+    Each rhombus is a dim x dim grid standing on its corner, rotated into
+    place at angles (pi/6, -pi/2, 5pi/6) around the boresight with the
+    reference's center offsets and inter-rhombus gap; detector gamma
+    angles follow the alternating QU pattern plus the rhombus rotation.
+    """
+    width_rad = width.to_value(u.rad)
+    gap_extra = gap.to_value(u.rad)
+    dim = int(round(np.sqrt(n_pix_rhombus)))
+    # rhombus width = pixel-center spacing along the short axis
+    rhomb_w = width_rad / 2.0
+    pixdiam = rhomb_w / max(dim - 1, 1)
+    gap_rad = gap_extra + pixdiam
+
+    # reference rhombus centers + rotations (rhombus_hex_layout:551-572)
+    centers = [
+        (
+            0.25 * np.sqrt(3.0) * rhomb_w + 0.5 * gap_rad,
+            -0.25 * rhomb_w - 0.5 * gap_rad / np.sqrt(3.0),
+            np.pi / 6,
+        ),
+        (0.0, 0.5 * rhomb_w + gap_rad / np.sqrt(3.0), -0.5 * np.pi),
+        (
+            -0.25 * np.sqrt(3.0) * rhomb_w - 0.5 * gap_rad,
+            -0.25 * rhomb_w - 0.5 * gap_rad / np.sqrt(3.0),
+            5.0 * np.pi / 6.0,
+        ),
+    ]
+
+    grid = _rhombus_grid_xy(n_pix_rhombus) * pixdiam
+    names, quats, gammas, pols, pixels = [], [], [], [], []
+    pix_index = 0
+    for cx, cy, rot in centers:
+        c, s = np.cos(rot), np.sin(rot)
+        for gx, gy in grid:
+            x = cx + c * gx - s * gy
+            y = cy + s * gx + c * gy
+            r = np.hypot(x, y)
+            phi = np.arctan2(y, x)
+            pq = qa.from_iso_angles(r, phi, -phi)
+            # alternating QU polarization pattern within the rhombus,
+            # rotated with the rhombus (rhomb_gamma_angles_qu:385)
+            base = (0.0 if pix_index % 2 == 0 else np.pi / 4) + rot
+            for ab, pol_ang in (("A", base), ("B", base + np.pi / 2)):
+                names.append(f"D{pix_index:03d}{ab}")
+                quats.append(qa.mult(pq, qa.rotation(ZAXIS, pol_ang)))
+                gammas.append(pol_ang % (2.0 * np.pi))
+                pols.append(ab)
+                pixels.append(pix_index)
+            pix_index += 1
+
+    n_det = len(names)
+    rng = np.random.default_rng(random_seed)
+    detector_data = {
+        "name": np.array(names, dtype=object),
+        "quat": np.array(quats),
+        "gamma": np.array(gammas),
+        "pol": np.array(pols, dtype=object),
+        "pixel": np.array(pixels),
+        "pol_leakage": np.full(n_det, float(epsilon)),
+        "fwhm": np.full(n_det, fwhm.to_value(u.arcmin)),
+        "bandcenter": np.full(n_det, bandcenter.to_value(u.GHz)),
+        "bandwidth": np.full(n_det, bandwidth.to_value(u.GHz)),
+        "psd_net": np.full(n_det, psd_net.to_value(u.K_sqrt_s)),
+        "psd_fmin": np.full(n_det, psd_fmin.to_value(u.Hz)),
+        "psd_fknee": np.full(n_det, psd_fknee.to_value(u.Hz)),
+        "psd_alpha": np.full(n_det, float(psd_alpha)),
+    }
+    return Focalplane(
+        detector_data=detector_data,
+        sample_rate=sample_rate,
+        field_of_view=1.1 * width,
+    )

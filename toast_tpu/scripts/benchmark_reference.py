@@ -120,7 +120,11 @@ def make_input_sky(nside, lmax=1024, seed=123456789, fwhm_arcmin=3.0):
         import sys as _sys
 
         code = (
+            # sky synthesis is one-time setup: run it on the CPU backend,
+            # where the JAX SHT is reliable (the axon tunnel intermittently
+            # drops large transfers) and still takes only a couple minutes
             "import os; os.environ['TOAST_TPU_SKY_SUBPROCESS']='0';"
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
             "from toast_tpu.scripts.benchmark_reference import make_input_sky;"
             f"make_input_sky({nside}, lmax={lmax}, seed={seed}, "
             f"fwhm_arcmin={fwhm_arcmin})"
