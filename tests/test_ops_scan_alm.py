@@ -81,6 +81,55 @@ def test_scan_alm_polarized_quadrupole():
     assert np.max(np.abs(got - want)) < 2e-3 * np.std(Q)
 
 
+def test_sim_totalconvolve_symmetric_beam():
+    """Native SimTotalconvolve with a symmetric beam equals ScanAlm with
+    the equivalent b_l smoothing; asymmetric beams raise."""
+    import pytest
+
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(1.0, u.minute))
+    ops.PointingDetectorSimple().apply(data)
+    lmax = 8
+    rng = np.random.default_rng(3)
+    alm = rng.normal(size=(lmax + 1, lmax + 1)) + 1j * rng.normal(
+        size=(lmax + 1, lmax + 1)
+    )
+    m = np.arange(lmax + 1)
+    alm[m[None, :] > m[:, None]] = 0.0
+    alm[:, 0] = alm[:, 0].real
+    data["sky_alm"] = {"T": alm}
+
+    from toast_tpu.math.sht import gaussian_beam
+
+    bl = gaussian_beam(lmax, np.radians(15.0))
+    # beam alm of a symmetric beam: b_l0 = bl * sqrt((2l+1)/4pi)
+    beam_alm = np.zeros((lmax + 1, lmax + 1), dtype=np.complex128)
+    ell = np.arange(lmax + 1)
+    beam_alm[:, 0] = bl * np.sqrt((2 * ell + 1) / (4 * np.pi))
+    data["beam_alm"] = {"T": beam_alm}
+
+    ops.SimTotalconvolve(
+        alm="sky_alm", beam="beam_alm", det_data="conv", pol=False
+    ).apply(data)
+    ops.ScanAlm(
+        alm="sky_alm", det_data="smooth", fwhm=Quantity(15.0, u.deg), pol=False
+    ).apply(data)
+    ob = data.obs[0]
+    np.testing.assert_allclose(
+        ob.detdata["conv"].numpy(),
+        ob.detdata["smooth"].numpy(),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+    bad = beam_alm.copy()
+    bad[3, 2] = 1.0
+    data["beam_bad"] = {"T": bad}
+    with pytest.raises(RuntimeError, match="symmetric"):
+        ops.SimTotalconvolve(
+            alm="sky_alm", beam="beam_bad", det_data="x", pol=False
+        ).apply(data)
+
+
 def test_scan_alm_beam_smoothing_reduces_power():
     """A 5-degree beam must suppress l=8 structure strongly."""
     data = create_satellite_data(n_pix=1, obs_time=Quantity(1.0, u.minute))

@@ -25,10 +25,9 @@ from .external import (
     RunSpt3g,
     SaveSpt3g,
     SimConviqt,
-    SimTotalconvolve,
     madam_params_from_mapmaker,
 )
-from .scan_alm import ScanAlm
+from .scan_alm import ScanAlm, SimTotalconvolve
 from .filterbin import FilterBin, ObsMat
 from .flag_ops import (
     AzimuthIntervals,

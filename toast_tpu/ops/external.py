@@ -138,17 +138,6 @@ class SimConviqt(_UnavailableExternal):
     det_data = Unicode(defaults.det_data)
 
 
-class SimTotalconvolve(_UnavailableExternal):
-    """Beam convolution via ducc0.totalconvolve
-    (reference ``ops/totalconvolve.py:39``)."""
-
-    _module = "ducc0"
-    detector_pointing = Instance(klass=object, allow_none=True)
-    sky_file = Unicode(None, allow_none=True)
-    beam_file = Unicode(None, allow_none=True)
-    det_data = Unicode(defaults.det_data)
-
-
 class SaveSpt3g(_UnavailableExternal):
     """SPT3G frame export (reference ``ops/save_spt3g.py``)."""
 

@@ -150,3 +150,71 @@ class ScanAlm(Operator):
             "shared": [],
             "intervals": [],
         }
+
+
+class SimTotalconvolve(ScanAlm):
+    """Beam-convolved sky scanning (reference ``ops/totalconvolve.py:39``).
+
+    The reference delegates 4-pi convolution to ``ducc0.totalconvolve``.
+    This native version handles azimuthally symmetric beams exactly: the
+    beam's m=0 multipoles scale the sky a_lm
+    (``a^conv_lm = a_lm b_l0 sqrt(4 pi / (2l+1))``) and the convolved sky
+    is scanned with the native SHT.  Asymmetric beams (|b_lm| significant
+    for m > 0) raise a clear error — full asymmetric-beam convolution
+    requires tracking the detector orientation in the convolution, which
+    the external library handled.
+    """
+
+    beam = Unicode(
+        None,
+        allow_none=True,
+        help="Data key or .npz path with beam alm ('T' dense array) or "
+        "a 'bl' window vector",
+    )
+    def _exec(self, data, detectors=None, **kwargs):
+        if self.beam is not None:
+            import numpy as _np
+
+            if isinstance(self.beam, str) and self.beam in data:
+                bobj = data[self.beam]
+            else:
+                with _np.load(self.beam) as f:
+                    bobj = {k: f[k] for k in f.files}
+            alms = _load_alm(self.alm, data)
+            lmax = self.lmax if self.lmax > 0 else alms["T"].shape[0] - 1
+            if "bl" in bobj:
+                bl = _np.asarray(bobj["bl"], dtype=_np.float64)
+            else:
+                beam_alm = _np.asarray(
+                    bobj["T"] if isinstance(bobj, dict) else bobj
+                )
+                if beam_alm.ndim == 2 and beam_alm.shape[1] > 1:
+                    m0_pow = _np.sum(_np.abs(beam_alm[:, 0]) ** 2)
+                    rest = _np.sum(_np.abs(beam_alm[:, 1:]) ** 2)
+                    if rest > 1.0e-6 * max(m0_pow, 1e-30):
+                        raise RuntimeError(
+                            "SimTotalconvolve (native) supports "
+                            "azimuthally symmetric beams only; beam alm "
+                            "has significant m>0 power"
+                        )
+                ell = _np.arange(beam_alm.shape[0])
+                bl = _np.real(beam_alm[:, 0]) * _np.sqrt(
+                    4.0 * _np.pi / (2.0 * ell + 1.0)
+                )
+            if len(bl) < lmax + 1:
+                bl = _np.pad(bl, (0, lmax + 1 - len(bl)))
+            conv = {
+                k: v[: lmax + 1, : lmax + 1] * bl[: lmax + 1, None]
+                for k, v in alms.items()
+            }
+            key = f"_{self.name}_convolved_alm"
+            data[key] = conv
+            saved = self.alm
+            self.alm = key
+            try:
+                super()._exec(data, detectors=detectors, **kwargs)
+            finally:
+                self.alm = saved
+                del data[key]
+            return
+        super()._exec(data, detectors=detectors, **kwargs)

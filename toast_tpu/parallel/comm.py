@@ -88,11 +88,69 @@ class Comm:
             multihost_utils.sync_global_devices("toast_comm_barrier")
 
     def bcast(self, obj, root=0):
+        """Broadcast a picklable object from ``root`` to all processes."""
         if self._wsize == 1:
             return obj
+        import pickle
+
+        import numpy as np
         from jax.experimental import multihost_utils
 
-        return multihost_utils.broadcast_one_to_all(obj)
+        is_source = self._wrank == root
+        payload = pickle.dumps(obj) if is_source else b""
+        size = multihost_utils.broadcast_one_to_all(
+            np.asarray(len(payload), dtype=np.int64), is_source=is_source
+        )
+        buf = np.zeros(int(size), dtype=np.uint8)
+        if is_source:
+            buf[:] = np.frombuffer(payload, dtype=np.uint8)
+        buf = multihost_utils.broadcast_one_to_all(buf, is_source=is_source)
+        return pickle.loads(np.asarray(buf).tobytes())
+
+    def allgather(self, obj):
+        """Gather a picklable object from every process (list on all)."""
+        if self._wsize == 1:
+            return [obj]
+        import pickle
+
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+        sizes = multihost_utils.process_allgather(
+            np.asarray([len(payload)], dtype=np.int64)
+        ).ravel()
+        maxlen = int(sizes.max())
+        buf = np.zeros(maxlen, dtype=np.uint8)
+        buf[: len(payload)] = payload
+        gathered = multihost_utils.process_allgather(buf)
+        return [
+            pickle.loads(np.asarray(gathered[i][: int(sizes[i])]).tobytes())
+            for i in range(self._wsize)
+        ]
+
+    def gather(self, obj, root=0):
+        """Gather to ``root`` (list at root, None elsewhere) — the
+        reference's ``comm.gather`` shape."""
+        out = self.allgather(obj)
+        return out if self._wrank == root else None
+
+    def allreduce(self, value, op="sum"):
+        """Elementwise reduction of a numeric array over processes."""
+        import numpy as np
+
+        if self._wsize == 1:
+            return np.asarray(value)
+        from jax.experimental import multihost_utils
+
+        stacked = multihost_utils.process_allgather(np.asarray(value))
+        if op == "sum":
+            return np.sum(stacked, axis=0)
+        if op == "max":
+            return np.max(stacked, axis=0)
+        if op == "min":
+            return np.min(stacked, axis=0)
+        raise ValueError(f"unsupported reduction '{op}'")
 
     def close(self):
         pass
