@@ -206,3 +206,40 @@ def test_pallas_pointing_equivalence():
     # boundaries; everything else must agree
     assert (np.asarray(pix) == pix_ref).mean() > 0.999
     assert np.abs(np.asarray(w) - w_ref).max() < 1e-4
+
+
+# Known-answer vectors generated with the reference's own C++ hpix helpers
+# (ref:src/toast/_libtoast/ops_pixels_healpix.cpp, single-sample functions
+# compiled standalone as an offline oracle — same role as the Random123
+# vectors in test_rng.py).  Columns: (nside, theta, phi, ring, nest,
+# ring2nest(ring), nest2ring(nest)).
+HPIX_KAT = [
+    (8, 0.10000000000000001, 0.20000000000000001, 0, 63, 63, 0),
+    (8, 1, 3, 191, 446, 446, 191),
+    (8, 2.5, 5.9000000000000004, 706, 722, 722, 706),
+    (8, 3, 0.01, 756, 514, 514, 756),
+    (64, 0.69999999999999996, 1.3, 5768, 1822, 1822, 5768),
+    (64, 1.5707963, 3.1415899999999999, 24575, 26965, 26965, 24575),
+    (64, 2.2000000000000002, 4.7000000000000002, 38975, 28709, 28709, 38975),
+    (512, 0.29999999999999999, 2.7999999999999998, 69897, 489911, 489911, 69897),
+    (512, 1.8999999999999999, 0.5, 2081955, 2337812, 2337812, 2081955),
+    (512, 2.8999999999999999, 6.2000000000000002, 3099815, 2900181, 2900181, 3099815),
+    (4096, 0.5, 1, 12317264, 13809486, 13809486, 12317264),
+    (4096, 1.2, 2.2000000000000002, 64190056, 19331585, 19331585, 64190056),
+    (4096, 2.6000000000000001, 5.5, 186922909, 187898505, 187898505, 186922909),
+    (8192, 0.90000000000000002, 0.90000000000000002, 152359509, 27365922, 27365922, 152359509),
+    (8192, 1.5, 4.4000000000000004, 374184355, 516231611, 516231611, 374184355),
+]
+
+
+def test_healpix_known_answer_vectors():
+    """Bit-exact agreement with the reference C++ implementation."""
+    from toast_tpu.math.healpix import ang2nest, ang2ring, nest2ring, ring2nest
+
+    for nside, theta, phi, ring, nest, r2n, n2r in HPIX_KAT:
+        got_ring = int(np.asarray(ang2ring(nside, np.array([theta]), np.array([phi])))[0])
+        got_nest = int(np.asarray(ang2nest(nside, np.array([theta]), np.array([phi])))[0])
+        assert got_ring == ring, (nside, theta, phi, got_ring, ring)
+        assert got_nest == nest, (nside, theta, phi, got_nest, nest)
+        assert int(np.asarray(ring2nest(nside, np.array([ring])))[0]) == r2n
+        assert int(np.asarray(nest2ring(nside, np.array([nest])))[0]) == n2r
