@@ -228,3 +228,51 @@ def test_perturb_hwp():
     # still monotonic modulo wrap
     d = np.diff(np.unwrap(after))
     assert np.all(d > 0)
+
+
+def test_crosstalk_matrix_file(tmp_path):
+    """Crosstalk matrix loaded from an npz file (reference
+    read_xtalk_matrix format: 'matrix' over focalplane detectors)."""
+    import os
+
+    data = create_satellite_data(n_pix=2, obs_time=Quantity(1.0, u.minute))
+    ob = data.obs[0]
+    n_det = len(ob.local_detectors)
+    ob.detdata.create("signal")
+    sig = np.zeros((n_det, ob.n_local_samples), dtype=np.float32)
+    sig[0, :] = 1.0
+    ob.detdata["signal"].data = sig
+    mat = np.zeros((n_det, n_det))
+    mat[1, 0] = 0.25  # detector 1 picks up 25% of detector 0
+    path = os.path.join(tmp_path, "xtalk.npz")
+    np.savez(path, matrix=mat)
+    ops.CrossTalk(xtalk_mat_file=path).apply(data)
+    out = ob.detdata["signal"].numpy()
+    np.testing.assert_allclose(out[1], 0.25, atol=1e-6)
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-6)
+
+
+def test_cosmic_rays_glitch_library(tmp_path):
+    """Glitch amplitudes drawn from a library file distribution."""
+    import os
+
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(5.0, u.minute))
+    ob = data.obs[0]
+    ob.detdata.create("signal")
+    # library whose amplitude distribution is sharply peaked at 7.0
+    path = os.path.join(tmp_path, "cr_library.npz")
+    np.savez(
+        path,
+        direct_hits=np.full((500, 2), 7.0) + np.random.default_rng(0).normal(0, 0.01, (500, 2)),
+        low_noise=np.array([0.0, 1.0]),
+        sampling_rate=150.0,
+        correlation_matrix=np.eye(2),
+    )
+    ops.InjectCosmicRays(
+        crfile=path, glitch_rate=0.05, glitch_amplitude=1.0
+    ).apply(data)
+    sig = ob.detdata["signal"].numpy()
+    peaks = sig[sig > 3.0]
+    assert len(peaks) > 0
+    # glitch peaks near the library amplitude
+    assert abs(np.max(sig) - 7.0) < 0.5

@@ -130,18 +130,38 @@ class CrossTalk(Operator):
     xtalk_mat_key = Unicode(
         None, allow_none=True, help="Observation key holding a mixing dict"
     )
+    xtalk_mat_file = Unicode(
+        None,
+        allow_none=True,
+        help="npz file with a 'matrix' array over the focalplane detectors "
+        "in order (reference read_xtalk_matrix, ops/sim_crosstalk.py:20)",
+    )
     detector_ordering = Unicode("random", help="random or pairwise coupling")
     realization = Int(0)
     level = Float(1.0e-3, help="RMS crosstalk coupling if generated")
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
+        file_mat = None
+        if self.xtalk_mat_file is not None:
+            file_mat = np.load(self.xtalk_mat_file)["matrix"]
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
             n_det = len(dets)
             if n_det == 0:
                 continue
-            if self.xtalk_mat_key is not None and self.xtalk_mat_key in ob:
+            if file_mat is not None:
+                alldets = ob.telescope.focalplane.detectors
+                if len(alldets) > file_mat.shape[0]:
+                    raise ValueError(
+                        f"crosstalk matrix {file_mat.shape} smaller than "
+                        f"the {len(alldets)}-detector focalplane"
+                    )
+                order = {d: i for i, d in enumerate(alldets)}
+                sel = np.array([order[d] for d in dets])
+                X = file_mat[np.ix_(sel, sel)].astype(np.float32)
+                np.fill_diagonal(X, 0.0)
+            elif self.xtalk_mat_key is not None and self.xtalk_mat_key in ob:
                 matdict = ob[self.xtalk_mat_key]
                 X = np.zeros((n_det, n_det), dtype=np.float32)
                 for i, d1 in enumerate(dets):
@@ -220,8 +240,38 @@ class InjectCosmicRays(Operator):
     decay_time = Quantity(Qty(0.1, u.second), help="Exponential decay constant")
     include_common_mode = Bool(False, help="Add focalplane-wide events")
     common_rate = Float(0.001, help="Common events per second")
+    crfile = Unicode(
+        None,
+        allow_none=True,
+        help="Glitch-library npz pattern with a '{detector}' tag "
+        "(reference ops/sim_cosmic_rays.py:48: 'direct_hits' parameter "
+        "distribution resampled by inverse CDF per event)",
+    )
     realization = Int(0)
     times = Unicode(defaults.times)
+
+    def _library_amplitudes(self, det_index, n_events, key2):
+        """Resample glitch amplitudes from the library distribution
+        (reference resample_cosmic_ray_statistics, inverse-CDF draw)."""
+        filename = self.crfile.replace("{detector}", f"det{det_index}")
+        import os
+
+        if not os.path.exists(filename):
+            filename = self.crfile  # single shared library file
+        lib = np.load(filename)
+        hits = np.atleast_2d(np.asarray(lib["direct_hits"], dtype=np.float64))
+        col = hits[:, 0] if hits.shape[1] else hits.ravel()
+        lo, hi = np.quantile(col, [0.025, 0.975])
+        bins = np.linspace(lo, hi, 30)
+        binned, edges = np.histogram(col, bins=bins)
+        xb = 0.5 * (edges[:-1] + edges[1:])
+        cdf = np.cumsum(binned) / max(binned.sum(), 1)
+        un = toast_rng.random(
+            max(n_events, 1),
+            key=((self.realization << 16) | 9, key2),
+            sampler="uniform_01",
+        )
+        return np.interp(np.asarray(un[:n_events]), cdf, xb)
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
@@ -253,6 +303,10 @@ class InjectCosmicRays(Operator):
             mean_events = self.glitch_rate * n / rate
             for i, det in enumerate(dets):
                 starts, amps = make_events(_det_uid(det) ^ sindx, mean_events)
+                if self.crfile is not None and len(starts):
+                    amps = self._library_amplitudes(
+                        i, len(starts), _det_uid(det) ^ sindx
+                    )
                 for s, a in zip(starts, amps):
                     stop = min(n, s + kernel_len)
                     extra[i, s:stop] += (
