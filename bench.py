@@ -222,17 +222,42 @@ def main():
         "baseline_measured": base_rate,
     }
 
-    # reference-stats output validation (tiny satellite case)
+    # reference-stats output validation (tiny satellite case), isolated in
+    # a subprocess with a hard timeout: the axon tunnel can wedge a process
+    # indefinitely, and the bench metric must still be reported
     if not args.no_validate:
-        from toast_tpu.scripts.benchmark_reference import validate_satellite_case
+        import subprocess
 
         try:
-            ok, stats = validate_satellite_case(
-                case="tiny", log=lambda m: print(m, file=sys.stderr)
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-u",
+                    "-m",
+                    "toast_tpu.scripts.benchmark_reference",
+                    "--case",
+                    "tiny",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+                cwd=_REPO,
             )
-            result["stats_check"] = "pass" if ok else "fail"
-            result["stats_rms_I"] = round(stats["rms_I"], 5)
-            result["stats_hits"] = stats["totalhits"]
+            stats = None
+            out_lines = (proc.stdout or "").splitlines()
+            for i, line in enumerate(out_lines):
+                if line.startswith("{"):
+                    stats = json.loads("\n".join(out_lines[i:]))
+                    break
+            if stats is not None:
+                result["stats_check"] = "pass" if stats.get("pass") else "fail"
+                result["stats_rms_I"] = round(stats["rms_I"], 5)
+                result["stats_hits"] = stats["totalhits"]
+            else:
+                tail = ((proc.stdout or "") + (proc.stderr or ""))[-300:]
+                result["stats_check"] = f"error rc={proc.returncode}: {tail!r}"
+        except subprocess.TimeoutExpired:
+            result["stats_check"] = "timeout"
         except Exception as e:  # validation failure should not hide the metric
             result["stats_check"] = f"error: {e}"
 

@@ -374,6 +374,13 @@ def validate_satellite_case(case="tiny", nside=1024, log=print):
 def main():
     import argparse
 
+    import jax
+
+    # persistent compile cache: the nside-1024 solver compile is the
+    # dominant cost; cache it across runs/retries like bench.py does
+    jax.config.update("jax_compilation_cache_dir", "/tmp/toast_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--case", default="tiny", choices=list(SATELLITE_EXPECTED))
     parser.add_argument("--nside", type=int, default=1024)
