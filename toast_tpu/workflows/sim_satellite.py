@@ -78,6 +78,9 @@ def simulate_data(job, args, data):
         log.info_rank("Scanned input map", timer=timer)
     ops_ns.sim_noise.apply(data)
     log.info_rank("Simulated noise", timer=timer)
+    if ops_ns.convolve_time_constant.enabled:
+        ops_ns.convolve_time_constant.apply(data)
+        log.info_rank("Convolved time constant", timer=timer)
     return
 
 
@@ -86,14 +89,25 @@ def reduce_data(job, args, data):
     timer = Timer()
     timer.start()
     ops_ns = job.operators
+    if ops_ns.deconvolve_time_constant.enabled:
+        ops_ns.deconvolve_time_constant.apply(data)
+        log.info_rank("Deconvolved time constant", timer=timer)
     ops_ns.mapmaker.binning = ops_ns.binner
     ops_ns.mapmaker.template_matrix = ops.TemplateMatrix(
         templates=[job.templates.baselines]
     )
     ops_ns.mapmaker.output_dir = args.out_dir
-    with jax_profile():  # captures an XLA trace when TOAST_JAX_TRACE is set
-        ops_ns.mapmaker.apply(data)
-    log.info_rank("Map-making complete", timer=timer)
+    if ops_ns.madam.enabled:
+        # parameter-translation bridge onto the native destriper
+        ops_ns.madam.params = ops.madam_params_from_mapmaker(ops_ns.mapmaker)
+        ops_ns.madam.pixel_pointing = ops_ns.pixels
+        ops_ns.madam.stokes_weights = ops_ns.weights
+        ops_ns.madam.apply(data)
+        log.info_rank("Madam-bridge map-making complete", timer=timer)
+    else:
+        with jax_profile():  # captures an XLA trace when TOAST_JAX_TRACE is set
+            ops_ns.mapmaker.apply(data)
+        log.info_rank("Map-making complete", timer=timer)
 
 
 def main(opts=None):
@@ -107,11 +121,16 @@ def main(opts=None):
         ops.DefaultNoiseModel(name="default_model"),
         ops.ScanHealpixMap(name="scan_map"),
         ops.SimNoise(name="sim_noise"),
+        ops.TimeConstant(name="convolve_time_constant", enabled=False),
+        ops.TimeConstant(
+            name="deconvolve_time_constant", deconvolve=True, enabled=False
+        ),
         ops.PointingDetectorSimple(name="det_pointing"),
         ops.PixelsHealpix(name="pixels", nside=64),
         ops.StokesWeights(name="weights", mode="IQU"),
         ops.BinMap(name="binner"),
         ops.MapMaker(name="mapmaker"),
+        ops.Madam(name="madam", enabled=False),
         ops.SaveHDF5(name="save_hdf5", enabled=False),
         ops.MemoryCounter(name="mem_count"),
     ]
