@@ -388,9 +388,14 @@ def test_weather_model_operator():
     data2 = create_satellite_data()
     ops.WeatherModel(weather="atacama", realization=5).apply(data2)
     assert data2.obs[0].telescope.site.weather.pwv.value == wx.pwv.value
-    # median mode is deterministic at the climatology median
+    # median mode is deterministic at the seasonally-modulated climatology
+    # median: the annual cycle scales the 1.0 mm Atacama median by
+    # (1 + 0.4 cos(month phase)), so it stays within [0.6, 1.4] mm
     ops.WeatherModel(weather="atacama", median_weather=True).apply(data)
-    assert abs(data.obs[0].telescope.site.weather.pwv.value - 1.0) < 1e-12
+    med = data.obs[0].telescope.site.weather.pwv.value
+    assert 0.6 - 1e-9 <= med <= 1.4 + 1e-9
+    ops.WeatherModel(weather="atacama", median_weather=True).apply(data)
+    assert data.obs[0].telescope.site.weather.pwv.value == med
 
 
 def test_bandpass_unit_conversions():
@@ -514,3 +519,23 @@ def test_ground_scheduler_max_time_budget():
     )
     assert budget_time <= 60 * 60  # 40 min budget + one 20-min overshoot max
     assert any(s.name == "open" for s in sch.scans)
+
+
+def test_weather_seasonal_cycle():
+    """Atacama pwv follows the annual cycle: austral summer (Jan) wetter
+    than winter (Jul) — the parametric analog of the reference's monthly
+    MERRA-2 distributions (ref weather.py:385)."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.models.weather import SimWeather
+
+    def med(month):
+        t0 = datetime(2023, month, 15, tzinfo=timezone.utc).timestamp()
+        return np.median(
+            [
+                SimWeather(time=t0 + i, name="atacama").pwv.value
+                for i in range(100)
+            ]
+        )
+
+    assert med(1) > 1.5 * med(7)

@@ -138,6 +138,29 @@ class SimWeather(Weather):
         if median_weather:
             draws = np.zeros(8)
 
+        # Seasonal + diurnal modulation of the climatology medians: the
+        # reference samples month/hour-specific MERRA-2 distributions
+        # (ref weather.py:385); here the monthly and diurnal cycles are
+        # parametric.  Southern-hemisphere sites (all bundled ones) are
+        # driest in austral winter (Jul) and coldest then; the diurnal
+        # temperature peak is mid-afternoon local time.
+        from datetime import datetime, timezone
+
+        tval = time if isinstance(time, (int, float)) else 0.0
+        dt = datetime.fromtimestamp(float(tval or 0.0), tz=timezone.utc)
+        month_phase = 2.0 * np.pi * (dt.month - 1 + dt.day / 30.0) / 12.0
+        hour_phase = 2.0 * np.pi * (dt.hour + dt.minute / 60.0) / 24.0
+        # Jul (month 7) minimum: cos peaks at Jan -> multiply pwv by
+        # (1 + 0.4 cos) gives max in Jan (austral summer, wettest)
+        season_wet = 1.0 + 0.4 * np.cos(month_phase)
+        season_temp = 4.0 * np.cos(month_phase)  # Kelvin swing
+        diurnal_temp = 3.0 * np.cos(hour_phase - 2.0 * np.pi * 18.0 / 24.0)
+        params = dict(params)
+        pmed, psig = params["pwv_mm"]
+        params["pwv_mm"] = (pmed * season_wet, psig)
+        tmed, tsig = params["air_temp_K"]
+        params["air_temp_K"] = (tmed + season_temp + diurnal_temp, tsig)
+
         def draw(i, med, sig, positive=True, lognormal=False):
             if lognormal:
                 val = med * np.exp(0.5 * draws[i] * sig / med)
