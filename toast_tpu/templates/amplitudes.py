@@ -44,8 +44,27 @@ class Amplitudes:
             mask = jnp.asarray((self.local_flags == 0).astype(self.dtype))
             self.local = self.local * mask
 
+    def sync(self):
+        """Accumulate contributions to shared amplitude indices across
+        processes (reference ``amplitudes.py:357-520``).
+
+        In this layout each process group owns disjoint observations, and
+        amplitudes are observation-local (detector x baseline blocks), so
+        indices never overlap between processes and the sum is the
+        concatenation the group already holds — a no-op beyond flag
+        consistency.  Kept as the explicit hook for templates with global
+        (index-overlapping) amplitudes.
+        """
+        return self
+
     def dot(self, other):
-        """Global dot product, excluding flagged amplitudes."""
+        """Global dot product, excluding flagged amplitudes.
+
+        With several processes (observation-parallel groups holding
+        disjoint amplitude blocks), local partial dots are reduced with a
+        host allreduce — the reference's distributed dot
+        (``amplitudes.py:523``).
+        """
         a = self.local
         b = other.local
         if np.any(self.local_flags) or np.any(other.local_flags):
@@ -55,7 +74,11 @@ class Amplitudes:
                 )
             )
             a = a * mask
-        return float(jnp.sum(a * b))
+        local = float(jnp.sum(a * b))
+        comm = self._comm
+        if comm is not None and getattr(comm, "world_size", 1) > 1:
+            local = float(comm.allreduce(np.asarray(local), op="sum"))
+        return local
 
     # -- arithmetic (PCG vector ops) --------------------------------------
     def __iadd__(self, other):
