@@ -237,6 +237,11 @@ def main():
                     "toast_tpu.scripts.benchmark_reference",
                     "--case",
                     "tiny",
+                    # output validation checks correctness (hits + rms), not
+                    # speed; the CPU backend avoids the remote TPU tunnel's
+                    # instability on large one-off compiles
+                    "--platform",
+                    "cpu",
                 ],
                 capture_output=True,
                 text=True,

@@ -125,8 +125,43 @@ def _invert_tri(tri, threshold, nnz, do_rcond=False):
     return inv_tri, rcond
 
 
+def _invert_tri_host64(tri, threshold, nnz):
+    """Host float64 twin of :func:`_invert_tri` (numpy, same Cardano math).
+
+    Deep rcond thresholds (below ~1e-4) exceed float32's ability to
+    separate near-singular pixels: an f32 eigenvalue ratio of 1e-6 carries
+    O(1) relative error, so junk inversions leak past the cut.  The
+    reference always inverts in C++ doubles (``toast_map_cov.cpp:246``);
+    this path restores that accuracy for the pixels that need it.
+    """
+    tri = np.asarray(tri, dtype=np.float64)
+    if nnz == 1:
+        val = tri[:, 0]
+        good = val > threshold
+        inv = np.where(good, 1.0 / np.where(good, val, 1.0), 0.0)
+        return inv[:, None], good.astype(np.float64)
+    rows, cols = _tri_indices(nnz)
+    n_pix = tri.shape[0]
+    mat = np.zeros((n_pix, nnz, nnz))
+    mat[:, rows, cols] = tri
+    mat[:, cols, rows] = tri
+    evals = np.linalg.eigvalsh(mat)
+    emax = evals[:, -1]
+    emin = evals[:, 0]
+    rcond = np.where(emax > 0, emin / np.where(emax > 0, emax, 1.0), 0.0)
+    good = (rcond >= threshold) & (emax > 0)
+    inv = np.zeros_like(mat)
+    if good.any():
+        inv[good] = np.linalg.inv(mat[good])
+    return inv[:, rows, cols], np.where(good, rcond, 0.0)
+
+
 def covariance_invert(npp, threshold, rcond=None, use_alltoall=False):
     """Invert a diagonal-block pixel covariance in place.
+
+    Thresholds below 1e-4 automatically use the host float64 path — the
+    f32 device Cardano cannot resolve condition numbers that deep (the
+    reference inverts in doubles throughout).
 
     Args:
         npp: PixelData with n_value = nnz*(nnz+1)/2.
@@ -134,8 +169,15 @@ def covariance_invert(npp, threshold, rcond=None, use_alltoall=False):
         rcond: optional PixelData (n_value=1) to receive the rcond map.
     """
     nnz = _nnz_from_tri(npp.n_value)
-    inv_tri, rc = _invert_tri(npp.data, jnp.float32(threshold), nnz)
-    npp.data = inv_tri.astype(npp.dtype)
+    if float(threshold) < 1.0e-4:
+        inv_tri, rc = _invert_tri_host64(
+            np.asarray(npp.data), float(threshold), nnz
+        )
+        npp.data = jnp.asarray(inv_tri.astype(np.float32))
+        rc = jnp.asarray(rc.astype(np.float32))
+    else:
+        inv_tri, rc = _invert_tri(npp.data, jnp.float32(threshold), nnz)
+        npp.data = inv_tri.astype(npp.dtype)
     npp.units = npp.units**-1
     if rcond is not None:
         rcond.data = rc[:, None].astype(rcond.dtype)
