@@ -297,3 +297,44 @@ def test_observation_redistribute():
     got = ob.detdata["signal"].data
     assert got.sharding.spec == P("det", "samp")
     np.testing.assert_array_equal(np.asarray(got), vals)
+
+
+def test_layout_dependent_ops_sharded():
+    """Ops needing whole-detector time series (FFT noise, interval filters,
+    HWP demodulation) run correctly on det x samp sharded data: GSPMD
+    inserts the layout switches the reference implements as redistribute/
+    Alltoallv (ref observation.py:862, SURVEY long-context row)."""
+    from toast_tpu import ops
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    from helpers import create_satellite_data
+
+    def build(shard):
+        data = create_satellite_data(
+            n_pix=4, obs_time=Quantity(409.55, u.second), hwp_rpm=6.0
+        )
+        ops.DefaultNoiseModel().apply(data)
+        if shard:
+            mesh = create_mesh(det=4, samp=2)
+            for ob in data.obs:
+                ob.redistribute(MeshDist(mesh))
+        ops.SimNoise().apply(data)
+        ops.PolyFilter(order=2).apply(data)
+        det_pointing = ops.PointingDetectorSimple()
+        weights = ops.StokesWeights(
+            mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+        )
+        ops.Pipeline(operators=[det_pointing, weights]).apply(data)
+        demod = ops.Demodulate(stokes_weights=weights, nskip=3)
+        demod.apply(data)
+        return data, demod.demod_data
+
+    d0, dd0 = build(False)
+    d1, dd1 = build(True)
+    sig0 = np.asarray(d0.obs[0].detdata["signal"].data)
+    sig1 = np.asarray(d1.obs[0].detdata["signal"].data)
+    np.testing.assert_allclose(sig0, sig1, rtol=1e-4, atol=1e-5)
+    dm0 = dd0.obs[0].detdata["signal"].numpy()
+    dm1 = dd1.obs[0].detdata["signal"].numpy()
+    np.testing.assert_allclose(dm0, dm1, rtol=1e-4, atol=1e-5)

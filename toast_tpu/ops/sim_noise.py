@@ -69,18 +69,43 @@ class SimNoise(Operator):
                 psds[i] = nse.psd(k).to_value(u.K2_s)
 
             stream_indices = [nse.index(k) & 0xFFFFFFFF for k in keys]
-            noise = sim_noise_batch(
-                self.realization,
-                telescope,
-                self.component,
-                sindx,
-                stream_indices,
-                rate,
-                ob.local_index_offset,
-                ob.n_local_samples,
-                freq0,
-                psds,
-            )
+            # chunk long-stream batches: the 2x-oversampled complex spectra
+            # cost ~24 bytes per (stream, sample); cap the transient at a
+            # few GB of HBM so huge (n_det x n_samp) cases fit
+            max_chunk = max(1, int(6.0e9 / (24 * 2 * ob.n_local_samples)))
+            # round down to a power of two: bounded recompilation
+            max_chunk = 1 << (max_chunk.bit_length() - 1)
+            if len(keys) <= max_chunk:
+                noise = sim_noise_batch(
+                    self.realization,
+                    telescope,
+                    self.component,
+                    sindx,
+                    stream_indices,
+                    rate,
+                    ob.local_index_offset,
+                    ob.n_local_samples,
+                    freq0,
+                    psds,
+                )
+            else:
+                parts = []
+                for s0 in range(0, len(keys), max_chunk):
+                    parts.append(
+                        sim_noise_batch(
+                            self.realization,
+                            telescope,
+                            self.component,
+                            sindx,
+                            stream_indices[s0 : s0 + max_chunk],
+                            rate,
+                            ob.local_index_offset,
+                            ob.n_local_samples,
+                            freq0,
+                            psds[s0 : s0 + max_chunk],
+                        )
+                    )
+                noise = jnp.concatenate(parts, axis=0)
 
             # guard: a TPU backend FFT fault can emit NaN rows (see
             # kernels/simnoise.py batch padding) — fail loudly, never let
