@@ -70,18 +70,20 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     if args.tiny:
-        n_det = args.n_det or 14
-        n_samp = args.n_samp or 16384
+        case_list = [(args.n_det or 14, args.n_samp or 16384)]
         nside = args.nside or 64
     elif not on_tpu:
-        n_det = args.n_det or 64
-        n_samp = args.n_samp or 262144
+        case_list = [(args.n_det or 64, args.n_samp or 262144)]
+        nside = args.nside or 512
+    elif args.n_det or args.n_samp:
+        case_list = [(args.n_det or 128, args.n_samp or 2**20)]
         nside = args.nside or 512
     else:
-        # Size the case to actually exercise the chip: 128 det x 2M samples
-        # = 268M samples (~10 GB of detdata in HBM at nside 512).
-        n_det = args.n_det or 128
-        n_samp = args.n_samp or 2**21
+        # Prefer a case that exercises the chip (134M samples, ~5 GB of
+        # detdata in HBM); the axon remote-compile helper rejects some
+        # large programs outright (HTTP 500 chipless-AOT failures), so
+        # fall back through smaller cases until one runs.
+        case_list = [(128, 2**20), (128, 2**19), (64, 2**18)]
         nside = args.nside or 512
 
     from toast_tpu import ops
@@ -101,6 +103,46 @@ def main():
 
     rate_hz = 100.0
     comm = Comm()
+
+    last_error = None
+    for n_det, n_samp in case_list:
+        try:
+            return run_case(
+                args, comm, n_det, n_samp, nside, rate_hz, on_tpu
+            )
+        except Exception as e:  # compile rejection / OOM: try smaller
+            # keep only the message: the traceback pins the failed case's
+            # HBM arrays alive and would OOM every subsequent attempt
+            last_error = f"{type(e).__name__}: {str(e)[:300]}"
+            print(
+                f"# bench case {n_det}x{n_samp} failed: "
+                f"{last_error[:200]!r}; falling back",
+                file=sys.stderr,
+            )
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+    raise RuntimeError(f"all bench cases failed; last: {last_error}")
+
+
+def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
+    import jax
+    import jax.numpy as jnp
+
+    from toast_tpu import ops
+    from toast_tpu.models import (
+        Data,
+        Observation,
+        Session,
+        SpaceSite,
+        Telescope,
+        fake_hexagon_focalplane,
+    )
+    from toast_tpu.ops.sim_satellite import satellite_scanning
+    from toast_tpu.templates import Offset
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
     fp = fake_hexagon_focalplane(
         n_pix=(n_det + 1) // 2,
         sample_rate=Quantity(rate_hz, u.Hz),
