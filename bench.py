@@ -104,26 +104,54 @@ def main():
     rate_hz = 100.0
     comm = Comm()
 
+    if len(case_list) == 1:
+        return run_case(
+            args, comm, case_list[0][0], case_list[0][1], nside, rate_hz, on_tpu
+        )
+
+    # Multiple candidate sizes: a failed large compile (the axon helper
+    # rejects some big programs with HTTP 500) poisons the device state of
+    # the whole process, so each attempt runs in a fresh subprocess.
+    import subprocess
+
     last_error = None
     for n_det, n_samp in case_list:
+        cmd = [
+            sys.executable,
+            "-u",
+            os.path.abspath(__file__),
+            "--n_det",
+            str(n_det),
+            "--n_samp",
+            str(n_samp),
+            "--nside",
+            str(nside),
+            "--iters",
+            str(args.iters),
+            "--no-validate",
+        ]
         try:
-            return run_case(
-                args, comm, n_det, n_samp, nside, rate_hz, on_tpu
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=2700
             )
-        except Exception as e:  # compile rejection / OOM: try smaller
-            # keep only the message: the traceback pins the failed case's
-            # HBM arrays alive and would OOM every subsequent attempt
-            last_error = f"{type(e).__name__}: {str(e)[:300]}"
-            print(
-                f"# bench case {n_det}x{n_samp} failed: "
-                f"{last_error[:200]!r}; falling back",
-                file=sys.stderr,
-            )
-        import gc
-
-        gc.collect()
-        jax.clear_caches()
-    raise RuntimeError(f"all bench cases failed; last: {last_error}")
+        except subprocess.TimeoutExpired:
+            last_error = "timeout"
+            print(f"# bench case {n_det}x{n_samp} timed out", file=sys.stderr)
+            continue
+        json_line = None
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith("{"):
+                json_line = line
+        if proc.returncode == 0 and json_line:
+            result = json.loads(json_line)
+            sys.stderr.write(proc.stderr or "")
+            return finish(args, result)
+        last_error = ((proc.stdout or "") + (proc.stderr or ""))[-300:]
+        print(
+            f"# bench case {n_det}x{n_samp} failed; falling back",
+            file=sys.stderr,
+        )
+    raise RuntimeError(f"all bench cases failed; last: {last_error!r}")
 
 
 def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
@@ -263,7 +291,17 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         "vs_baseline": round(value / base_rate, 3),
         "baseline_measured": base_rate,
     }
+    print(
+        f"# n_det={n_det} n_samp={n_samp} nside={nside} iters={args.iters} "
+        f"platform={jax.default_backend()} warmup={s0+m0:.2f}s "
+        f"sim+pointing={s1:.2f}s mapmaker={m1:.2f}s total={runtime:.2f}s",
+        file=sys.stderr,
+    )
+    return finish(args, result)
 
+
+def finish(args, result):
+    """Attach the stats validation and print the one-line JSON result."""
     # reference-stats output validation (tiny satellite case), isolated in
     # a subprocess with a hard timeout: the axon tunnel can wedge a process
     # indefinitely, and the bench metric must still be reported
@@ -309,12 +347,6 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
             result["stats_check"] = f"error: {e}"
 
     print(json.dumps(result))
-    print(
-        f"# n_det={n_det} n_samp={n_samp} nside={nside} iters={args.iters} "
-        f"platform={jax.default_backend()} warmup={s0+m0:.2f}s "
-        f"sim+pointing={s1:.2f}s mapmaker={m1:.2f}s total={runtime:.2f}s",
-        file=sys.stderr,
-    )
     return 0
 
 

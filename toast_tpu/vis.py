@@ -111,3 +111,56 @@ def plot_tod(ob, det_data, path, detectors=None, max_samples=20000):
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+def plot_noise_model(noise, path, keys=None, title=None):
+    """Log-log PSD plot of a Noise model's streams (quicklook of the
+    reference's noise-estimation figures)."""
+    from .utils import units as u
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(7, 5))
+    use = keys if keys is not None else list(noise.keys)[:16]
+    for k in use:
+        f = np.asarray(noise.freq(k).value, dtype=np.float64)
+        p = np.asarray(noise.psd(k).value, dtype=np.float64)
+        good = (f > 0) & (p > 0)
+        ax.loglog(f[good], p[good], label=str(k), lw=0.8)
+    ax.set_xlabel("frequency [Hz]")
+    ax.set_ylabel("PSD [K^2 s]")
+    if title:
+        ax.set_title(title)
+    if len(use) <= 8:
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def plot_schedule(schedule, path, title=None):
+    """Timeline of a ground schedule: elevation vs time, colored per patch
+    (quicklook of the reference scheduler's plots)."""
+    from .utils import units as u
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 4))
+    names = sorted({s.name for s in schedule.scans})
+    cmap = plt.get_cmap("tab10")
+    color = {n: cmap(i % 10) for i, n in enumerate(names)}
+    for s in schedule.scans:
+        t0 = s.start.timestamp()
+        t1 = s.stop.timestamp()
+        el = s.el.to_value(u.deg)
+        ax.plot([t0, t1], [el, el], color=color[s.name], lw=3)
+    for n in names:
+        ax.plot([], [], color=color[n], lw=3, label=n)
+    ax.set_xlabel("unix time [s]")
+    ax.set_ylabel("elevation [deg]")
+    ax.legend(fontsize=8)
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
