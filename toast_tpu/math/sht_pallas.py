@@ -23,7 +23,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _RESCALE_BITS = 40.0
 RING_TILE = 64

@@ -9,18 +9,16 @@ the signal — one batched masked least-squares per observation.
 
 **Observation matrix, TPU formulation.**  The reference accumulates the
 matrix sample-by-sample into a CSR workspace
-(``_libtoast/ops_filterbin.cpp:482``).  Here it is computed in closed form
-from binned objects: writing F for the template matrix of one detector and
-P for its pointing matrix,
+(``_libtoast/ops_filterbin.cpp:482``).  Here it is kept in exact factored
+form: writing F for the (unweighted) template basis of one detector and P
+for its pointing matrix,
 
-    M_obs = C [ P^T N^-1 P  -  sum_det B_d^T (F_d^T N^-1 F_d)^-1 B_d ]
+    M_obs = C [ P^T N^-1 P  -  sum_det B~_d^T G_d B~_d ]
 
-with ``B_d = F_d^T N^-1 P_d`` — each row of B is a *template-weighted binned
-map*, accumulated with the same fast segment-sum binning as zmaps, and the
-correction term is one dense (n_tmpl x 3 n_pix)^T @ (n_tmpl x 3 n_pix)
-matmul on the MXU.  This is algebraically identical to the reference's
-estimator and avoids per-sample sparse updates entirely.  The dense matrix
-costs (3 n_pix)^2 floats — fine through nside 32 on one chip.
+with ``B~_d = F_d^T P_d`` (template-weighted binned maps, accumulated with
+the same fast segment-sum binning as zmaps, restricted to hit pixels) and
+``G_d = w_det (F_d^T F_d)^-1``.  The factors are a few MB at any nside;
+``ObsMat.apply`` costs O(n_hit x n_templates) — see :class:`ObsMat`.
 """
 
 from __future__ import annotations
@@ -34,13 +32,12 @@ import jax.numpy as jnp
 
 from ..config.traits import Bool, Instance, Int, Unicode
 from ..models.defaults import default_values as defaults
-from ..pixels import PixelData, covariance_apply
 from ..utils import units as u
 from ..utils.logging import Logger
 from ..utils.timing import Timer, function_timer
 from .kernels.filters import legendre_basis
 from .kernels.mapkernels import get_bin_plan, plan_segment_sum
-from .operator import Operator, Pipeline
+from .operator import Operator
 from .polyfilter import _good
 
 

@@ -36,7 +36,6 @@ from ..math import qarray as qa
 from ..models.defaults import default_values as defaults
 from ..utils import units as u
 from ..utils.logging import Logger
-from ..utils.misc import rate_from_times
 from ..utils.timing import function_timer
 from ..utils.units import Quantity as Qty
 from .operator import Operator

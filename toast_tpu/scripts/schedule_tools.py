@@ -10,7 +10,6 @@ Rebuilds of the reference schedule utilities
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 
 import numpy as np
@@ -248,8 +247,6 @@ def toast_benchmark_ground_setup(opts=None):
     from datetime import datetime, timedelta, timezone
 
     from ..schedule_sim_ground import Patch, build_schedule
-    from ..utils.units import Quantity
-
     os.makedirs(args.out_dir, exist_ok=True)
     start = datetime(2027, 1, 1, tzinfo=timezone.utc)
     patches = [
