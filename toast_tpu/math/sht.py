@@ -107,8 +107,22 @@ def _seed_log2_and_sign(m, s, theta):
     return log2_mag, sign
 
 
-@partial(jax.jit, static_argnums=(2, 3))
 def ring_coeffs(alm, theta, lmax, spin=0):
+    """Dispatch wrapper: the Pallas VMEM-resident kernel when enabled
+    (``TOAST_SHT_PALLAS=1`` on a TPU backend), else the XLA scan."""
+    import os
+
+    if os.environ.get("TOAST_SHT_PALLAS") == "1" and jax.default_backend() not in (
+        "cpu",
+    ):
+        from .sht_pallas import ring_coeffs_pallas
+
+        return ring_coeffs_pallas(alm, theta, lmax, int(spin), False)
+    return _ring_coeffs_scan(alm, theta, lmax, spin)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _ring_coeffs_scan(alm, theta, lmax, spin=0):
     """Per-ring Fourier coefficients F_m(theta) = sum_l a_lm sLambda_lm.
 
     Args:
