@@ -79,11 +79,11 @@ def main():
         case_list = [(args.n_det or 128, args.n_samp or 2**20)]
         nside = args.nside or 512
     else:
-        # Prefer a case that exercises the chip (134M samples, ~5 GB of
-        # detdata in HBM); the axon remote-compile helper rejects some
-        # large programs outright (HTTP 500 chipless-AOT failures), so
-        # fall back through smaller cases until one runs.
-        case_list = [(128, 2**20), (128, 2**19), (64, 2**18)]
+        # Prefer the largest case that compiles and fits: the axon
+        # remote-compile helper rejects some large programs (HTTP 500
+        # chipless-AOT failures) and the fused solve peaks ~64 bytes/sample
+        # of HBM transients, so fall back through smaller cases.
+        case_list = [(64, 2**19), (64, 2**18)]
         nside = args.nside or 512
 
     from toast_tpu import ops
