@@ -104,7 +104,8 @@ def _ring_coeffs_kernel(
     lc = jnp.log2(jnp.maximum(jnp.cos(half), 1e-38))
     ls = jnp.log2(jnp.maximum(jnp.sin(half), 1e-38))
 
-    m_arr = jax.lax.broadcasted_iota(jnp.float32, (1, m_pad), 1)
+    # TPU iota must be integer-typed
+    m_arr = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1).astype(jnp.float32)
     seed_log2 = (
         clog_ref[:].reshape(1, m_pad)
         + ecos_ref[:].reshape(1, m_pad) * lc
