@@ -59,6 +59,7 @@ def hex_layout_positions(n_pix):
                 )
                 if len(pos) == n_pix:
                     return np.array(pos)
+        ring += 1
     return np.array(pos[:n_pix])
 
 

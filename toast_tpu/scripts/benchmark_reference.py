@@ -51,6 +51,9 @@ SATELLITE_EXPECTED = {
         "rms_U": 0.4161516955249392,
         "n_detector": 12,
         "n_obs": 1,
+        # ref:scripts/toast_benchmark_satellite.py:318 lifts the rcond
+        # cut to 1e-6 for tiny only (the default 1e-3 would cut everything)
+        "rcond": 1.0e-6,
     },
     "xsmall": {
         "totalhits": 49680000,
@@ -59,6 +62,9 @@ SATELLITE_EXPECTED = {
         "rms_U": 0.9928140202652976,
         "n_detector": 138,
         "n_obs": 1,
+        # non-tiny cases keep the reference default thresholds
+        # (ref:scripts/toast_benchmark_satellite.py:122)
+        "rcond": 1.0e-3,
     },
 }
 
@@ -66,8 +72,12 @@ SATELLITE_EXPECTED = {
 # synfast stream is not reproducible without healpy), so agreement is
 # limited by cosmic variance of the observed region — ~1% for the
 # l<~150 temperature spectrum, ~0.3% for the l~500 E spectrum — plus
-# beam/pixelization systematics.  5% validates the amplitude chain.
-RMS_RTOL = 0.05
+# beam/pixelization systematics.  On top of that, the Q/I and U/I
+# ratios only approximately cancel the rcond-coverage factor (see
+# validate_satellite_case): the marginal pixels at a deep conditioning
+# cut carry disproportionate Q/U variance, so a few-percent residual
+# coverage effect remains.  6% validates the amplitude chain.
+RMS_RTOL = 0.06
 
 
 def reference_input_spectra(lmax):
@@ -322,8 +332,8 @@ def run_satellite_case(case="tiny", nside=1024, lmax=1024, out=None, log=print):
         name="mapmaker",
         binning=binner,
         template_matrix=ops.TemplateMatrix(templates=[tmpl]),
-        solve_rcond_threshold="1e-6",
-        map_rcond_threshold="1e-6",
+        solve_rcond_threshold=f"{expected['rcond']:.0e}",
+        map_rcond_threshold=f"{expected['rcond']:.0e}",
         write_binmap=False,
     )
     log(f"[bench-ref] mapmaker starting ({time.perf_counter()-t0:.1f}s)")
@@ -359,7 +369,7 @@ def run_satellite_case(case="tiny", nside=1024, lmax=1024, out=None, log=print):
 
     hit_sel = inv64[:, 0] > 0
     cov64 = np.zeros_like(inv64)
-    cov64[hit_sel] = _tri_invert(inv64[hit_sel], 3, 1.0e-6)
+    cov64[hit_sel] = _tri_invert(inv64[hit_sel], 3, expected["rcond"])
     final_map64 = np.zeros((n_pix_tot, 3))
     final_map64[hit_sel] = _tri_matvec(cov64[hit_sel], z64[hit_sel])
     log(f"[bench-ref] float64 statistics map done ({time.perf_counter()-t0:.1f}s)")
