@@ -1,0 +1,103 @@
+"""End-to-end workflow script tests: the inline "simple" variants
+(ref workflows/toast_sim_satellite_simple.py, toast_sim_ground_simple.py)
+driven through their CLI mains with file-based instrument/schedule input,
+plus the WCS map plot tool (ref toast_plot_wcs.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from toast_tpu.utils import units as u
+from toast_tpu.utils.units import Quantity
+
+
+def test_sim_satellite_simple(tmp_path):
+    import h5py
+
+    from toast_tpu.models import (
+        create_satellite_schedule,
+        fake_hexagon_focalplane,
+    )
+    from toast_tpu.workflows.sim_satellite_simple import main
+
+    fp = fake_hexagon_focalplane(n_pix=1, sample_rate=Quantity(5.0, u.Hz))
+    fp_file = os.path.join(tmp_path, "focalplane.h5")
+    with h5py.File(fp_file, "w") as f:
+        fp.save_hdf5(f)
+    sched = create_satellite_schedule(
+        prefix="t_",
+        observation_time=Quantity(2.0, u.minute),
+        num_observations=1,
+        prec_period=Quantity(10.0, u.minute),
+        spin_period=Quantity(1.0, u.minute),
+    )
+    sched_file = os.path.join(tmp_path, "schedule.txt")
+    sched.write(sched_file)
+
+    out_dir = os.path.join(tmp_path, "out")
+    assert (
+        main(
+            [
+                "--focalplane", fp_file,
+                "--schedule", sched_file,
+                "--out_dir", out_dir,
+            ]
+        )
+        == 0
+    )
+    products = os.listdir(out_dir)
+    assert any("hits" in p for p in products), products
+    assert any("map" in p for p in products), products
+
+
+def test_sim_ground_simple(tmp_path):
+    from datetime import datetime, timedelta, timezone
+
+    from toast_tpu.schedule_sim_ground import Patch, build_schedule
+    from toast_tpu.workflows.sim_ground_simple import main
+
+    start = datetime(2027, 3, 1, tzinfo=timezone.utc)
+    sched = build_schedule(
+        patches=[
+            Patch("p", 1.0, [(40, -50), (60, -50), (60, -30), (40, -30)])
+        ],
+        start=start,
+        stop=start + timedelta(minutes=40),
+        partial_visibility=True,
+    )
+    sched_file = os.path.join(tmp_path, "ground_schedule.txt")
+    sched.write(sched_file)
+
+    out_dir = os.path.join(tmp_path, "out")
+    assert (
+        main(["--schedule", sched_file, "--out_dir", out_dir]) == 0
+    )
+    products = os.listdir(out_dir)
+    assert any("map" in p for p in products), products
+
+
+def test_plot_wcs_tool(tmp_path):
+    pytest.importorskip("matplotlib")
+    from toast_tpu.pixels import PixelData, PixelDistribution
+    from toast_tpu.pixels.io_wcs import write_wcs_hdf5
+    from toast_tpu.scripts.schedule_tools import toast_plot_wcs
+
+    nx, ny = 16, 8
+    dist = PixelDistribution(n_pix=nx * ny, n_submap=4)
+    pd = PixelData(dist, n_value=3)
+    vals = np.random.default_rng(0).standard_normal((nx * ny, 3))
+    pd.set_numpy(vals.astype(np.float32))
+    meta = {
+        "projection": "CAR",
+        "lon0": 0.0,
+        "lat0": 0.0,
+        "res": np.radians(1.0),
+        "nx": nx,
+        "ny": ny,
+    }
+    mapfile = os.path.join(tmp_path, "flat.h5")
+    write_wcs_hdf5(pd, mapfile, meta)
+    png = os.path.join(tmp_path, "flat.png")
+    assert toast_plot_wcs([mapfile, "--out", png]) == 0
+    assert os.path.getsize(png) > 0

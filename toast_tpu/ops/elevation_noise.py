@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config.traits import Float, Unicode
+from ..config.traits import Float, Instance, Unicode
 from ..models.defaults import default_values as defaults
 from ..models.noise import Noise
 from ..utils import units as u
@@ -23,6 +23,16 @@ class ElevationNoise(Operator):
     noise_model = Unicode(defaults.noise_model, help="Input noise model key")
     out_model = Unicode(None, allow_none=True, help="Output key (default in-place)")
     elevation = Unicode(defaults.elevation, help="Shared key with elevation")
+    detector_pointing = Instance(
+        klass=object,
+        allow_none=True,
+        help="Optional az/el detector pointing operator: when set, the "
+        "per-detector median elevation is used instead of the shared "
+        "boresight elevation (ref:ops/elevation_noise.py:40)",
+    )
+    view = Unicode(
+        None, allow_none=True, help="Restrict to this interval list"
+    )
     noise_a = Float(None, allow_none=True, help="Coefficient of 1/sin(el)")
     noise_c = Float(None, allow_none=True, help="Constant coefficient")
     pwv_a0 = Float(None, allow_none=True, help="PWV poly coefficient 0")
@@ -39,6 +49,29 @@ class ElevationNoise(Operator):
             if len(dets) == 0:
                 continue
             el = np.asarray(ob.shared[self.elevation]) if self.elevation in ob.shared else None
+
+            det_el = None
+            if self.detector_pointing is not None:
+                from .operator import single_obs_view
+
+                quat_key = self.detector_pointing.quats
+                if quat_key not in ob.detdata:
+                    self.detector_pointing.exec(
+                        single_obs_view(data, ob), detectors=dets
+                    )
+                from ..math import qarray as qa
+
+                quats = np.asarray(ob.detdata[quat_key].data)
+                zax = np.broadcast_to(
+                    np.array([0.0, 0.0, 1.0]), quats.shape[:-1] + (3,)
+                )
+                vz = qa.rotate(quats, zax)[..., 2]
+                # azel frame: v_z = cos(theta) = sin(elevation)
+                det_el = {
+                    d: float(np.arcsin(np.clip(np.median(vz[i]), -1.0, 1.0)))
+                    for i, d in enumerate(ob.local_detectors)
+                    if d in set(dets)
+                }
 
             # per-detector focalplane overrides
             fp = ob.telescope.focalplane
@@ -65,8 +98,13 @@ class ElevationNoise(Operator):
                 if c_col is not None:
                     c = float(c_col[fp.detector_index(det)])
                 psd = nse_in.psd(det).to_value(u.K2_s)
-                if a is not None and el is not None:
+                if det_el is not None and det in det_el:
+                    el_med = det_el[det]
+                elif el is not None:
                     el_med = float(np.median(el))
+                else:
+                    el_med = None
+                if a is not None and el_med is not None and el_med > 0:
                     scale = (a / np.sin(el_med) + (c or 0.0)) ** 2
                 else:
                     scale = 1.0

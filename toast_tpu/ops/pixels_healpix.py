@@ -65,9 +65,16 @@ class PixelsHealpix(Operator):
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
                 continue
-            if self.quats not in ob.detdata and self.detector_pointing is not None:
-                self.detector_pointing.exec(single_obs_view(data, ob), detectors=dets)
-            quats = ob.detdata[self.quats].data
+            # like the reference, the detector pointing operator's quats key
+            # takes precedence (ref:ops/pixels_healpix/pixels_healpix.py)
+            quat_key = self.quats
+            if self.detector_pointing is not None:
+                quat_key = self.detector_pointing.quats
+                if quat_key not in ob.detdata:
+                    self.detector_pointing.exec(
+                        single_obs_view(data, ob), detectors=dets
+                    )
+            quats = ob.detdata[quat_key].data
             if self.shared_flags is not None and self.shared_flags in ob.shared:
                 flags = ob.shared.jax_view(self.shared_flags)
                 mask = self.shared_flag_mask

@@ -95,10 +95,13 @@ class PixelsWCS(Operator):
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
                 continue
-            if self.quats not in ob.detdata:
+            quat_key = self.quats
+            if self.detector_pointing is not None:
+                quat_key = self.detector_pointing.quats
+            if quat_key not in ob.detdata:
                 self.detector_pointing.exec(single_obs_view(data, ob), detectors=dets)
             didx = ob.detector_indices(dets)
-            quats = np.asarray(ob.detdata[self.quats].data[didx])
+            quats = np.asarray(ob.detdata[quat_key].data[didx])
             vdir = qa.rotate(quats, np.array([0.0, 0.0, 1.0]))
             lons.append(np.arctan2(vdir[..., 1], vdir[..., 0]))
             lats.append(np.arcsin(np.clip(vdir[..., 2], -1, 1)))
@@ -153,9 +156,12 @@ class PixelsWCS(Operator):
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
                 continue
-            if self.quats not in ob.detdata:
+            quat_key = self.quats
+            if self.detector_pointing is not None:
+                quat_key = self.detector_pointing.quats
+            if quat_key not in ob.detdata:
                 self.detector_pointing.exec(single_obs_view(data, ob), detectors=dets)
-            quats = ob.detdata[self.quats].data
+            quats = ob.detdata[quat_key].data
             pix = wcs_pixels(
                 quats,
                 jnp.float32(self._lon0),

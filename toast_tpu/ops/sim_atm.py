@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config.traits import Bool, Float, Int, Quantity, Unicode
+from ..config.traits import Bool, Float, Instance, Int, Quantity, Unicode
 from ..math import rng as toast_rng
 from ..math import qarray as qa
 from ..models.defaults import default_values as defaults
@@ -103,8 +103,13 @@ class SimAtmosphere(Operator):
 
     det_data = Unicode(defaults.det_data)
     times = Unicode(defaults.times)
-    detector_pointing = Unicode(
-        defaults.quats_azel, help="Detdata key with Az/El detector quaternions"
+    detector_pointing = Instance(
+        klass=object,
+        allow_none=True,
+        help="Az/El detector pointing: either an operator instance "
+        "(ref:ops/sim_tod_atm.py API) or a detdata key string with Az/El "
+        "quaternions; None uses the default quats_azel key, falling back "
+        "to boresight + focalplane offsets",
     )
     azimuth = Unicode(defaults.azimuth)
     elevation = Unicode(defaults.elevation)
@@ -161,8 +166,19 @@ class SimAtmosphere(Operator):
 
             # detector az/el from azel quaternions (or boresight + offsets)
             didx = ob.detector_indices(dets)
-            if self.detector_pointing in ob.detdata:
-                quats = np.asarray(ob.detdata[self.detector_pointing].data[didx])
+            quat_key = defaults.quats_azel
+            if isinstance(self.detector_pointing, str):
+                quat_key = self.detector_pointing
+            elif self.detector_pointing is not None:
+                quat_key = self.detector_pointing.quats
+                if quat_key not in ob.detdata:
+                    from .operator import single_obs_view
+
+                    self.detector_pointing.exec(
+                        single_obs_view(data, ob), detectors=dets
+                    )
+            if quat_key in ob.detdata:
+                quats = np.asarray(ob.detdata[quat_key].data[didx])
                 lon, lat, _ = qa.to_lonlat_angles(quats)
                 az_det = (-lon).astype(np.float32)
                 el_det = lat.astype(np.float32)

@@ -41,8 +41,14 @@ class StokesWeights(Operator):
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
                 continue
-            if self.quats not in ob.detdata and self.detector_pointing is not None:
-                self.detector_pointing.exec(single_obs_view(data, ob), detectors=dets)
+            # detector-pointing operator's quats key takes precedence
+            quat_key = self.quats
+            if self.detector_pointing is not None:
+                quat_key = self.detector_pointing.quats
+                if quat_key not in ob.detdata:
+                    self.detector_pointing.exec(
+                        single_obs_view(data, ob), detectors=dets
+                    )
             fp = ob.telescope.focalplane
             n_det = len(dets)
             cal = np.ones(n_det)
@@ -77,7 +83,7 @@ class StokesWeights(Operator):
             hwp = None
             if self.hwp_angle is not None and self.hwp_angle in ob.shared:
                 hwp = ob.shared.jax_view(self.hwp_angle)
-            quats = ob.detdata[self.quats].data
+            quats = ob.detdata[quat_key].data
             cache_key = (id(quats), id(hwp), self.IAU, tuple(cal))
             cache_tag = f"_cache_{self.weights}"
             if (

@@ -331,6 +331,26 @@ def toast_plot_healpix(opts=None):
     return 0
 
 
+def toast_plot_wcs(opts=None):
+    """Plot a flat-sky WCS map file (ref toast_plot_wcs.py)."""
+    parser = argparse.ArgumentParser(description="Plot a WCS projection map")
+    parser.add_argument("mapfile")
+    parser.add_argument("--comp", type=int, default=0)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(opts)
+    from ..pixels.io_wcs import read_wcs_fits, read_wcs_hdf5
+    from ..vis import plot_wcs_map
+
+    if args.mapfile.endswith((".fits", ".fit")):
+        pd, wcs_meta = read_wcs_fits(args.mapfile)
+    else:
+        pd, wcs_meta = read_wcs_hdf5(args.mapfile)
+    out = args.out or (args.mapfile.rsplit(".", 1)[0] + ".png")
+    plot_wcs_map(pd, wcs_meta, out, comp=args.comp)
+    print(f"Wrote {out}")
+    return 0
+
+
 def toast_hdf5_to_spt3g(opts=None):
     """SPT3G conversion requires the spt3g package (gated like the
     reference; ref toast_hdf5_to_spt3g.py)."""
