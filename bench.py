@@ -269,6 +269,11 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         for field in list(ob.detdata.keys()):
             del ob.detdata[field]
         del ob._internal["noise_model"]
+        # free run-1 bin plans (the new run's pixel arrays get new plans)
+        from toast_tpu.ops.kernels import mapkernels
+
+        mapkernels._PLAN_CACHE.clear()
+        mapkernels._SHARDED_PLAN_CACHE.clear()
 
     # warmup: populates the jit + persistent compilation caches.  Steady
     # state is what the science metric measures (the reference's C++ is

@@ -254,12 +254,28 @@ def _hit_plan_device(run_pix, order, first, n_hit_b):
     return hit_bounds, hit_pix
 
 
+_FUSED_PLAN_CACHE: dict = {}
+
+
 def prepare_fused_solve(pixels, n_samp, step, n_base, n_det, n_pix):
     """Device-side preprocessing: runs, sort plan, segment boundaries.
 
-    Only a single scalar (the run count) crosses to the host — the pixel
-    array itself never leaves the device.
+    Only small scalars (a content fingerprint and the run count) cross to
+    the host — the pixel array itself never leaves the device.  Plans are
+    cached by pixel-content fingerprint (see
+    :func:`..kernels.mapkernels.pixel_fingerprint`): re-solving with
+    identical pointing — Monte-Carlo noise realizations over a fixed
+    scan, or the solver/final-binning passes of one map-maker run —
+    skips the run extraction and device sort entirely.
     """
+    from .mapkernels import pixel_fingerprint
+
+    fp_key = pixel_fingerprint(pixels) + (
+        int(n_samp), int(step), int(n_base), int(n_det), int(n_pix),
+    )
+    hit = _FUSED_PLAN_CACHE.get(fp_key)
+    if hit is not None:
+        return hit
     pix_flat = pixels.reshape(-1)
     change = _run_change_mask(pix_flat, n_samp, step)
     n_runs = int(jnp.sum(change))
@@ -270,7 +286,7 @@ def prepare_fused_solve(pixels, n_samp, step, n_base, n_det, n_pix):
     n_hit_i = int(n_hit)
     n_hit_b = min(1 << (max(n_hit_i, 1) - 1).bit_length(), n_runs)
     hit_bounds, hit_pix = _hit_plan_device(run_pix, order, first, n_hit_b)
-    return {
+    plan = {
         "starts": starts,
         "run_amp": run_amp,
         "sort_order": order,
@@ -282,3 +298,7 @@ def prepare_fused_solve(pixels, n_samp, step, n_base, n_det, n_pix):
         "n_runs": n_runs,
         "n_hit": n_hit_i,
     }
+    if len(_FUSED_PLAN_CACHE) > 4:
+        _FUSED_PLAN_CACHE.clear()
+    _FUSED_PLAN_CACHE[fp_key] = plan
+    return plan

@@ -21,7 +21,10 @@ Design notes (SURVEY §7 "hard parts"):
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +148,7 @@ _SEG_BLOCK = 512
 
 
 _SHARDED_PLAN_CACHE: dict = {}
+_SHARDED_FP_CACHE: dict = {}
 
 
 def get_sharded_bin_plan(pixels, mesh_dist, n_pix_padded):
@@ -162,8 +166,15 @@ def get_sharded_bin_plan(pixels, mesh_dist, n_pix_padded):
 
     key = (id(pixels), id(mesh_dist.mesh), int(n_pix_padded))
     hit = _SHARDED_PLAN_CACHE.get(key)
-    if hit is not None and hit[0] is pixels:
+    if hit is not None and hit[0]() is pixels:
         return hit[1]
+    fp_key = pixel_fingerprint(pixels) + (
+        id(mesh_dist.mesh), int(n_pix_padded),
+    )
+    fp_hit = _SHARDED_FP_CACHE.get(fp_key)
+    if fp_hit is not None:
+        _SHARDED_PLAN_CACHE[key] = (weakref.ref(pixels), fp_hit)
+        return fp_hit
 
     axes = (DET_AXIS, SAMP_AXIS)
 
@@ -185,7 +196,12 @@ def get_sharded_bin_plan(pixels, mesh_dist, n_pix_padded):
     plan = fn(pixels)
     if len(_SHARDED_PLAN_CACHE) > 32:
         _SHARDED_PLAN_CACHE.clear()
-    _SHARDED_PLAN_CACHE[key] = (pixels, plan)
+    if len(_SHARDED_FP_CACHE) > 8:
+        _SHARDED_FP_CACHE.clear()
+    _SHARDED_FP_CACHE[fp_key] = plan
+    # weakref: a strong reference here would keep the (often very large)
+    # pixel array alive in HBM after its detdata field is deleted/rebound
+    _SHARDED_PLAN_CACHE[key] = (weakref.ref(pixels), plan)
     return plan
 
 
@@ -356,23 +372,59 @@ def plan_segment_sum(vals_flat, plan):
     return _sort_plan_sum(vals_flat, plan[1], plan[2])
 
 
+@jax.jit
+def _fingerprint_jit(flat):
+    # 64-bit content hash: plain sum + position-mixed sum (int32 wrapping
+    # arithmetic is deterministic on all backends)
+    idx = jax.lax.iota(jnp.int32, flat.shape[0])
+    mixed = flat * (idx * jnp.int32(-1640531527) | jnp.int32(1))
+    h1 = jnp.sum(flat, dtype=jnp.int32)
+    h2 = jnp.sum(mixed ^ (flat >> 7), dtype=jnp.int32)
+    return jnp.stack([h1, h2])
+
+
+def pixel_fingerprint(pixels):
+    """Content fingerprint of a device pixel array (one small host fetch).
+
+    Sort-based bin/run plans cost hundreds of milliseconds at production
+    sizes while depending only on the pixel *values*; production pipelines
+    routinely re-solve with identical pointing (Monte-Carlo noise
+    realizations over a fixed scan, solver + final binning, repeated
+    map-maker passes).  A 64-bit content hash (~10 ms + one round trip)
+    lets every plan cache recognize those repeats across array rebinds.
+    """
+    flat = pixels.reshape(-1)
+    fp = np.asarray(_fingerprint_jit(flat))
+    return (int(fp[0]), int(fp[1]), int(flat.shape[0]))
+
+
 _PLAN_CACHE: dict = {}
+_PLAN_FP_CACHE: dict = {}
 
 
 def get_bin_plan(pixels, n_pix):
     """Cached (order, bounds) for a device pixel array.
 
-    Keyed on the array's identity: detdata updates rebind arrays, so a
-    stale cache entry can never alias new pixel values.
+    Two-level cache: array identity first (free; detdata updates rebind
+    arrays so a stale entry can never alias new values), then a content
+    fingerprint (one small fetch) that recognizes regenerated-but-equal
+    pixel arrays and skips the large device sort.
     """
     key = (id(pixels), int(n_pix))
     hit = _PLAN_CACHE.get(key)
-    if hit is not None and hit[0] is pixels:
+    if hit is not None and hit[0]() is pixels:
         return hit[1]
-    plan = build_bin_plan(pixels.reshape(-1), n_pix)
+    fp_key = pixel_fingerprint(pixels) + (int(n_pix),)
+    plan = _PLAN_FP_CACHE.get(fp_key)
+    if plan is None:
+        plan = build_bin_plan(pixels.reshape(-1), n_pix)
+        if len(_PLAN_FP_CACHE) > 8:
+            _PLAN_FP_CACHE.clear()
+        _PLAN_FP_CACHE[fp_key] = plan
     if len(_PLAN_CACHE) > 32:
         _PLAN_CACHE.clear()
-    _PLAN_CACHE[key] = (pixels, plan)
+    # weakref: see get_sharded_bin_plan — never pin dead pixel arrays in HBM
+    _PLAN_CACHE[key] = (weakref.ref(pixels), plan)
     return plan
 
 
