@@ -77,6 +77,70 @@ def test_sim_ground_simple(tmp_path):
     assert any("map" in p for p in products), products
 
 
+def test_sim_ground_workflow_toml(tmp_path):
+    """Full ground workflow from ONE TOML config: sim -> atmosphere ->
+    polyfilter -> demodulation -> FilterBin + MapMaker (VERDICT r1 item 10)."""
+    from datetime import datetime, timedelta, timezone
+
+    from toast_tpu import ops
+    from toast_tpu.config import build_config, dump_config
+    from toast_tpu.schedule_sim_ground import Patch, build_schedule
+    from toast_tpu.workflows.sim_ground import main
+
+    start = datetime(2027, 3, 1, tzinfo=timezone.utc)
+    sched = build_schedule(
+        patches=[
+            Patch("p", 1.0, [(40, -50), (60, -50), (60, -30), (40, -30)])
+        ],
+        start=start,
+        stop=start + timedelta(minutes=30),
+        partial_visibility=True,
+    )
+    sched_file = os.path.join(tmp_path, "schedule.txt")
+    sched.write(sched_file)
+
+    # the entire non-default configuration goes through one TOML file
+    conf = build_config(
+        [
+            ops.SimGround(
+                name="sim_ground",
+                hwp_rpm=Quantity(6.0, u.dimensionless),
+                hwp_angle="hwp_angle",
+            ),
+            ops.SimAtmosphere(
+                name="sim_atmosphere", add_loading=False, screen_res=64
+            ),
+            ops.PolyFilter(name="polyfilter", order=1),
+            ops.Demodulate(name="demodulate", nskip=3),
+            ops.FilterBin(name="filterbin"),
+        ]
+    )
+    for name in (
+        "sim_atmosphere", "polyfilter", "demodulate", "filterbin",
+    ):
+        conf["operators"][name]["enabled"] = "True"
+    toml_file = os.path.join(tmp_path, "pipeline.toml")
+    dump_config(toml_file, conf)
+
+    out_dir = os.path.join(tmp_path, "out")
+    data = main(
+        [
+            "--config", toml_file,
+            "--schedule", sched_file,
+            "--out_dir", out_dir,
+            "--sample_rate", "10",
+            "--n_pix", "2",
+        ]
+    )
+    # demodulation replaced the observations with demod pseudo-detectors
+    assert any(
+        d.startswith("demod") for d in data.obs[0].local_detectors
+    ) or any(o.name.startswith("demod") for o in data.obs)
+    products = os.listdir(out_dir)
+    assert any("mapmaker" in p and "map" in p for p in products), products
+    assert any("filterbin" in p for p in products), products
+
+
 def test_plot_wcs_tool(tmp_path):
     pytest.importorskip("matplotlib")
     from toast_tpu.pixels import PixelData, PixelDistribution

@@ -33,7 +33,7 @@ class BinMap(Operator):
     det_flags = Unicode(defaults.det_flags, allow_none=True)
     det_flag_mask = Int(defaults.det_mask_invalid)
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
-    shared_flag_mask = Int(defaults.shared_mask_invalid)
+    shared_flag_mask = Int(defaults.shared_mask_nonscience)
     pixel_pointing = Instance(klass=object, allow_none=True, help="PixelsHealpix")
     stokes_weights = Instance(klass=object, allow_none=True, help="StokesWeights")
     noise_model = Unicode(defaults.noise_model)

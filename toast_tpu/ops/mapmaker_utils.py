@@ -79,7 +79,7 @@ class BuildHitMap(Operator):
     det_flags = Unicode(defaults.det_flags, allow_none=True)
     det_flag_mask = Int(defaults.det_mask_invalid)
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
-    shared_flag_mask = Int(defaults.shared_mask_invalid)
+    shared_flag_mask = Int(defaults.shared_mask_nonscience)
     sync_type = Unicode("allreduce", help="allreduce or alltoallv")
     sharded = Bool(
         False, help="Shard the map pixel axis over the observation's mesh"
@@ -147,7 +147,7 @@ class BuildInverseCovariance(Operator):
     det_flags = Unicode(defaults.det_flags, allow_none=True)
     det_flag_mask = Int(defaults.det_mask_invalid)
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
-    shared_flag_mask = Int(defaults.shared_mask_invalid)
+    shared_flag_mask = Int(defaults.shared_mask_nonscience)
     sync_type = Unicode("allreduce")
     sharded = Bool(
         False, help="Shard the map pixel axis over the observation's mesh"
@@ -231,7 +231,7 @@ class BuildNoiseWeighted(Operator):
     det_flags = Unicode(defaults.det_flags, allow_none=True)
     det_flag_mask = Int(defaults.det_mask_invalid)
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
-    shared_flag_mask = Int(defaults.shared_mask_invalid)
+    shared_flag_mask = Int(defaults.shared_mask_nonscience)
     sync_type = Unicode("allreduce")
     sharded = Bool(
         False, help="Shard the map pixel axis over the observation's mesh"
@@ -311,7 +311,7 @@ class CovarianceAndHits(Operator):
     det_flags = Unicode(defaults.det_flags, allow_none=True)
     det_flag_mask = Int(defaults.det_mask_invalid)
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
-    shared_flag_mask = Int(defaults.shared_mask_invalid)
+    shared_flag_mask = Int(defaults.shared_mask_nonscience)
     pixel_pointing = Instance(klass=object, allow_none=True, help="PixelsHealpix")
     stokes_weights = Instance(klass=object, allow_none=True, help="StokesWeights")
     noise_model = Unicode(defaults.noise_model)

@@ -110,7 +110,7 @@ class CommonModeFilter(Operator):
     det_flags = Unicode(defaults.det_flags, allow_none=True)
     det_flag_mask = Int(defaults.det_mask_nonscience)
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
-    shared_flag_mask = Int(defaults.shared_mask_nonscience)
+    shared_flag_mask = Int(defaults.shared_mask_invalid)
     focalplane_key = Unicode(
         None, allow_none=True, help="Split detectors by this focalplane column"
     )
@@ -153,7 +153,7 @@ class PolyFilter2D(Operator):
     det_flags = Unicode(defaults.det_flags, allow_none=True)
     det_flag_mask = Int(defaults.det_mask_nonscience)
     shared_flags = Unicode(defaults.shared_flags, allow_none=True)
-    shared_flag_mask = Int(defaults.shared_mask_nonscience)
+    shared_flag_mask = Int(defaults.shared_mask_invalid)
     focalplane_key = Unicode(None, allow_none=True)
 
     @function_timer

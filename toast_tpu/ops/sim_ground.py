@@ -38,6 +38,11 @@ class SimGround(Operator):
     telescope = Instance(klass=object, allow_none=True, help="Telescope instance")
     schedule = Instance(klass=object, allow_none=True, help="GroundSchedule")
     scan_rate_az = Quantity(Qty(1.0, u.deg), help="Az scan rate (per second)")
+    fix_rate_on_sky = Bool(
+        True,
+        help="If True, scan_rate_az is a sky rate and the mount azimuth "
+        "rate is scan_rate_az / cos(el) (ref:ops/sim_ground.py:148)",
+    )
     scan_accel_az = Quantity(
         Qty(1.0, u.deg), help="Az acceleration in turnarounds (per second^2)"
     )
@@ -126,11 +131,14 @@ class SimGround(Operator):
             ob.shared.set(self.times, times)
 
             # azimuth profile with turnarounds
+            rate_az = self.scan_rate_az.to_value(u.rad)
+            if self.fix_rate_on_sky:
+                rate_az = rate_az / max(np.cos(scan.el.to_value(u.rad)), 1e-6)
             ces = simulate_ces_scan(
                 times,
                 scan.az_min.to_value(u.rad),
                 scan.az_max.to_value(u.rad),
-                self.scan_rate_az.to_value(u.rad),
+                rate_az,
                 self.scan_accel_az.to_value(u.rad),
                 cosecant_modulation=self.scan_cosecant_modulation,
             )

@@ -68,6 +68,22 @@ SATELLITE_EXPECTED = {
     },
 }
 
+# Ground benchmark expected outputs (same stats.json, "ground" block).
+# Case sizing follows ref:benchmarking_utilities.py:select_distribution for
+# a tiny (5e6-sample) job: one observation (the first CES, capped at
+# ces_max_time = 1200 s -> 120001 samples at 100 Hz) and detectors added
+# two at a time while n_det * samples <= 5e6 -> 40 detectors.
+GROUND_EXPECTED = {
+    "tiny": {
+        "totalhits": 4692640,
+        "rms_I": 4.288589272510856,
+        "rms_Q": 0.2883310243187944,
+        "rms_U": 0.28506926605174054,
+        "n_detector": 40,
+        "rcond": 1.0e-3,
+    },
+}
+
 # RMS tolerance: the sky realization necessarily differs (healpy's seeded
 # synfast stream is not reproducible without healpy), so agreement is
 # limited by cosmic variance of the observed region — ~1% for the
@@ -145,7 +161,9 @@ def make_input_sky(nside, lmax=1024, seed=123456789, fwhm_arcmin=3.0):
                 [_sys.executable, "-c", code],
                 capture_output=True,
                 text=True,
-                timeout=1800,
+                # nside 4096 (the ground benchmark) interpolates 201M
+                # pixel centers on one core — give it room
+                timeout=1800 if nside <= 2048 else 7200,
             )
             if proc.returncode == 0 and os.path.exists(cache):
                 return np.load(cache)
@@ -211,11 +229,22 @@ def make_input_sky(nside, lmax=1024, seed=123456789, fwhm_arcmin=3.0):
     del Fp, Fm, Cq, Cu
 
     n_pix = 12 * nside * nside
-    pix = np.arange(n_pix, dtype=np.int64)
-    theta, phi = nest2ang(nside, pix)
     out = np.empty((n_pix, 3), dtype=np.float32)
-    for col, grid in enumerate((T_grid, Q_grid, U_grid)):
-        out[:, col] = sht.grid_interpolate_np(grid, theta, phi)
+    # float32 grids + chunked pixel-center interpolation: at nside 4096
+    # the full-map float64 vectorized path peaks over 30 GB and takes
+    # tens of minutes on one core; chunks keep it flat and cache-friendly
+    grids = tuple(
+        g.astype(np.float32) for g in (T_grid, Q_grid, U_grid)
+    )
+    del T_grid, Q_grid, U_grid
+    chunk_px = 1 << 24
+    for s0 in range(0, n_pix, chunk_px):
+        pix = np.arange(s0, min(s0 + chunk_px, n_pix), dtype=np.int64)
+        theta, phi = nest2ang(nside, pix)
+        for col, grid in enumerate(grids):
+            out[s0 : s0 + len(pix), col] = sht.grid_interpolate_np(
+                grid, theta, phi
+            )
     np.save(cache, out)
     return out
 
@@ -242,6 +271,55 @@ def make_benchmark_focalplane(n_detector, sample_rate_hz=100.0, width_deg=10.0):
         fp.detector_data = {k: v[:n_detector] for k, v in fp.detector_data.items()}
         fp._index = {d: i for i, d in enumerate(fp.detector_data["name"])}
     return fp
+
+
+def _float64_statistics_map(data, pixels, weights, nside, rcond, mask=None):
+    """Host float64 binning of the (destriped) signal over all observations.
+
+    The reference accumulates its maps in double precision throughout; at a
+    deep rcond threshold a float32 zmap (relative error ~1e-7, amplified by
+    the inverse condition number) corrupts Q/U at marginally conditioned
+    pixels by tens of Kelvin.  ``mask`` (a shared-flag bit mask) excludes
+    flagged samples — the reference binner masks nonscience flags
+    (ref:ops/mapmaker_binning.py:82), which matters for ground scans where
+    turnarounds are flagged.
+    """
+    from ..models.defaults import default_values as defaults
+    from ..ops.filterbin import _tri_invert, _tri_matvec
+
+    n_pix_tot = 12 * nside * nside
+    z64 = np.zeros((n_pix_tot, 3))
+    inv64 = np.zeros((n_pix_tot, 6))
+    rows = [0, 0, 0, 1, 1, 2]
+    cols = [0, 1, 2, 1, 2, 2]
+    if mask is None:
+        mask = defaults.shared_mask_nonscience
+    for ob in data.obs:
+        nse = ob["noise_model"]
+        dets = ob.local_detectors
+        pixd = np.asarray(ob.detdata[pixels.pixels].data)
+        wtsd = np.asarray(ob.detdata[weights.weights].data, dtype=np.float64)
+        sigd = np.asarray(ob.detdata["signal"].data, dtype=np.float64)
+        shared_good = np.ones(ob.n_local_samples, dtype=bool)
+        if defaults.shared_flags in ob.shared:
+            sf = np.asarray(ob.shared[defaults.shared_flags])
+            shared_good = (sf.astype(np.uint32) & np.uint32(mask)) == 0
+        for i, det in enumerate(dets):
+            w = float(nse.detector_weight(det).value)
+            p = pixd[i]
+            good = (p >= 0) & shared_good
+            pg = p[good]
+            np.add.at(z64, pg, (w * sigd[i, good, None]) * wtsd[i, good])
+            for t, (r, c) in enumerate(zip(rows, cols)):
+                np.add.at(
+                    inv64[:, t], pg, w * wtsd[i, good, r] * wtsd[i, good, c]
+                )
+    hit_sel = inv64[:, 0] > 0
+    cov64 = np.zeros_like(inv64)
+    cov64[hit_sel] = _tri_invert(inv64[hit_sel], 3, rcond)
+    final_map64 = np.zeros((n_pix_tot, 3))
+    final_map64[hit_sel] = _tri_matvec(cov64[hit_sel], z64[hit_sel])
+    return final_map64
 
 
 def run_satellite_case(case="tiny", nside=1024, lmax=1024, out=None, log=print):
@@ -341,37 +419,9 @@ def run_satellite_case(case="tiny", nside=1024, lmax=1024, out=None, log=print):
     runtime = time.perf_counter() - t0
     log(f"[bench-ref] mapmaker done ({runtime:.1f}s)")
 
-    # Final statistics map: host float64 binning of the (destriped) signal.
-    # The reference accumulates its maps in double precision throughout; at
-    # the tiny case's rcond threshold of 1e-6 a float32 zmap (relative
-    # error ~1e-7, amplified by the inverse condition number) corrupts Q/U
-    # at the marginally conditioned pixels by tens of Kelvin.
-    ob = data.obs[0]
-    n_pix_tot = 12 * nside * nside
-    z64 = np.zeros((n_pix_tot, 3))
-    inv64 = np.zeros((n_pix_tot, 6))
-    nse = ob["noise_model"]
-    dets = ob.local_detectors
-    pixd = np.asarray(ob.detdata[pixels.pixels].data)
-    wtsd = np.asarray(ob.detdata[weights.weights].data, dtype=np.float64)
-    sigd = np.asarray(ob.detdata["signal"].data, dtype=np.float64)
-    rows = [0, 0, 0, 1, 1, 2]
-    cols = [0, 1, 2, 1, 2, 2]
-    for i, det in enumerate(dets):
-        w = float(nse.detector_weight(det).value)
-        p = pixd[i]
-        good = p >= 0
-        pg = p[good]
-        np.add.at(z64, pg, (w * sigd[i, good, None]) * wtsd[i, good])
-        for t, (r, c) in enumerate(zip(rows, cols)):
-            np.add.at(inv64[:, t], pg, w * wtsd[i, good, r] * wtsd[i, good, c])
-    from ..ops.filterbin import _tri_invert, _tri_matvec
-
-    hit_sel = inv64[:, 0] > 0
-    cov64 = np.zeros_like(inv64)
-    cov64[hit_sel] = _tri_invert(inv64[hit_sel], 3, expected["rcond"])
-    final_map64 = np.zeros((n_pix_tot, 3))
-    final_map64[hit_sel] = _tri_matvec(cov64[hit_sel], z64[hit_sel])
+    final_map64 = _float64_statistics_map(
+        data, pixels, weights, nside, expected["rcond"]
+    )
     log(f"[bench-ref] float64 statistics map done ({time.perf_counter()-t0:.1f}s)")
 
     # Stats the reference way (ref:pixels.py:972: mean/std over stored
@@ -442,13 +492,216 @@ def validate_satellite_case(case="tiny", nside=1024, log=print):
     return ok, results
 
 
+def run_ground_case(case="tiny", nside=4096, lmax=1280, log=print, sky=True, atm=True):
+    """Run the ground benchmark case (``ref:scripts/toast_benchmark_ground.py``).
+
+    Configuration follows the reference exactly: the ``get_standard_ground_args``
+    site/scan parameters (:597-649), the select_distribution tiny sizing (one
+    1200 s CES x 40 detectors), and the full operator chain — SimGround (1 deg/s
+    sky-fixed az rate, 1 deg/s^2 turnarounds), median Atacama weather, GRF input
+    sky scan at nside 4096, 1/f noise, atmosphere, 5 ms time-constant
+    convolution + jittered deconvolution, ground/poly/common-mode filters, and
+    the destriping map-maker at rcond 1e-3.
+
+    Known deviations (documented in docs/VALIDATION.md): our scheduler/ephemeris
+    stack generates the CES independently (same az range/el/duration), the sky
+    and atmosphere realizations differ, and lmax truncates 3*nside-1 = 12287 to
+    1280 (the input spectra carry no power beyond l ~ 1000).
+    """
+    from .. import ops
+    from ..models import (
+        Data,
+        GroundSchedule,
+        GroundScan,
+        GroundSite,
+        Telescope,
+    )
+    from ..models.schedule import to_utc
+    from ..parallel import Comm
+    from ..pixels import PixelData
+    from ..templates import Offset
+    from ..utils import units as u
+    from ..utils.units import Quantity
+
+    expected = GROUND_EXPECTED[case]
+    n_det = expected["n_detector"]
+    t0 = time.perf_counter()
+
+    fp = make_benchmark_focalplane(n_det)
+    # get_standard_ground_args: atacama site at -22:57:30 / -67:47:10, 5200 m
+    site = GroundSite(
+        "atacama",
+        lat=Quantity(-(22 + 57 / 60 + 30 / 3600), u.deg),
+        lon=Quantity(-(67 + 47 / 60 + 10 / 3600), u.deg),
+        alt=Quantity(5200.0, u.meter),
+    )
+    tele = Telescope("LAT", focalplane=fp, site=site)
+
+    # First CES of the benchmark schedule: HORIZONTAL patch RISING_SCAN_35
+    # (az 30..150, el 35) starting at the schedule start, capped at
+    # ces_max_time = 1200 s.
+    start_ts = datetime(2027, 1, 1, tzinfo=timezone.utc).timestamp()
+    scan = GroundScan(
+        name="RISING_SCAN_35",
+        start=to_utc(start_ts),
+        stop=to_utc(start_ts + 1200.0),
+        az_min=Quantity(30.0, u.deg),
+        az_max=Quantity(150.0, u.deg),
+        el=Quantity(35.0, u.deg),
+    )
+    schedule = GroundSchedule(
+        scans=[scan],
+        site_name="atacama",
+        telescope_name="LAT",
+        site_lat=site.lat,
+        site_lon=site.lon,
+        site_alt=site.alt,
+    )
+
+    data = Data(Comm())
+    if sky:
+        sky_vals = make_input_sky(nside, lmax=lmax)
+        log(f"[bench-ref] ground input sky ready ({time.perf_counter()-t0:.1f}s)")
+
+    ops.SimGround(
+        name="sim_ground", telescope=tele, schedule=schedule, weather="atacama"
+    ).apply(data)
+    n_samp = data.obs[0].n_local_samples
+    total_samples = n_det * n_samp
+    log(f"[bench-ref] ground {case}: {n_det} dets x {n_samp} samples")
+
+    ops.DefaultNoiseModel().apply(data)
+
+    det_pointing_azel = ops.PointingDetectorSimple(
+        boresight="boresight_azel", quats="quats_azel"
+    )
+    det_pointing_radec = ops.PointingDetectorSimple(
+        boresight="boresight_radec", quats="quats_radec"
+    )
+    pixels = ops.PixelsHealpix(
+        nside=nside,
+        nside_submap=16,
+        nest=True,
+        detector_pointing=det_pointing_radec,
+        create_dist="pix_dist",
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing_radec)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    import jax
+
+    jax.block_until_ready(data.obs[0].detdata[weights.weights].data)
+    log(f"[bench-ref] ground pointing expanded ({time.perf_counter()-t0:.1f}s)")
+
+    if sky:
+        sky_pd = PixelData(data["pix_dist"], n_value=3, units=u.K)
+        sky_pd.set_numpy(sky_vals)
+        data["input_sky"] = sky_pd
+        ops.ScanMap(map_key="input_sky", det_data="signal").apply(data)
+        del sky_vals
+        log(f"[bench-ref] ground sky scanned ({time.perf_counter()-t0:.1f}s)")
+
+    ops.SimNoise().apply(data)
+    if atm:
+        ops.SimAtmosphere(detector_pointing=det_pointing_azel).apply(data)
+        log(f"[bench-ref] atmosphere simulated ({time.perf_counter()-t0:.1f}s)")
+    tau = Quantity(5.0e-3, u.second)
+    ops.TimeConstant(tau=tau).apply(data)
+    ops.TimeConstant(tau=tau, tau_sigma=0.01, deconvolve=True).apply(data)
+    ops.FlagSSO(detector_pointing="quats_azel").apply(data)
+    ops.GroundFilter().apply(data)
+    ops.PolyFilter().apply(data)
+    ops.PolyFilter2D().apply(data)
+    ops.CommonModeFilter().apply(data)
+    jax.block_until_ready(data.obs[0].detdata["signal"].data)
+    log(f"[bench-ref] ground filters applied ({time.perf_counter()-t0:.1f}s)")
+
+    binner = ops.BinMap(
+        pixel_dist="pix_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+    mapper = ops.MapMaker(
+        name="mapmaker",
+        binning=binner,
+        template_matrix=ops.TemplateMatrix(templates=[Offset()]),
+        solve_rcond_threshold=f"{expected['rcond']:.0e}",
+        map_rcond_threshold=f"{expected['rcond']:.0e}",
+        write_binmap=False,
+    )
+    mapper.apply(data)
+    runtime = time.perf_counter() - t0
+    log(f"[bench-ref] ground mapmaker done ({runtime:.1f}s)")
+
+    final_map64 = _float64_statistics_map(
+        data, pixels, weights, nside, expected["rcond"]
+    )
+    log(f"[bench-ref] ground float64 stats done ({time.perf_counter()-t0:.1f}s)")
+
+    hits = data["mapmaker_hits"].numpy()
+    results = {
+        "totalhits": int(hits.sum()),
+        "rms_I": float(np.std(final_map64[:, 0])),
+        "mean_Q": float(np.mean(final_map64[:, 1])),
+        "rms_Q": float(np.std(final_map64[:, 1])),
+        "mean_U": float(np.mean(final_map64[:, 2])),
+        "rms_U": float(np.std(final_map64[:, 2])),
+        "n_pass_rcond": int(np.count_nonzero(final_map64[:, 0])),
+        "total_samples": int(total_samples),
+        "runtime_s": round(runtime, 2),
+    }
+    return results, expected
+
+
+def validate_ground_case(case="tiny", nside=4096, log=print, atm=True):
+    """Run + compare the ground case to the bundled reference stats.
+
+    Checks (tolerances documented in docs/VALIDATION.md):
+    * totalhits — 1%: the CES geometry (1200 s at the reference scan rate
+      and turnaround acceleration) is deterministic, but the turnaround
+      fraction depends on the exact accel-profile implementation.
+    * rms_I, rms_Q, rms_U — 30%: the ground map rms mixes filtered sky,
+      1/f noise, and an atmosphere realization; unlike the satellite case
+      no component is exactly reproducible without healpy/CHOLMOD, so
+      this check validates the end-to-end magnitude of the filtered,
+      destriped map, not the realization.
+    """
+    results, expected = run_ground_case(case=case, nside=nside, log=log, atm=atm)
+    checks = {}
+    # measured: 4,692,680 vs 4,692,640 — exactly one sample per detector,
+    # a turnaround boundary-sample convention difference (the reference's
+    # CES interpolator generates int(dur*rate) samples vs the
+    # observation's 1+int; see ref:ops/sim_ground_utils.py:~205)
+    rel_h = abs(results["totalhits"] - expected["totalhits"]) / expected["totalhits"]
+    checks["totalhits"] = rel_h < 0.001
+    log(
+        f"[bench-ref] ground totalhits: got {results['totalhits']} expected "
+        f"{expected['totalhits']} (rel {rel_h:.3%}) -> "
+        f"{'ok' if checks['totalhits'] else 'FAIL'}"
+    )
+    for key in ("rms_I", "rms_Q", "rms_U"):
+        rel = abs(results[key] - expected[key]) / expected[key]
+        checks[key] = rel < 0.30
+        log(
+            f"[bench-ref] ground {key}: got {results[key]:.5f} expected "
+            f"{expected[key]:.5f} (rel {rel:.3%}) -> "
+            f"{'ok' if checks[key] else 'FAIL'}"
+        )
+    ok = all(checks.values())
+    results["checks"] = checks
+    results["pass"] = ok
+    return ok, results
+
+
 def main():
     import argparse
 
     import jax
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--case", default="tiny", choices=list(SATELLITE_EXPECTED))
+    parser.add_argument(
+        "--case",
+        default="tiny",
+        choices=list(SATELLITE_EXPECTED)
+        + [f"ground_{c}" for c in GROUND_EXPECTED],
+    )
     parser.add_argument("--nside", type=int, default=1024)
     parser.add_argument(
         "--platform",
@@ -465,7 +718,13 @@ def main():
     # dominant cost; cache it across runs/retries like bench.py does
     jax.config.update("jax_compilation_cache_dir", "/tmp/toast_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    ok, results = validate_satellite_case(case=args.case, nside=args.nside)
+    if args.case.startswith("ground_"):
+        ok, results = validate_ground_case(
+            case=args.case[len("ground_"):],
+            nside=args.nside if args.nside != 1024 else 4096,
+        )
+    else:
+        ok, results = validate_satellite_case(case=args.case, nside=args.nside)
     print(json.dumps(results, indent=2))
     return 0 if ok else 1
 

@@ -176,6 +176,15 @@ def reduce_data(job, args, data):
     if o.statistics_filtered.enabled:
         o.statistics_filtered.apply(data)
 
+    # HWP lock-in demodulation: replaces the data set with demodulated
+    # I/Q/U streams; downstream binning switches to the demod weights
+    if o.demodulate.enabled:
+        o.demodulate.stokes_weights = o.weights
+        o.demodulate.apply(data)
+        data = o.demodulate.demod_data
+        o.binner.stokes_weights = o.weights_demod
+        log.info_rank("Demodulated", timer=timer)
+
     # map products
     if o.crosslinking.enabled:
         o.crosslinking.pixel_pointing = o.pixels
@@ -248,6 +257,8 @@ def main(opts=None):
         ops.GroundFilter(name="groundfilter", enabled=False),
         ops.HWPFilter(name="hwpfilter", enabled=False),
         ops.Statistics(name="statistics_filtered", enabled=False),
+        ops.Demodulate(name="demodulate", enabled=False),
+        ops.StokesWeightsDemod(name="weights_demod"),
         ops.CrossLinking(name="crosslinking", enabled=False),
         ops.CadenceMap(name="cadence_map", enabled=False),
         ops.BinMap(name="binner"),
@@ -291,7 +302,8 @@ def main(opts=None):
 
     data = Data(comm)
     simulate_data(job, args, data)
-    reduce_data(job, args, data)
+    # reduce_data may swap in a new Data set (demodulation)
+    data = reduce_data(job, args, data)
 
     gt.stop_all()
     if args.out_dir is not None:
