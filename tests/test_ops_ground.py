@@ -72,15 +72,19 @@ def test_sim_ground_structure():
                "scan_rightleft"):
         assert iv in ob.intervals
     az = np.asarray(ob.shared["azimuth"])
-    # azimuth stays within the throw plus turnaround overshoot
-    overshoot = np.radians(1.0) ** 2 / np.radians(3.0) / 2.0
-    assert az.min() > np.radians(40.0) - 2 * overshoot - 1e-6
-    assert az.max() < np.radians(60.0) + 2 * overshoot + 1e-6
-    # scanning samples move at the scan rate
+    # fix_rate_on_sky=True (the reference default,
+    # ref:src/toast/ops/sim_ground.py:148-153): scan_rate_az is a SKY rate,
+    # so the mount sweeps at scan_rate/cos(el) and the turnaround overshoot
+    # is v_mount^2 / (2 a)
+    mount_rate = np.radians(1.0) / np.cos(np.radians(50.0))
+    overshoot = mount_rate**2 / np.radians(3.0) / 2.0
+    assert az.min() > np.radians(40.0) - 1.05 * overshoot - 1e-6
+    assert az.max() < np.radians(60.0) + 1.05 * overshoot + 1e-6
+    # scanning samples move at the mount rate
     vel = np.gradient(az) * 10.0
     scanning = ob.intervals["scanning"].mask().astype(bool)
     np.testing.assert_allclose(
-        np.abs(vel[scanning][2:-2]), np.radians(1.0), rtol=0.1
+        np.abs(vel[scanning][2:-2]), mount_rate, rtol=0.1
     )
     # elevation constant
     el = np.asarray(ob.shared["elevation"])

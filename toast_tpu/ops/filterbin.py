@@ -135,6 +135,23 @@ class FilterBin(Operator):
             ).apply(data, detectors=detectors)
 
         saved = (binning.det_data, binning.binned, binning.covariance)
+        # The filter, the covariance/rcond, the observation-matrix factors
+        # and every binning pass must share ONE good-sample mask: the
+        # reference drives its internal binner with the FilterBin flags
+        # (ref:src/toast/ops/filterbin.py:701 onward).  Leaving the binner's
+        # own (default nonscience) masks in place makes pixels hit only by
+        # filter-good/bin-flagged samples (e.g. turnarounds) well-conditioned
+        # in C but empty in the map -> O(1) obsmat prediction errors.
+        saved_flags = (
+            binning.det_flags,
+            binning.det_flag_mask,
+            binning.shared_flags,
+            binning.shared_flag_mask,
+        )
+        binning.det_flags = self.det_flags
+        binning.det_flag_mask = self.det_flag_mask
+        binning.shared_flags = self.shared_flags
+        binning.shared_flag_mask = self.shared_flag_mask
         binning.covariance = cov_key
         if self.write_binmap:
             binning.det_data = self.det_data
@@ -248,6 +265,12 @@ class FilterBin(Operator):
                 )
 
         binning.det_data, binning.binned, binning.covariance = saved
+        (
+            binning.det_flags,
+            binning.det_flag_mask,
+            binning.shared_flags,
+            binning.shared_flag_mask,
+        ) = saved_flags
         if self.output_dir is not None:
             from ..pixels.io_healpix import write_healpix_hdf5
 
