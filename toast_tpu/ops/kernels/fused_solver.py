@@ -1,36 +1,54 @@
-"""Fully fused, run-compressed on-device destriping solver.
+"""Fully fused, run-compressed, MXU-formulated destriping solver.
 
-Two TPU-specific insights drive this design:
+TPU redesign of the reference destriping normal-equation solve
+(``ref:src/toast/ops/mapmaker_solve.py:23-755`` and the offset-template
+kernels ``ref:src/libtoast/src/toast_template_offset.cpp:12-71``).
 
-1. **Dispatch fusion.**  The generic solver (``ops/mapmaker_solve.py``)
-   composes operators host-side (~15 dispatches per PCG iteration).  Here
-   the RHS construction and *all* CG iterations are one jitted program with
-   a ``lax.while_loop`` — zero host round trips.
+Three hardware facts (measured on v5e) drive the design:
 
-2. **Run-length compression.**  Random-access gathers on TPU cost ~9 ns per
-   index regardless of locality, so sample-level matvecs are index-rate
-   bound.  But scanning TOD revisits the same pixel for consecutive samples,
-   and within a maximal run of constant (detector, baseline, pixel) the
-   destriping operator depends only on run sums:
+1. **Random gathers/scatters cost ~9-16 ns per row** on TPU via XLA
+   (scalar-issue bound), while streaming math runs at < 0.1 ns/element and
+   the MXU delivers tens of TFLOP/s.  Anything per-sample or per-run that
+   touches memory through an index is the bottleneck — so the solver
+   contains NO per-iteration random gathers at all.
 
-       W_r = sum_t wg_t w_t        (3-vector, pointing-weight sums)
-       n_r = sum_t wg_t            (weighted hit count)
-       y_r = sum_t wg_t w_t d_t    (RHS map accumulator)
-       z_r = sum_t wg_t d_t        (RHS projection accumulator)
+2. **Run-length compression.**  Scanning revisits a pixel for consecutive
+   samples; within a maximal run of constant (detector, baseline, pixel)
+   the destriping operator depends only on run sums:
 
-   The matvec becomes exactly (no approximation):
+       W_r = sum_t wg_t w_t     n_r = sum_t wg_t
+       y_r = sum_t wg_t w_t d_t z_r = sum_t wg_t d_t
 
-       zmap[p]   = sum_r W_r a_{g_r}          (runs sorted by pixel)
-       binned    = C zmap
-       out[g]    = sum_{r in g} (n_r a_g - W_r . binned[p_r])  (+ prior)
+   plus the per-run N_pp^-1 triangle sums (w w^T) and hit counts — all
+   fifteen statistics come from ONE boundary-differenced prefix pass.
 
-   All per-iteration work scales with the number of runs (~N / run_length),
-   and because runs in time order are already grouped by baseline, no
-   per-iteration permutation is needed at all — only two small gathers.
+3. **Index algebra becomes matmuls.**  With runs stored in pixel-sorted
+   order, every operation of the PCG matvec is regular:
 
-Run statistics are computed once per solve with cumulative sums in time
-order plus boundary gathers.  Agreement with the generic operator chain is
-asserted by the tests.
+   * amplitude -> run expansion: two-level one-hot contraction.  The
+     amplitude index splits as ``g = 128*hi + lo``; ``a[g_r]`` is the MXU
+     product ``(OH_hi @ A2) * OH_lo`` summed over lanes, where the one-hot
+     factors are cheap compares built on the fly (never a gather);
+   * run -> map binning: compensated segment sums over the sorted order;
+   * map -> run expansion: a forward-fill (associative scan) over the
+     sorted segments;
+   * run -> amplitude reduction: the transposed two-level one-hot
+     contraction ``OH_hi^T @ (v * OH_lo)`` — again the MXU.
+
+   Per iteration this is ~70 GFLOP of matmul + a few streaming passes over
+   the run arrays: ~10-20 ms where gather-based matvecs cost 120 ms.
+
+The rcond cut is applied at RUN granularity (a run has one pixel, so
+zeroing cut runs is exactly the reference's per-sample solver-flag cut,
+``ref:src/toast/ops/mapmaker_templates.py`` flag preparation) — no
+per-sample flag array, no scratch signal copy, no second covariance pass:
+the same run statistics yield the solver covariance, the solver rcond,
+the final-map covariance, the binned and destriped maps.
+
+Bitwise stability: segment sums use a fixed blocked order, matmul
+accumulation order is fixed by the MXU tiling, the forward fill is a
+deterministic scan — repeated executions produce identical maps (the
+BASELINE.json requirement).
 """
 
 from __future__ import annotations
@@ -43,107 +61,329 @@ import jax
 import jax.numpy as jnp
 
 from ...math.fft import irfft_batched as _irfft_b
-from ...pixels.covariance import _apply_tri
-from .mapkernels import segment_sum_sorted, sorted_bounds
+from ...pixels.covariance import _apply_tri, _invert_tri
+from .mapkernels import pixel_fingerprint, segment_sum_sorted
+
+_LOW = 128          # lane width of the two-level amplitude decomposition
+_FILL = np.int32(2147483647)
 
 
-def find_runs(pixels_np, amp_idx_np):
-    """Host pass: boundaries of maximal constant-(pixel, amplitude) runs.
+# ---------------------------------------------------------------------------
+# plan: runs, sorted order, hit-pixel compression
+# ---------------------------------------------------------------------------
 
-    Args:
-        pixels_np: (N,) int32 flattened time-major pixels.
-        amp_idx_np: (N,) int32 flattened global amplitude index per sample
-            (nondecreasing: detector-major, then baseline).
 
-    Returns:
-        starts (n_runs,), run_pix (n_runs,), run_amp (n_runs,) int32 arrays.
+@partial(jax.jit, static_argnames=("n_samp", "step"))
+def _change_mask(pix_flat, n_samp, step):
+    """Run-boundary mask: pixel change, baseline boundary, detector row."""
+    n = pix_flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    within = idx % n_samp
+    change = jnp.ones(n, dtype=bool)
+    change = change.at[1:].set(pix_flat[1:] != pix_flat[:-1])
+    return change | ((within % step) == 0)
+
+
+@partial(jax.jit, static_argnames=("n_runs_b", "n_samp", "step", "n_base"))
+def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
+    n = pix_flat.shape[0]
+    starts = jnp.nonzero(change, size=n_runs_b, fill_value=n)[0].astype(jnp.int32)
+    valid = starts < n
+    safe = jnp.minimum(starts, n - 1)
+    raw_pix = pix_flat[safe]
+    # flagged (pix < 0) runs sort first, fill runs sort last; both excluded
+    # from hit segments and weight-zeroed
+    run_pix = jnp.where(valid, raw_pix, _FILL)
+    det_row = safe // n_samp
+    run_amp = jnp.where(
+        valid, det_row * n_base + (safe % n_samp) // step, 0
+    ).astype(jnp.int32)
+    order = jnp.argsort(run_pix, stable=False).astype(jnp.int32)
+    sorted_pix = run_pix[order]
+    change_s = jnp.ones(n_runs_b, dtype=bool)
+    change_s = change_s.at[1:].set(sorted_pix[1:] != sorted_pix[:-1])
+    good_sorted = (sorted_pix >= 0) & (sorted_pix != _FILL)
+    hit_first = change_s & good_sorted
+    n_hit = jnp.sum(hit_first)
+    rank_sorted = jnp.maximum(jnp.cumsum(hit_first) - 1, 0).astype(jnp.int32)
+    amp_sorted = run_amp[order]
+    return (
+        starts, order, amp_sorted, rank_sorted, good_sorted, hit_first,
+        sorted_pix, n_hit,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_hit_b",))
+def _plan_hits(hit_first, sorted_pix, n_hit_b):
+    n_runs_b = hit_first.shape[0]
+    hit_starts = jnp.nonzero(hit_first, size=n_hit_b, fill_value=n_runs_b)[
+        0
+    ].astype(jnp.int32)
+    hit_bounds = jnp.concatenate(
+        [hit_starts, jnp.asarray([n_runs_b], dtype=jnp.int32)]
+    )
+    hit_pix = sorted_pix[jnp.minimum(hit_starts, n_runs_b - 1)]
+    hit_valid = hit_starts < n_runs_b
+    hit_pix = jnp.where(hit_valid, hit_pix, 0)
+    return hit_starts, hit_bounds, hit_pix, hit_valid
+
+
+_FUSED_PLAN_CACHE: dict = {}
+
+
+def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
+    """Run/sort/hit plan for the fused solve, cached by pixel content.
+
+    Two small host fetches (run count, hit count) per new pointing; plans
+    are reused across Monte-Carlo realizations and solver/final passes.
     """
-    n = len(pixels_np)
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    np.not_equal(pixels_np[1:], pixels_np[:-1], out=change[1:])
-    change[1:] |= amp_idx_np[1:] != amp_idx_np[:-1]
-    starts = np.nonzero(change)[0].astype(np.int32)
-    return starts, pixels_np[starts], amp_idx_np[starts]
+    fp_key = pixel_fingerprint(pixels) + (
+        int(n_samp), int(step), int(n_base), int(n_det),
+    )
+    hit = _FUSED_PLAN_CACHE.get(fp_key)
+    if hit is not None:
+        return hit
+    pix_flat = pixels.reshape(-1)
+    change = _change_mask(pix_flat, n_samp, step)
+    n_runs = int(jnp.sum(change))
+    n_runs_b = min(1 << (max(n_runs, 1) - 1).bit_length(), pix_flat.shape[0])
+    (
+        starts, order, amp_sorted, rank_sorted, good_sorted, hit_first,
+        sorted_pix, n_hit_dev,
+    ) = _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base)
+    n_hit = int(n_hit_dev)
+    n_hit_b = min(1 << (max(n_hit, 1) - 1).bit_length(), n_runs_b)
+    hit_starts, hit_bounds, hit_pix, hit_valid = _plan_hits(
+        hit_first, sorted_pix, n_hit_b
+    )
+    n_amp = n_det * n_base
+    plan = {
+        "starts": starts,
+        "bounds1": jnp.concatenate(
+            [starts, jnp.asarray([pix_flat.shape[0]], dtype=jnp.int32)]
+        ),
+        "order": order,
+        "amp_sorted": amp_sorted,
+        "good_sorted": good_sorted,
+        "hit_starts": hit_starts,
+        "hit_bounds": hit_bounds,
+        "hit_pix": hit_pix,
+        "hit_valid": hit_valid,
+        "n_runs": n_runs,
+        "n_runs_b": n_runs_b,
+        "n_hit": n_hit,
+        "n_hit_b": n_hit_b,
+        "n_amp": n_amp,
+        "n_hi": -(-n_amp // _LOW),
+        "step": step,
+        "n_base": n_base,
+        "n_det": n_det,
+    }
+    if len(_FUSED_PLAN_CACHE) > 4:
+        _FUSED_PLAN_CACHE.clear()
+    _FUSED_PLAN_CACHE[fp_key] = plan
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# one-pass run statistics
+# ---------------------------------------------------------------------------
 
 
 @jax.jit
-def run_stats(tod, weights, wg, starts):
-    """Per-run sufficient statistics via cumsum + boundary gathers.
+def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
+    """All per-run statistics, boundary-differenced, pixel-sorted.
 
     Args:
-        tod: (N,) signal (time-major flattened).
-        weights: (N, 3) Stokes weights.
-        wg: (N,) good-mask times detector noise weight.
-        starts: (n_runs,) run start indices.
+        tod: (N,) signal, time-major flattened.
+        weights: (N, nnz) Stokes weights.
+        wg: (N,) detector noise weight x good mask (0 on flagged samples).
+        good_count: (N,) 1.0 on unflagged samples (hit counting).
+        bounds1: (n_runs_b + 1,) time-order run boundaries.
+        order: (n_runs_b,) permutation to pixel-sorted order.
+        good_sorted: (n_runs_b,) validity of sorted runs.
 
     Returns:
-        W (n_runs, 3), n (n_runs,), y (n_runs, 3), z (n_runs,)
+        (n_runs_b, 5 + nnz*(nnz+3)/2) pixel-sorted statistics:
+        [W (nnz), n, y (nnz), z, tri (nnz*(nnz+1)/2), hits].
+
+    Both the per-sample sweeps and the returned statistics stay in column
+    groups of <= 4: XLA's TPU layout assignment lane-pads wider minor
+    dimensions to 128 (an (N, 15) value array at 33M samples inflates
+    8.5x to ~17 GB of HBM), while (N, 4) keeps a packed layout.
     """
-    bounds = jnp.concatenate(
-        [starts, jnp.array([tod.shape[0]], dtype=jnp.int32)]
-    )
     nnz = weights.shape[-1]
-    # two passes instead of one (N, 2*nnz+2) concatenation: halves the
-    # HBM transient, which dominates the fused solve's memory peak at
-    # ~64 bytes/sample
-    sums_w = segment_sum_sorted(
-        jnp.concatenate([weights * wg[:, None], wg[:, None]], axis=-1), bounds
-    )
+    wgw = weights * wg[:, None]
     wgt = wg * tod
-    sums_y = segment_sum_sorted(
-        jnp.concatenate([weights * wgt[:, None], wgt[:, None]], axis=-1), bounds
-    )
-    W = sums_w[:, :nnz]
-    n = sums_w[:, nnz]
-    y = sums_y[:, :nnz]
-    z = sums_y[:, nnz]
-    return W, n, y, z
+    cols = [wgw, wg[:, None], wgt[:, None] * weights, wgt[:, None]]
+    for i in range(nnz):
+        for j in range(i, nnz):
+            cols.append((wgw[:, i] * weights[:, j])[:, None])
+    cols.append(good_count[:, None])
+    flat_cols = []
+    for c in cols:
+        for j in range(c.shape[-1]):
+            flat_cols.append(c[:, j])
+    while len(flat_cols) % 4:
+        flat_cols.append(jnp.zeros_like(flat_cols[0]))
+    groups = []
+    for start in range(0, len(flat_cols), 4):
+        group = jnp.stack(flat_cols[start : start + 4], axis=-1)
+        sums = segment_sum_sorted(group, bounds1)
+        groups.append(jnp.where(good_sorted[:, None], sums[order], 0.0))
+    return tuple(groups)
 
 
-@partial(jax.jit, static_argnames=("n_amp", "n_iter_max", "use_prior"))
-def fused_offset_solve_runs(
-    # run data in time order
-    run_amp,            # (n_runs,) int32 global amplitude index
-    rank_time,          # (n_runs,) int32 dense hit-pixel rank per run
-    W, n_run, y, z,     # run statistics
-    # run data in pixel-sorted order
-    sort_order,         # (n_runs,) permutation to pixel order
-    hit_bounds,         # (n_hit_b+1,) hit-pixel segment boundaries (sorted order)
-    amp_bounds,         # (n_amp+1,) run boundaries per amplitude (time order)
-    cov_hit,            # (n_hit_b, 6) inverted covariance of the HIT pixels
-    amp_mask,           # (n_amp,) 0/1
-    precond,            # (n_amp,)
+# ---------------------------------------------------------------------------
+# regular-access building blocks: forward fill + two-level one-hot MXU
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_runs_b",))
+def expand_hit_to_runs(vals_hit, hit_starts, n_runs_b):
+    """Broadcast per-hit-pixel rows to every run of that pixel.
+
+    Pixel-sorted runs form contiguous segments per hit pixel, so the
+    expansion is a row scatter to the (few) segment starts followed by a
+    forward-fill associative scan — never an n_runs-sized gather.
+    """
+    k = vals_hit.shape[-1]
+    seeded = jnp.zeros((n_runs_b, k), dtype=vals_hit.dtype)
+    seeded = seeded.at[jnp.minimum(hit_starts, n_runs_b - 1)].set(vals_hit)
+    flag = jnp.zeros((n_runs_b, 1), dtype=vals_hit.dtype)
+    flag = flag.at[jnp.minimum(hit_starts, n_runs_b - 1)].set(1.0)
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        keep = bf > 0
+        return jnp.where(keep, bv, av), jnp.maximum(af, bf)
+
+    filled, _ = jax.lax.associative_scan(combine, (seeded, flag), axis=0)
+    return filled
+
+
+def _onehot_hi(amp_hi, n_hi, dtype=jnp.float32):
+    ids = jnp.arange(n_hi, dtype=amp_hi.dtype)
+    return (amp_hi[:, None] == ids[None, :]).astype(dtype)
+
+
+def _onehot_lo(amp_lo, dtype=jnp.float32):
+    ids = jnp.arange(_LOW, dtype=amp_lo.dtype)
+    return (amp_lo[:, None] == ids[None, :]).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("n_hi", "n_amp"))
+def amp_reduce(vals, amp_hi, amp_lo, n_hi, n_amp):
+    """sum per amplitude of per-run values — as two MXU contractions.
+
+    vals: (n_runs_b, k).  Returns (n_amp, k).
+    """
+    oh_hi = _onehot_hi(amp_hi, n_hi)
+    oh_lo = _onehot_lo(amp_lo)
+    k = vals.shape[-1]
+    outs = []
+    for c in range(k):
+        m = jnp.einsum(
+            "rh,rl->hl",
+            oh_hi,
+            oh_lo * vals[:, c : c + 1],
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(m.reshape(-1)[:n_amp])
+    return jnp.stack(outs, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_hi",))
+def amp_expand(a, amp_hi, amp_lo, n_hi):
+    """a[g_r] for every run — one-hot matmul + masked lane reduction."""
+    a2 = jnp.zeros((n_hi * _LOW,), dtype=a.dtype).at[: a.shape[0]].set(a)
+    a2 = a2.reshape(n_hi, _LOW)
+    oh_hi = _onehot_hi(amp_hi, n_hi)
+    m1 = jnp.dot(oh_hi, a2, preferred_element_type=jnp.float32)
+    oh_lo = _onehot_lo(amp_lo)
+    return jnp.sum(m1 * oh_lo, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# the fused solve
+# ---------------------------------------------------------------------------
+
+
+def _stats_col(groups, i):
+    return groups[i // 4][:, i % 4]
+
+
+def _stats_block(groups, lo, hi):
+    return jnp.stack([_stats_col(groups, i) for i in range(lo, hi)], axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_hi", "n_amp", "n_det", "n_base", "n_iter_max", "use_prior", "nnz",
+    ),
+)
+def fused_offset_solve(
+    stats_groups,       # tuple of (n_runs_b, 4) groups from run_stats_sorted
+    amp_sorted,
+    hit_starts,
+    hit_bounds,
+    hit_valid,
+    cov_hit,            # (n_hit_b, n_tri) solver covariance (inverted, cut)
+    rcond_hit,          # (n_hit_b,)
+    good_fraction,
+    step_len,           # nominal samples per baseline (for good_fraction)
     prior_filter,       # (n_det, n_freq) rfft filters (zeros if unused)
     precond_filter,
+    n_hi,
     n_amp,
+    n_det,
+    n_base,
     n_iter_max,
     convergence,
     use_prior=False,
+    nnz=3,
 ):
-    """Solve [M^T N^-1 Z M + P] a = M^T N^-1 Z d on run-compressed data.
+    """Run-compressed PCG with matmul-formulated index algebra.
 
-    All map-space work happens in compressed hit-pixel space (dense ranks
-    of the pixels actually observed), so per-iteration cost scales with
-    the number of runs and hit pixels, never the map size.
+    Returns (amplitudes, iterations, rel_delta, diag_n, amp_mask).
     """
-    nnz = W.shape[-1]
-    W_sorted = W[sort_order]
-    pix_sorted_amp = run_amp[sort_order]
-    binned_rank = rank_time  # alias: time-order run -> hit rank
-    n_det = prior_filter.shape[0]
-    n_base = n_amp // n_det
+    n_runs_b = stats_groups[0].shape[0]
+    W = _stats_block(stats_groups, 0, nnz)
+    n_run = _stats_col(stats_groups, nnz)
+    y = _stats_block(stats_groups, nnz + 1, 2 * nnz + 1)
+    z = _stats_col(stats_groups, 2 * nnz + 1)
+    n_tri = nnz * (nnz + 1) // 2
+    hits_run = _stats_col(stats_groups, 2 * nnz + 2 + n_tri)
 
-    def bin_runs(vals_sorted):
-        """Segment-sum pixel-sorted (n_runs, nnz) values per hit pixel."""
-        return segment_sum_sorted(vals_sorted, hit_bounds)
+    # rcond cut at run granularity (pixel constant per run -> exact)
+    good_hit = (rcond_hit > 0).astype(jnp.float32)
+    good_run = expand_hit_to_runs(
+        good_hit[:, None] * hit_valid[:, None], hit_starts, n_runs_b
+    )[:, 0]
+    Wc = W * good_run[:, None]
+    nc = n_run * good_run
+    yc = y * good_run[:, None]
+    zc = z * good_run
+    hc = hits_run * good_run
 
-    def amp_sum(vals_time):
-        """Segment-sum time-ordered (n_runs,) values per amplitude."""
-        return segment_sum_sorted(vals_time[:, None], amp_bounds)[:, 0]
+    amp_hi = amp_sorted // _LOW
+    amp_lo = amp_sorted % _LOW
 
-    # constant diagonal piece: sum_r n_r per amplitude
-    diag_n = amp_sum(n_run)
+    # diagonal, baseline flags, preconditioner — all from run sums
+    sums = amp_reduce(
+        jnp.stack([nc, hc], axis=-1), amp_hi, amp_lo, n_hi, n_amp
+    )
+    diag_n = sums[:, 0]
+    n_good = sums[:, 1]
+    amp_mask = (
+        (n_good / step_len >= good_fraction) & (diag_n > 0)
+    ).astype(jnp.float32)
+    precond_diag = jnp.where(diag_n > 0, 1.0 / jnp.where(diag_n > 0, diag_n, 1.0), 0.0)
+
+    def bin_runs(vals):
+        return segment_sum_sorted(vals, hit_bounds)
 
     def apply_prior(a):
         a2d = a.reshape(n_det, n_base)
@@ -155,23 +395,25 @@ def fused_offset_solve_runs(
             r2d = r.reshape(n_det, n_base)
             fd = jnp.fft.rfft(r2d, axis=-1) * precond_filter
             return _irfft_b(fd, n_base, axis=-1).reshape(-1) * amp_mask
-        return r * precond * amp_mask
+        return r * precond_diag * amp_mask
 
     def matvec(a):
-        a_sorted = a[pix_sorted_amp]
-        zmap = bin_runs(W_sorted * a_sorted[:, None])
+        a_run = amp_expand(a, amp_hi, amp_lo, n_hi)
+        zmap = bin_runs(Wc * a_run[:, None])
         binned = _apply_tri(cov_hit, zmap, nnz)
-        scan_r = jnp.sum(binned[binned_rank] * W, axis=-1)  # time order
-        out = diag_n * a - amp_sum(scan_r)
+        val_run = expand_hit_to_runs(binned, hit_starts, n_runs_b)
+        v = jnp.sum(Wc * val_run, axis=1)
+        out = diag_n * a - amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
         if use_prior:
             out = out + apply_prior(a)
         return out * amp_mask
 
-    # RHS from the precomputed data statistics
-    zmap_b = bin_runs(y[sort_order])
+    # RHS: b = M^T N^-1 Z d on the cut statistics
+    zmap_b = bin_runs(yc)
     binned_b = _apply_tri(cov_hit, zmap_b, nnz)
-    scan_b = jnp.sum(binned_b[binned_rank] * W, axis=-1)
-    b = (amp_sum(z) - amp_sum(scan_b)) * amp_mask
+    val_b = expand_hit_to_runs(binned_b, hit_starts, n_runs_b)
+    vb = zc - jnp.sum(Wc * val_b, axis=1)
+    b = amp_reduce(vb[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0] * amp_mask
 
     x0 = jnp.zeros_like(b)
     r0 = b
@@ -199,106 +441,61 @@ def fused_offset_solve_runs(
         cond, body, (x0, r0, d0, delta0, jnp.int32(0))
     )
     rel = jnp.where(delta0 > 0, delta / jnp.where(delta0 > 0, delta0, 1.0), 0.0)
-    return x, it, rel
+    return x, it, rel, diag_n, amp_mask
 
 
-@jax.jit
-def _run_change_mask(pix_flat, n_samp, step):
-    """Run-boundary mask on device (pixel change, baseline change, det row)."""
-    n = pix_flat.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    within = idx % n_samp
-    change = jnp.ones(n, dtype=bool)
-    change = change.at[1:].set(pix_flat[1:] != pix_flat[:-1])
-    new_base = (within % step) == 0
-    return change | new_base
+@partial(jax.jit, static_argnames=("n_hi", "nnz"))
+def fused_maps(stats_groups, amps, amp_sorted, hit_starts, hit_bounds, n_hi, nnz=3):
+    """Hit-space products from the solved amplitudes, zero sample passes.
 
-
-@partial(
-    jax.jit,
-    static_argnames=("n_runs", "n_samp", "step", "n_base", "n_amp"),
-)
-def _run_plan_device(pix_flat, change, n_runs, n_samp, step, n_base, n_amp):
-    starts = jnp.nonzero(change, size=n_runs, fill_value=pix_flat.shape[0] - 1)[
-        0
-    ].astype(jnp.int32)
-    run_pix = jnp.maximum(pix_flat[starts], 0)
-    det_row = starts // n_samp
-    run_amp = (det_row * n_base + (starts % n_samp) // step).astype(jnp.int32)
-    order = jnp.argsort(run_pix, stable=False).astype(jnp.int32)
-    sorted_pix = run_pix[order]
-    # hit-pixel compression: the solver's map-space work only needs the
-    # pixels that are actually hit (typically 1-5% of the map), indexed by
-    # dense rank — 20-50x fewer segment boundaries in every matvec
-    first = jnp.ones(n_runs, dtype=bool)
-    first = first.at[1:].set(sorted_pix[1:] != sorted_pix[:-1])
-    n_hit = jnp.sum(first)
-    rank_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
-    rank_time = jnp.zeros(n_runs, dtype=jnp.int32).at[order].set(rank_sorted)
-    amp_bounds = sorted_bounds(run_amp, n_amp)
-    return starts, run_pix, run_amp, order, amp_bounds, first, rank_time, n_hit
-
-
-@partial(jax.jit, static_argnames=("n_hit_b",))
-def _hit_plan_device(run_pix, order, first, n_hit_b):
-    n_runs = first.shape[0]
-    hit_starts = jnp.nonzero(first, size=n_hit_b, fill_value=n_runs)[0].astype(
-        jnp.int32
-    )
-    hit_bounds = jnp.concatenate(
-        [hit_starts, jnp.asarray([n_runs], dtype=jnp.int32)]
-    )
-    sorted_pix = run_pix[order]
-    # fill slots duplicate the last pixel but own empty segments -> zero
-    hit_pix = sorted_pix[jnp.minimum(hit_starts, n_runs - 1)]
-    return hit_bounds, hit_pix
-
-
-_FUSED_PLAN_CACHE: dict = {}
-
-
-def prepare_fused_solve(pixels, n_samp, step, n_base, n_det, n_pix):
-    """Device-side preprocessing: runs, sort plan, segment boundaries.
-
-    Only small scalars (a content fingerprint and the run count) cross to
-    the host — the pixel array itself never leaves the device.  Plans are
-    cached by pixel-content fingerprint (see
-    :func:`..kernels.mapkernels.pixel_fingerprint`): re-solving with
-    identical pointing — Monte-Carlo noise realizations over a fixed
-    scan, or the solver/final-binning passes of one map-maker run —
-    skips the run extraction and device sort entirely.
+    Returns (zmap_raw, zmap_clean, invnpp_hit, hits_hit): the raw
+    noise-weighted map, the destriped noise-weighted map
+    ``P^T N^-1 (d - M a)``, the inverse covariance triangle and hit counts,
+    all restricted to hit pixels.  Binning the destriped map needs no pass
+    over samples at all — it falls out of the same run statistics.
     """
-    from .mapkernels import pixel_fingerprint
+    W = _stats_block(stats_groups, 0, nnz)
+    y = _stats_block(stats_groups, nnz + 1, 2 * nnz + 1)
+    n_tri = nnz * (nnz + 1) // 2
 
-    fp_key = pixel_fingerprint(pixels) + (
-        int(n_samp), int(step), int(n_base), int(n_det), int(n_pix),
-    )
-    hit = _FUSED_PLAN_CACHE.get(fp_key)
-    if hit is not None:
-        return hit
-    pix_flat = pixels.reshape(-1)
-    change = _run_change_mask(pix_flat, n_samp, step)
-    n_runs = int(jnp.sum(change))
-    n_amp = n_det * n_base
-    (
-        starts, run_pix, run_amp, order, amp_bounds, first, rank_time, n_hit
-    ) = _run_plan_device(pix_flat, change, n_runs, n_samp, step, n_base, n_amp)
-    n_hit_i = int(n_hit)
-    n_hit_b = min(1 << (max(n_hit_i, 1) - 1).bit_length(), n_runs)
-    hit_bounds, hit_pix = _hit_plan_device(run_pix, order, first, n_hit_b)
-    plan = {
-        "starts": starts,
-        "run_amp": run_amp,
-        "sort_order": order,
-        "hit_bounds": hit_bounds,
-        "hit_pix": hit_pix,
-        "rank_time": rank_time,
-        "amp_bounds": amp_bounds,
-        "n_amp": n_amp,
-        "n_runs": n_runs,
-        "n_hit": n_hit_i,
-    }
-    if len(_FUSED_PLAN_CACHE) > 4:
-        _FUSED_PLAN_CACHE.clear()
-    _FUSED_PLAN_CACHE[fp_key] = plan
-    return plan
+    amp_hi = amp_sorted // _LOW
+    amp_lo = amp_sorted % _LOW
+    a_run = amp_expand(amps, amp_hi, amp_lo, n_hi)
+
+    def bin_runs(vals):
+        return segment_sum_sorted(vals, hit_bounds)
+
+    zmap_raw = bin_runs(y)
+    zmap_clean = zmap_raw - bin_runs(W * a_run[:, None])
+    invnpp_hit, hits_hit = accumulate_hit_cov(stats_groups, hit_bounds, nnz)
+    return zmap_raw, zmap_clean, invnpp_hit, hits_hit
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def accumulate_hit_cov(stats_groups, hit_bounds, nnz):
+    """(invnpp_hit, hits_hit) from the run statistics, <=4-wide passes."""
+    n_tri = nnz * (nnz + 1) // 2
+    base = 2 * nnz + 2
+    cols = []
+    for start in range(base, base + n_tri + 1, 4):
+        group = _stats_block(
+            stats_groups, start, min(start + 4, base + n_tri + 1)
+        )
+        cols.append(segment_sum_sorted(group, hit_bounds))
+    acc = jnp.concatenate(cols, axis=-1)
+    return acc[:, :n_tri], acc[:, n_tri]
+
+
+def invert_hit_cov(invnpp_hit, threshold, nnz):
+    """Invert the hit-pixel covariance with an rcond cut (device f32 or
+    host f64 for deep thresholds, mirroring pixels/covariance.py)."""
+    if float(threshold) < 1.0e-4:
+        from ...pixels.covariance import _invert_tri_host64
+
+        inv, rc = _invert_tri_host64(
+            np.asarray(invnpp_hit), float(threshold), nnz
+        )
+        return jnp.asarray(inv.astype(np.float32)), jnp.asarray(
+            rc.astype(np.float32)
+        )
+    return _invert_tri(invnpp_hit, jnp.float32(threshold), nnz)

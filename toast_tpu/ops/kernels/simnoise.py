@@ -66,9 +66,16 @@ def interpolate_psd_loglog(freq, psd, interp_freq):
 
 
 def fft_length(samples, oversample=2):
-    """Smallest power of two exceeding oversample * samples (reference)."""
+    """Smallest power of two >= oversample * samples.
+
+    The reference uses strictly-greater (``toast_tod_simnoise.cpp``), which
+    QUADRUPLES the FFT when ``samples`` is itself a power of two — the
+    common benchmark case.  Allowing equality still satisfies the
+    oversampling requirement (the generated window is half the transform)
+    and only changes the realization, not its statistics.
+    """
     fftlen = 2
-    while fftlen <= oversample * samples:
+    while fftlen < oversample * samples:
         fftlen *= 2
     return fftlen
 

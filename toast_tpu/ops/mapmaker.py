@@ -84,6 +84,39 @@ class MapMaker(Operator):
             solver.apply(data, detectors=detectors)
             log.info_rank("MapMaker: amplitude solve complete", timer=timer)
 
+        # fused finish: when the fused solver ran and the final binning uses
+        # the same pointing/flags, every map product falls out of the stored
+        # hit-space run statistics — no further passes over the samples
+        fused_state = data._internal.get(f"{self.name}_solve_fused_state")
+        if (
+            fused_state is not None
+            and map_binning is self.binning
+            and len(data.obs) == 1
+            and id(
+                data.obs[0].detdata[map_binning.pixel_pointing.pixels].data
+            ) == fused_state["pixels_id"]
+            and id(
+                data.obs[0].detdata[map_binning.stokes_weights.weights].data
+            ) == fused_state["weights_id"]
+        ):
+            cleaned = f"{self.name}_cleaned" if self.save_cleaned else self.det_data
+            if self.save_cleaned and self.overwrite_cleaned:
+                cleaned = self.det_data
+            ApplyAmplitudes(
+                name=f"{self.name}_apply",
+                op="subtract",
+                det_data=self.det_data,
+                amplitudes=amplitudes_key,
+                template_matrix=self.template_matrix,
+                output=cleaned if cleaned != self.det_data else None,
+            ).apply(data, detectors=detectors)
+            self._fused_finish(data, fused_state, amplitudes_key)
+            del data._internal[f"{self.name}_solve_fused_state"]
+            log.info_rank("MapMaker: destriped map complete (fused)", timer=timer)
+            if self.output_dir is not None:
+                self._write_products(data)
+            return
+
         # 2. final pixel covariance / hits / rcond
         cov_key = f"{self.name}_cov"
         cov_and_hits = CovarianceAndHits(
@@ -144,6 +177,70 @@ class MapMaker(Operator):
         # 5. write products
         if self.output_dir is not None:
             self._write_products(data)
+
+    def _fused_finish(self, data, state, amplitudes_key):
+        """Final hits/cov/rcond/binmap/map from the fused-solve statistics.
+
+        Equivalent to CovarianceAndHits + two BinMap passes of the generic
+        flow (reference ``mapmaker.py:719-789``), computed entirely in
+        compressed hit-pixel space and scattered once into the full maps.
+        """
+        import jax.numpy as jnp
+
+        from ..pixels import PixelData
+        from ..pixels.covariance import _apply_tri
+        from ..utils import units as u
+        from .kernels.fused_solver import fused_maps, invert_hit_cov
+
+        plan = state["plan"]
+        nnz = state["nnz"]
+        tmpl = self.template_matrix.templates[0]
+        amps = data[amplitudes_key][tmpl.name].local
+
+        zmap_raw, zmap_clean, invnpp_hit, hits_hit = fused_maps(
+            state["stats"],
+            amps,
+            plan["amp_sorted"],
+            plan["hit_starts"],
+            plan["hit_bounds"],
+            plan["n_hi"],
+            nnz=nnz,
+        )
+        cov_hit, rcond_hit = invert_hit_cov(
+            invnpp_hit, float(self.map_rcond_threshold), nnz
+        )
+        map_hit = _apply_tri(cov_hit, zmap_clean, nnz)
+        binmap_hit = _apply_tri(cov_hit, zmap_raw, nnz)
+
+        dist = data[self.binning.pixel_dist]
+        hit_pix = plan["hit_pix"]
+        valid = plan["hit_valid"].astype(jnp.float32)[:, None]
+
+        def scatter(vals, n_value, dtype=np.float32, units=u.dimensionless):
+            pd = PixelData(dist, dtype=dtype, n_value=n_value, units=units)
+            full = jnp.zeros((pd.data.shape[0], n_value), dtype=jnp.float32)
+            full = full.at[hit_pix].add(vals * valid)
+            pd.data = full.astype(pd.data.dtype)
+            return pd
+
+        units = self.binning.det_data_units
+        data[f"{self.name}_hits"] = scatter(
+            hits_hit[:, None], 1, dtype=np.int32
+        )
+        data[f"{self.name}_rcond"] = scatter(rcond_hit[:, None], 1)
+        n_tri = nnz * (nnz + 1) // 2
+        data[f"{self.name}_cov"] = scatter(cov_hit, n_tri, units=units**2)
+        if self.write_invcov:
+            data[f"{self.name}_invcov"] = scatter(
+                invnpp_hit, n_tri, units=units**-2
+            )
+        if self.write_binmap:
+            data[f"{self.name}_binmap"] = scatter(binmap_hit, nnz, units=units)
+        data[f"{self.name}_map"] = scatter(map_hit, nnz, units=units)
+        if self.write_noiseweighted_map:
+            data[f"{self.name}_noiseweighted"] = scatter(
+                zmap_clean, nnz, units=units**-1
+            )
 
     def _write_products(self, data):
         from ..pixels.io_healpix import write_healpix_fits, write_healpix_hdf5

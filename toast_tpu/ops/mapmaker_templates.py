@@ -140,19 +140,35 @@ class SolveAmplitudes(Operator):
             and not getattr(self.binning, "sharded", False)
         )
 
-    def _solve_fused(self, data, detectors, binning, prefix, solver_flags):
-        """Single-dispatch run-compressed on-device PCG
-        (kernels/fused_solver.py)."""
+    def _solve_fused(self, data, detectors, binning, prefix):
+        """Run-compressed MXU-formulated on-device PCG
+        (kernels/fused_solver.py).
+
+        No per-sample solver-flag array, no scratch signal copy, no
+        separate covariance pass: one statistics sweep over the samples
+        yields the solver covariance, the rcond cut (applied at run
+        granularity — exact, since a run has a single pixel) and every
+        per-iteration operand.  The hit-space statistics are stashed in
+        ``data`` so MapMaker can produce the final binned/destriped maps
+        without touching the samples again.
+        """
         from ..templates.amplitudes import AmplitudesMap
         from .kernels.fused_solver import (
-            fused_offset_solve_runs,
-            prepare_fused_solve,
-            run_stats,
+            fused_offset_solve,
+            invert_hit_cov,
+            prepare_fused_plan,
+            run_stats_sorted,
         )
 
         log = Logger.get()
         tmpl = self.template_matrix.templates[0]
         ob = data.obs[0]
+
+        # template structure (amplitude layout, optional prior filters);
+        # cheap — runs on the raw flags, not a scratch copy
+        self.template_matrix.det_data = self.det_data
+        self.template_matrix.reset()
+        self.template_matrix.initialize(data)
         info = tmpl._obs_info[0]
         dets = info["dets"]
         didx = info["det_idx"]
@@ -164,11 +180,39 @@ class SolveAmplitudes(Operator):
         det_weights = jnp.asarray(
             np.array([nse.detector_weight(d).value for d in dets], dtype=np.float32)
         )
-        pix = ob.detdata[binning.pixel_pointing.pixels].data[didx]
-        wts = ob.detdata[binning.stokes_weights.weights].data[didx]
+
+        # pointing products must exist (pixels op creates the distribution)
+        pixels_name = binning.pixel_pointing.pixels
+        weights_name = binning.stokes_weights.weights
+        if pixels_name not in ob.detdata or weights_name not in ob.detdata:
+            from .operator import Pipeline
+
+            saved_cd = binning.pixel_pointing.create_dist
+            if binning.pixel_dist not in data:
+                binning.pixel_pointing.create_dist = binning.pixel_dist
+            Pipeline(
+                operators=[binning.pixel_pointing, binning.stokes_weights],
+                detector_sets=["ALL"],
+            ).apply(data, detectors=detectors)
+            binning.pixel_pointing.create_dist = saved_cd
+
+        pix = ob.detdata[pixels_name].data[didx]
+        wts = ob.detdata[weights_name].data[didx]
         tod = ob.detdata[self.det_data].data[didx]
-        sflags = ob.detdata[solver_flags].data[didx]
-        good = (sflags == 0).astype(jnp.float32)
+        nnz = int(wts.shape[-1])
+
+        # good mask from the binning flags (the same mask the generic
+        # solver bakes into its solver_flags, minus the rcond cut, which
+        # is applied at run level inside the solve)
+        good = jnp.ones(pix.shape, dtype=jnp.float32)
+        if (
+            binning.det_flags is not None
+            and binning.det_flags in ob.detdata
+        ):
+            df = ob.detdata[binning.det_flags].data[didx]
+            good = good * (
+                (df.astype(jnp.uint32) & jnp.uint32(binning.det_flag_mask)) == 0
+            ).astype(jnp.float32)
         if (
             binning.shared_flags is not None
             and binning.shared_flags in ob.shared
@@ -177,63 +221,78 @@ class SolveAmplitudes(Operator):
             good = good * (
                 (sf.astype(jnp.uint32) & jnp.uint32(binning.shared_flag_mask)) == 0
             ).astype(jnp.float32)[None, :]
-        cov = data[binning.covariance]
-        n_padded = cov.data.shape[0]
 
-        # run compression plan (device-side; only the run count is fetched)
-        plan = prepare_fused_solve(pix, n_samp, step, n_base, n_det, n_padded)
-        W, n_run, y, z = run_stats(
+        plan = prepare_fused_plan(pix, n_samp, step, n_base, n_det)
+        wg = good * det_weights[:, None]
+        stats = run_stats_sorted(
             tod.reshape(-1),
-            wts.reshape(-1, wts.shape[-1]),
-            (good * det_weights[:, None]).reshape(-1),
-            plan["starts"],
+            wts.reshape(-1, nnz),
+            wg.reshape(-1),
+            good.reshape(-1),
+            plan["bounds1"],
+            plan["order"],
+            plan["good_sorted"],
         )
-        n_amp_total = n_det * n_base
-        n_amp_good = int(np.sum(info["amp_flags"] == 0))
-        if n_amp_good == 0:
-            log.warning(
-                "All template amplitudes are flagged (every baseline fell "
-                "below good_fraction after the solver rcond cut) — the "
-                "destriping solve is a no-op.  Check the scan's IQU "
-                "conditioning (angle coverage / HWP) and the rcond threshold."
-            )
-        amp_mask = jnp.asarray((info["amp_flags"] == 0).astype(np.float32))
-        precond = info["precond"]
+
+        # solver covariance + rcond from the same statistics
+        from .kernels.fused_solver import accumulate_hit_cov
+
+        acc, _hits_hit = accumulate_hit_cov(stats, plan["hit_bounds"], nnz)
+        cov_hit, rcond_hit = invert_hit_cov(
+            acc, float(self.solve_rcond_threshold), nnz
+        )
+
         use_prior = "prior_filter" in info
         zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
-        cov_hit = cov.data[plan["hit_pix"]]
-        amps_flat, iters, rel = fused_offset_solve_runs(
-            plan["run_amp"],
-            plan["rank_time"],
-            W, n_run, y, z,
-            plan["sort_order"],
+        amps_flat, iters, rel, diag_n, amp_mask = fused_offset_solve(
+            stats,
+            plan["amp_sorted"],
+            plan["hit_starts"],
             plan["hit_bounds"],
-            plan["amp_bounds"],
+            plan["hit_valid"],
             cov_hit,
-            amp_mask,
-            precond,
+            rcond_hit,
+            jnp.float32(tmpl.good_fraction),
+            jnp.float32(step),
             info.get("prior_filter", zero_f),
             info.get("precond_filter", zero_f),
-            n_amp_total,
+            plan["n_hi"],
+            plan["n_amp"],
+            n_det,
+            n_base,
             self.iter_max,
             jnp.float32(float(self.convergence)),
             use_prior=use_prior,
+            nnz=nnz,
         )
         amps = AmplitudesMap()
         zero = tmpl.zeros()
         zero.local = amps_flat
         amps[tmpl.name] = zero
+        # stash the solve state: MapMaker computes hits/cov/rcond/binned/
+        # destriped maps from these without another pass over the samples
+        data._internal[f"{prefix}_fused_state"] = {
+            "plan": plan,
+            "stats": stats,
+            "invnpp_hit": acc,
+            "nnz": nnz,
+            "dets": dets,
+            "didx": didx,
+            "pixels_id": id(ob.detdata[pixels_name].data),
+            "weights_id": id(ob.detdata[weights_name].data),
+        }
+        iters_i, rel_f = int(iters), float(rel)
         info_dict = {
-            "iterations": int(iters),
-            "converged": bool(rel <= float(self.convergence)),
-            "residuals": [float(rel)],
+            "iterations": iters_i,
+            "converged": bool(rel_f <= float(self.convergence)),
+            "residuals": [rel_f],
             "fused": True,
             "n_runs": plan["n_runs"],
             "compression": n_det * n_samp / max(plan["n_runs"], 1),
         }
         log.info(
-            f"Fused PCG finished: {int(iters)} iterations, "
-            f"final rel delta = {float(rel):0.3e}, "
+            f"Fused PCG finished: {iters_i} iterations, "
+            f"final rel delta = {rel_f:0.3e}, "
             f"run compression {info_dict['compression']:.1f}x"
         )
         return amps, info_dict
@@ -247,9 +306,18 @@ class SolveAmplitudes(Operator):
         if self.template_matrix is None or len(self.template_matrix.templates) == 0:
             return
         binning = self.binning
+        prefix = f"{self.name}_solve"
+
+        if self._fused_applicable(data):
+            # single fused flow: statistics sweep + covariance + rcond cut
+            # + PCG, all on device — none of the flag/scratch staging below
+            amplitudes, info = self._solve_fused(data, detectors, binning, prefix)
+            data[self.amplitudes] = amplitudes
+            data[f"{self.amplitudes}_solve_info"] = info
+            self.template_matrix.det_data = self.det_data
+            return
 
         # 1. solver pixel distribution + covariance
-        prefix = f"{self.name}_solve"
         cov_key = f"{prefix}_cov"
         if cov_key not in data:
             cov_and_hits = CovarianceAndHits(
@@ -316,38 +384,32 @@ class SolveAmplitudes(Operator):
         self.template_matrix.initialize(data)
 
         rhs_key = f"{prefix}_rhs"
-        if self._fused_applicable(data):
-            # 4+5 fused: one on-device program for RHS + all PCG iterations
-            amplitudes, info = self._solve_fused(
-                data, detectors, binning, prefix, solver_flags
-            )
-        else:
-            # 4. build the RHS
-            rhs_calc = SolverRHS(
-                name=f"{self.name}_rhs",
-                det_data=scratch,
-                binning=binning,
-                template_matrix=self.template_matrix,
-                amplitudes=rhs_key,
-            )
-            rhs_calc.apply(data, detectors=detectors)
+        # 4. build the RHS
+        rhs_calc = SolverRHS(
+            name=f"{self.name}_rhs",
+            det_data=scratch,
+            binning=binning,
+            template_matrix=self.template_matrix,
+            amplitudes=rhs_key,
+        )
+        rhs_calc.apply(data, detectors=detectors)
 
-            # 5. run PCG
-            lhs_calc = SolverLHS(
-                name=f"{self.name}_lhs",
-                det_temp=f"{prefix}_lhs_tod",
-                binning=binning,
-                template_matrix=self.template_matrix,
-            )
-            amplitudes, info = solve(
-                data,
-                detectors,
-                lhs_calc,
-                data[rhs_key],
-                convergence=float(self.convergence),
-                n_iter_min=self.iter_min,
-                n_iter_max=self.iter_max,
-            )
+        # 5. run PCG
+        lhs_calc = SolverLHS(
+            name=f"{self.name}_lhs",
+            det_temp=f"{prefix}_lhs_tod",
+            binning=binning,
+            template_matrix=self.template_matrix,
+        )
+        amplitudes, info = solve(
+            data,
+            detectors,
+            lhs_calc,
+            data[rhs_key],
+            convergence=float(self.convergence),
+            n_iter_min=self.iter_min,
+            n_iter_max=self.iter_max,
+        )
         data[self.amplitudes] = amplitudes
         data[f"{self.amplitudes}_solve_info"] = info
 
