@@ -1,5 +1,12 @@
 #!/usr/bin/env python
-"""Micro-profile of the SolveAmplitudes internals on the real chip."""
+"""Per-stage TPU profile of the fused destriping solve.
+
+Times each stage of the MXU-formulated fused solver
+(ops/kernels/fused_solver.py) on the real chip, amortizing the remote
+tunnel round trip by queueing repetitions and forcing once.  Reports
+ns/sample side by side so the numbers compare directly with
+BASELINE_MEASURED.json's ``stage_ns_per_det_sample``.
+"""
 
 import os
 import sys
@@ -29,7 +36,10 @@ def main():
     from toast_tpu.utils import units as u
     from toast_tpu.utils.units import Quantity
 
-    n_det, n_samp, nside = 64, 2**19, 512
+    n_det = int(os.environ.get("PROF_NDET", 64))
+    n_samp = int(os.environ.get("PROF_NSAMP", 1 << 19))
+    nside = int(os.environ.get("PROF_NSIDE", 512))
+    N = n_det * n_samp
     rate_hz = 100.0
     comm = Comm()
     fp = fake_hexagon_focalplane(
@@ -68,119 +78,135 @@ def main():
     weights = ops.StokesWeights(
         mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
     )
-    binner = ops.BinMap(
-        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
-    )
 
+    def force(x):
+        # NEVER ravel: a 1-D reshape of a (det, samp, nnz) array forces a
+        # physical row-major copy whose minor-dim lane padding inflates
+        # 42x (16 GB at 64x2^19x3).  Index down to a small slice instead.
+        while getattr(x, "ndim", 0) > 1:
+            x = x[0]
+        return float(jnp.sum(x[:4].astype(jnp.float32)))
+
+    # tunnel round trip
+    tiny = jax.jit(lambda x: x + 1.0)
+    xt = jnp.zeros((8,))
+    force(tiny(xt))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        force(tiny(xt))
+    RTT = (time.perf_counter() - t0) / 10
+    print(f"RTT {RTT*1e3:.1f} ms   case {n_det}x{n_samp} nside={nside}",
+          flush=True)
+
+    def t(tag, fn, reps=4):
+        out = fn()  # compile + warm
+        if isinstance(out, (tuple, list, dict)):
+            vals = list(out.values()) if isinstance(out, dict) else list(out)
+            leaf = next(v for v in vals if hasattr(v, "block_until_ready"))
+        else:
+            leaf = out
+        force(leaf)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        if isinstance(out, (tuple, list, dict)):
+            vals = list(out.values()) if isinstance(out, dict) else list(out)
+            leaf = next(v for v in vals if hasattr(v, "block_until_ready"))
+        else:
+            leaf = out
+        force(leaf)
+        dt = (time.perf_counter() - t0 - RTT) / reps
+        print(f"  {tag:36s} {dt*1e3:9.1f} ms  ({dt/N*1e9:7.2f} ns/samp)",
+              flush=True)
+        return out, dt
+
+    # --- pipeline stages ---
     ops.DefaultNoiseModel().apply(data)
-    ops.SimNoise().apply(data)
-    ops.Pipeline(operators=[pixels, weights]).apply(data)
+
+    def sim_noise():
+        ops.SimNoise().apply(data)
+        return ob.detdata["signal"].data
+    t("sim_noise", sim_noise, reps=2)
+
+    def pointing():
+        ops.Pipeline(operators=[pixels, weights]).apply(data)
+        return ob.detdata["weights"].data
+    t("pointing+pixels+weights", pointing, reps=2)
     if "quats" in ob.detdata:
         del ob.detdata["quats"]
-    float(jnp.sum(ob.detdata["weights"].data[0, :8]))
 
-    from toast_tpu.ops.mapmaker_utils import CovarianceAndHits
     from toast_tpu.ops.kernels.fused_solver import (
-        fused_offset_solve_runs, prepare_fused_solve, run_stats,
-        _FUSED_PLAN_CACHE,
+        _FUSED_PLAN_CACHE, accumulate_hit_cov, fused_maps,
+        fused_offset_solve, invert_hit_cov, prepare_fused_plan,
+        run_stats_sorted,
     )
-    from toast_tpu.ops.kernels import mapkernels
-    from toast_tpu.pixels import covariance_invert
 
-    def t(tag, fn, *a, **kw):
-        t0 = time.perf_counter()
-        out = fn(*a, **kw)
-        jax.effects_barrier()
-        if hasattr(out, "block_until_ready"):
-            out = out.block_until_ready()
-            float(jnp.sum(jnp.ravel(out)[:4]))
-        elif isinstance(out, tuple) and hasattr(out[0], "block_until_ready"):
-            for o in out:
-                if hasattr(o, "block_until_ready"):
-                    float(jnp.sum(jnp.ravel(o)[:4]))
-        dt = time.perf_counter() - t0
-        print(f"  {tag:34s} {dt*1e3:9.1f} ms", flush=True)
-        return out
+    tmpl = Offset(step_time=Quantity(60.0, u.second))
+    tm = ops.TemplateMatrix(templates=[tmpl])
+    tm.det_data = "signal"
+    tm.reset()
+    tm.initialize(data)
+    info = tmpl._obs_info[0]
+    dets, didx, step, n_base = (
+        info["dets"], info["det_idx"], info["step"], info["n_base"]
+    )
+    pix = ob.detdata["pixels"].data[didx]
+    wts = ob.detdata["weights"].data[didx]
+    tod = ob.detdata["signal"].data[didx]
+    nse = ob["noise_model"]
+    dw = jnp.asarray(np.array(
+        [nse.detector_weight(d).value for d in dets], dtype=np.float32))
+    good = jnp.ones(pix.shape, dtype=jnp.float32)
+    nnz = 3
 
-    tm = ops.TemplateMatrix(templates=[Offset(step_time=Quantity(60.0, u.second))])
+    def plan_cold():
+        _FUSED_PLAN_CACHE.clear()
+        return prepare_fused_plan(pix, n_samp, step, n_base, n_det)
+    plan, _ = t("prepare_plan (cold)", plan_cold, reps=2)
+    print(f"    n_runs={plan['n_runs']} ({plan['n_runs_b']} pad) "
+          f"n_hit={plan['n_hit']} ({plan['n_hit_b']} pad) n_base={n_base} "
+          f"compression={N/max(plan['n_runs'],1):.1f}x", flush=True)
 
-    for rep in range(3):
-        print(f"--- rep {rep}", flush=True)
-        # clear all caches to see cold vs warm plan costs
-        if rep == 0:
-            pass
-        cov_key = "solve_cov"
-        for k in ("solve_cov", "solve_hits", "solve_rcond"):
-            if k in data:
-                del data[k]
-        cah = CovarianceAndHits(
-            pixel_dist="pixel_dist", covariance=cov_key, hits="solve_hits",
-            rcond="solve_rcond", pixel_pointing=pixels, stokes_weights=weights,
-            noise_model=binner.noise_model, rcond_threshold=1e-3,
+    wg = good * dw[:, None]
+    def stats():
+        return run_stats_sorted(
+            tod.reshape(-1), wts.reshape(-1, nnz), wg.reshape(-1),
+            good.reshape(-1), plan["bounds1"], plan["order"],
+            plan["good_sorted"],
         )
-        if rep == 1:
-            # cold: wipe caches
-            data._internal.pop("_covhits_cache", None)
-            mapkernels._PLAN_CACHE.clear()
-            mapkernels._PLAN_FP_CACHE.clear()
-            _FUSED_PLAN_CACHE.clear()
-        t("cov_and_hits(+invert)", cah.apply, data)
+    stats_g, _ = t("run_stats_sorted", stats)
 
-        # solver flags
-        def build_flags():
-            good_pix = data["solve_rcond"].data[:, 0] > 0.0
-            pix = ob.detdata["pixels"].data
-            bad = (pix < 0) | ~good_pix[jnp.clip(pix, 0, good_pix.shape[0] - 1)]
-            return jnp.where(bad, np.uint8(255), np.uint8(0))
-        flags = t("solver_flags", build_flags)
-        ob.detdata.ensure("solve_flags", dtype=np.uint8)
-        ob.detdata["solve_flags"].data = flags
+    def cov():
+        acc, hh = accumulate_hit_cov(stats_g, plan["hit_bounds"], nnz)
+        return invert_hit_cov(acc, 1e-3, nnz)
+    (cov_hit, rcond_hit), _ = t("hit_cov+invert", cov)
 
-        # scratch copy
-        t("scratch_copy", lambda: ob.detdata["signal"].data + 0.0)
+    zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
 
-        tm.det_data = "signal"
-        tm.reset()
-        t("template_initialize", tm.initialize, data)
-
-        tmpl = tm.templates[0]
-        info = tmpl._obs_info[0]
-        didx = info["det_idx"]
-        step = info["step"]
-        n_base = info["n_base"]
-        pix = ob.detdata["pixels"].data[didx]
-        wts = ob.detdata["weights"].data[didx]
-        tod = ob.detdata["signal"].data[didx]
-        good = (ob.detdata["solve_flags"].data[didx] == 0).astype(jnp.float32)
-        nse = ob["noise_model"]
-        dw = jnp.asarray(np.array(
-            [nse.detector_weight(d).value for d in info["dets"]], dtype=np.float32
-        ))
-        cov = data[cov_key]
-        n_padded = cov.data.shape[0]
-
-        plan = t("prepare_fused_solve", prepare_fused_solve,
-                 pix, n_samp, step, n_base, n_det, n_padded)
-        W, n_run, y, z = t("run_stats", run_stats,
-                           tod.reshape(-1), wts.reshape(-1, 3),
-                           (good * dw[:, None]).reshape(-1), plan["starts"])
-        amp_mask = jnp.asarray((info["amp_flags"] == 0).astype(np.float32))
-        zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
-        cov_hit = t("cov_hit_gather", lambda: cov.data[plan["hit_pix"]])
-
-        def solve10():
-            return fused_offset_solve_runs(
-                plan["run_amp"], plan["rank_time"], W, n_run, y, z,
-                plan["sort_order"], plan["hit_bounds"], plan["amp_bounds"],
-                cov_hit, amp_mask, info["precond"],
-                info.get("prior_filter", zero_f),
-                info.get("precond_filter", zero_f),
-                n_det * n_base, 10, jnp.float32(1e-14),
-                use_prior="prior_filter" in info,
+    def solve(n_iter):
+        def f():
+            return fused_offset_solve(
+                stats_g, plan["amp_sorted"], plan["hit_starts"],
+                plan["hit_bounds"], plan["hit_valid"], cov_hit, rcond_hit,
+                jnp.float32(0.5), jnp.float32(step), zero_f, zero_f,
+                plan["n_hi"], plan["n_amp"], n_det, n_base,
+                n_iter, jnp.float32(1e-30), use_prior=False, nnz=nnz,
             )
-        out = t("fused_pcg_10it", solve10)
-        print(f"    n_runs={plan['n_runs']} n_hit={plan['n_hit']} "
-              f"n_base={n_base}", flush=True)
+        return f
+    _, dt1 = t("fused_solve 1 iter", solve(1))
+    _, dt10 = t("fused_solve 10 iter", solve(10))
+    _, dt30 = t("fused_solve 30 iter", solve(30))
+    per_it = (dt30 - dt10) / 20
+    print(f"    per-PCG-iteration {per_it*1e3:9.2f} ms "
+          f"({per_it/N*1e9:7.2f} ns/samp)   setup {dt1-per_it:9.3f} s",
+          flush=True)
+
+    amps = jnp.zeros((plan["n_amp"],), dtype=jnp.float32)
+    def maps():
+        return fused_maps(
+            stats_g, amps, plan["amp_sorted"], plan["hit_starts"],
+            plan["hit_bounds"], plan["n_hi"], nnz=nnz)
+    t("fused_maps", maps)
 
 
 if __name__ == "__main__":

@@ -222,13 +222,61 @@ def test_load_rejects_unknown_files(tmp_path):
         load_hdf5(path)
 
 
-def test_load_rejects_flac_detdata(tmp_path):
+def test_load_flac_detdata(tmp_path):
+    """FLAC-compressed detdata (flacarray group layout) decodes on load."""
+    from toast_tpu.io.flacarray_io import have_flac, write_flacarray
+
+    if not have_flac():
+        pytest.skip("native FLAC codec unavailable")
     path = os.path.join(tmp_path, "flac.h5")
     det_names, signal, times = _write_reference_v2(path)
+    quanta = 1e-7
     with h5py.File(path, "a") as f:
         del f["detdata"]["signal"]
         # flacarray writes a GROUP in place of the dataset
+        # (ref:io/observation_hdf_save.py:379)
         g = f["detdata"].create_group("signal")
-        g.create_dataset("compressed", data=np.zeros(10, dtype=np.uint8))
-    with pytest.raises(RuntimeError, match="FLAC"):
-        load_hdf5(path)
+        write_flacarray(g, signal.astype(np.float64), quanta=quanta)
+        g.attrs["units"] = "K"
+        g.attrs["dtype"] = np.dtype(np.float64).str
+        g.attrs["detector_shape"] = str((N_SAMP,))
+    ob = load_hdf5(path)
+    out = ob.detdata["signal"].numpy()
+    assert out.shape == (N_DET, N_SAMP)
+    # lossy by the quantization step plus the float32 storage rounding
+    # (device detdata is f32; see models/observation_data.py dtype policy)
+    bound = 0.5 * quanta + 2.0 ** -22 * np.max(np.abs(signal))
+    assert np.max(np.abs(out - signal)) < bound
+    assert ob.detdata["signal"].units == u.K
+
+
+def test_load_flac_int_detdata(tmp_path):
+    """Lossless FLAC round trip of integer detdata, incl. int64 (2 ch)."""
+    from toast_tpu.io.flacarray_io import (
+        have_flac, read_flacarray, write_flacarray,
+    )
+
+    if not have_flac():
+        pytest.skip("native FLAC codec unavailable")
+    rng = np.random.default_rng(3)
+    path = os.path.join(tmp_path, "flac_int.h5")
+    with h5py.File(path, "w") as f:
+        g32 = f.create_group("i32")
+        x32 = rng.integers(-(2**28), 2**28, size=(3, 500), dtype=np.int32)
+        write_flacarray(g32, x32)
+        g64 = f.create_group("i64")
+        x64 = rng.integers(-(2**40), 2**40, size=(2, 300), dtype=np.int64)
+        write_flacarray(g64, x64)
+        gf64 = f.create_group("f64")
+        xf = rng.normal(size=(2, 400))
+        write_flacarray(gf64, xf, precision=8)
+    with h5py.File(path, "r") as f:
+        assert np.array_equal(read_flacarray(f["i32"]), x32)
+        assert int(f["i64"].attrs["flac_channels"]) == 2
+        assert np.array_equal(read_flacarray(f["i64"]), x64)
+        back = read_flacarray(f["f64"])
+        amp = np.max(np.abs(xf - xf.mean(axis=1, keepdims=True)))
+        assert np.max(np.abs(back - xf)) < amp / 10**7
+        # stream selection
+        sel = read_flacarray(f["i32"], keep=[2, 0])
+        assert np.array_equal(sel, x32[[2, 0]])

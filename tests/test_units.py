@@ -78,3 +78,28 @@ def test_comparison():
 def test_unit_name_roundtrip():
     for unit in [u.K, u.mK, u.uK, u.deg, u.arcmin, u.Hz, u.mHz, u.K_sqrt_s]:
         assert unit_from_string(unit.name) == unit
+
+
+def test_integrate_simpson():
+    """Composite Simpson quadrature (reference math_misc.cpp:54)."""
+    import numpy as np
+
+    from toast_tpu.math.misc import integrate_simpson, simpson_weights
+
+    # exact for quadratics on uniform odd grids
+    x = np.linspace(0.0, 2.0, 11)
+    assert abs(integrate_simpson(x, 3 * x**2) - 8.0) < 1e-12
+    # even count: still near-exact for quadratics
+    x = np.linspace(0.0, 2.0, 10)
+    assert abs(integrate_simpson(x, 3 * x**2) - 8.0) < 1e-10
+    # non-uniform grid, smooth integrand
+    rng = np.random.default_rng(42)
+    x = np.sort(rng.uniform(0.0, np.pi, 81))
+    x[0], x[-1] = 0.0, np.pi
+    val = integrate_simpson(x, np.sin(x))
+    assert abs(val - 2.0) < 5e-3
+    # weights sum to the interval length
+    assert abs(np.sum(simpson_weights(x)) - np.pi) < 1e-12
+    # degenerate sizes
+    assert integrate_simpson([0.0], [1.0]) == 0.0
+    assert abs(integrate_simpson([0.0, 1.0], [1.0, 1.0]) - 1.0) < 1e-12

@@ -380,12 +380,23 @@ def load_hdf5_reference(
                 continue
             node = f["detdata"][key]
             if isinstance(node, h5py.Group):
-                raise RuntimeError(
-                    f"detdata '{key}' is FLAC-compressed (flacarray group); "
-                    "this environment has no FLAC decoder — re-export the "
-                    "file uncompressed"
-                )
-            arr = np.asarray(node)
+                # FLAC-compressed field (flacarray group layout,
+                # ref:io/observation_hdf_save.py:379) — decode with the
+                # native codec (native/flac.cpp)
+                from .flacarray_io import read_flacarray
+
+                arr = read_flacarray(node)
+                orig = node.attrs.get("dtype", None)
+                if orig is not None:
+                    arr = arr.astype(np.dtype(_decode(orig)))
+                det_shape = node.attrs.get("detector_shape", None)
+                if det_shape is not None:
+                    import ast
+
+                    shp = tuple(ast.literal_eval(_decode(det_shape)))
+                    arr = arr.reshape((arr.shape[0],) + shp)
+            else:
+                arr = np.asarray(node)
             units_str = _decode(node.attrs.get("units", ""))
             try:
                 units = u.unit_from_string(units_str) if units_str else u.dimensionless

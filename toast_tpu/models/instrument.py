@@ -152,11 +152,21 @@ class Bandpass:
         )
 
     def bins(self, det):
+        """Integration grid + normalized composite-Simpson weights.
+
+        The reference integrates band quantities with ``integrate_simpson``
+        (``_libtoast/math_misc.cpp:54``); the weights here are the same
+        quadrature expressed as per-node coefficients, normalized so that
+        a constant integrand averages to itself.
+        """
+        from ..math.misc import simpson_weights
+
         lo, hi = self.get_range(det)
         freqs = np.linspace(
             lo.to_value(u.GHz), hi.to_value(u.GHz), self.nstep
         )
-        weights = np.ones(self.nstep) / self.nstep
+        weights = simpson_weights(freqs)
+        weights = weights / np.sum(weights)
         return freqs, weights
 
     def center_frequency(self, det, alpha=None):
