@@ -190,6 +190,9 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
 # ---------------------------------------------------------------------------
 
 
+_STAT_BLOCK = 512
+
+
 @jax.jit
 def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
     """All per-run statistics, boundary-differenced, pixel-sorted.
@@ -204,34 +207,87 @@ def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
         good_sorted: (n_runs_b,) validity of sorted runs.
 
     Returns:
-        (n_runs_b, 5 + nnz*(nnz+3)/2) pixel-sorted statistics:
-        [W (nnz), n, y (nnz), z, tri (nnz*(nnz+1)/2), hits].
+        tuple of four (n_runs_b, 4) pixel-sorted statistic groups holding
+        [W (nnz), n, y (nnz), z, tri (nnz*(nnz+1)/2), hits, pad].
 
-    Both the per-sample sweeps and the returned statistics stay in column
-    groups of <= 4: XLA's TPU layout assignment lane-pads wider minor
-    dimensions to 128 (an (N, 15) value array at 33M samples inflates
-    8.5x to ~17 GB of HBM), while (N, 4) keeps a packed layout.
+    Random gathers cost ~16-29 ns per index on TPU regardless of locality
+    (scalar-issue bound), so the whole pass is built around exactly TWO
+    gather sweeps over the runs — one 16-wide local-prefix fetch, one
+    16-wide reorder — everything else streams:
+
+    * per-sample stats go into a ``(n_blocks, 16, B)`` layout (block dim
+      in lanes keeps the 16-column minor packed; a row-major ``(N, 16)``
+      would lane-pad 8x) and get within-block inclusive prefix sums;
+    * a run's sum telescopes to ``loc(end) - loc(start)`` plus the sum of
+      whole-block sums for any block boundaries the run crosses.  Within-
+      block prefixes and the <= step/B crossed-block sums are small, so
+      plain f32 is exact enough — no compensated block prefix needed;
+    * the crossing corrections are a per-block sorted segment-sum
+      (n_blocks rows), scattered at unique run indices (deterministic).
     """
     nnz = weights.shape[-1]
+    N = tod.shape[0]
+    B = _STAT_BLOCK
+    n_runs_b = order.shape[0]
+
     wgw = weights * wg[:, None]
     wgt = wg * tod
-    cols = [wgw, wg[:, None], wgt[:, None] * weights, wgt[:, None]]
+    flat_cols = [wgw[:, i] for i in range(nnz)]
+    flat_cols.append(wg)
+    for i in range(nnz):
+        flat_cols.append(wgt * weights[:, i])
+    flat_cols.append(wgt)
     for i in range(nnz):
         for j in range(i, nnz):
-            cols.append((wgw[:, i] * weights[:, j])[:, None])
-    cols.append(good_count[:, None])
-    flat_cols = []
-    for c in cols:
-        for j in range(c.shape[-1]):
-            flat_cols.append(c[:, j])
+            flat_cols.append(wgw[:, i] * weights[:, j])
+    flat_cols.append(good_count)
     while len(flat_cols) % 4:
         flat_cols.append(jnp.zeros_like(flat_cols[0]))
-    groups = []
-    for start in range(0, len(flat_cols), 4):
-        group = jnp.stack(flat_cols[start : start + 4], axis=-1)
-        sums = segment_sum_sorted(group, bounds1)
-        groups.append(jnp.where(good_sorted[:, None], sums[order], 0.0))
-    return tuple(groups)
+    k = len(flat_cols)
+
+    n_blocks = -(-N // B)
+    pad = n_blocks * B - N
+    x = jnp.stack(
+        [jnp.pad(c, (0, pad)).reshape(n_blocks, B) for c in flat_cols],
+        axis=1,
+    )  # (n_blocks, k, B)
+    local = jnp.cumsum(x, axis=-1)        # within-block inclusive prefix
+    block_sums = local[:, :, -1]          # (n_blocks, k)
+
+    # local prefix at every bound: ONE 16-wide gather from the (N, k)
+    # flattening (packed layout), masked to zero at block starts
+    local_s = jnp.transpose(local, (0, 2, 1)).reshape(n_blocks * B, k)
+    safe = jnp.clip(bounds1 - 1, 0, n_blocks * B - 1)
+    loc_at = jnp.where(
+        (bounds1 % B == 0)[:, None], 0.0, local_s[safe]
+    )  # (n_runs_b + 1, k)
+    sums_time = loc_at[1:] - loc_at[:-1]
+
+    # block-crossing corrections: block boundary c|c+1 lies inside run
+    # r(c); segment-sum block sums by run (sorted keys, unique targets)
+    bdry = (jnp.arange(n_blocks, dtype=jnp.int32) + 1) * B
+    # boundary at p belongs to the run with start < p <= end: the largest
+    # j with bounds1[j] < p (side="left" - 1); boundaries past N (zero
+    # padding) are routed to a dropped overflow segment
+    r_of_b = (
+        jnp.searchsorted(bounds1, bdry, side="left").astype(jnp.int32) - 1
+    )
+    r_of_b = jnp.where(
+        bdry <= N, jnp.clip(r_of_b, 0, n_runs_b - 1), n_runs_b
+    )
+    corr = jax.ops.segment_sum(
+        block_sums,
+        r_of_b,
+        num_segments=n_runs_b + 1,
+        indices_are_sorted=True,
+    )[:n_runs_b]
+    sums_time = sums_time + corr
+
+    # ONE 16-wide reorder to pixel-sorted order, then mask + split groups
+    sorted_sums = jnp.where(good_sorted[:, None], sums_time[order], 0.0)
+    return tuple(
+        sorted_sums[:, start : start + 4] for start in range(0, k, 4)
+    )
 
 
 # ---------------------------------------------------------------------------
