@@ -1,0 +1,169 @@
+"""Multi-process (multi-host analog) execution tests.
+
+Launches real OS processes that form a ``jax.distributed`` cluster on the
+CPU backend, splits them into observation groups with ``Comm``, simulates
+disjoint observations per group, and reduces the binned map across
+processes — the reference's group-parallel pattern
+(``ref:src/toast/mpi.py:113-272``, ``ref:src/toast/dist.py:49``) driven
+end-to-end over the DCN-analog (process collectives) rather than mocks.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.environ["TOAST_TPU_REPO"])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from toast_tpu import ops
+from toast_tpu.models import (
+    Data,
+    SpaceSite,
+    Telescope,
+    create_satellite_schedule,
+    fake_hexagon_focalplane,
+)
+from toast_tpu.parallel import Comm, multihost
+from toast_tpu.utils import units as u
+from toast_tpu.utils.units import Quantity
+from datetime import datetime, timezone
+
+nproc = int(os.environ["TOAST_NUM_PROCESSES"])
+rank = int(os.environ["TOAST_PROCESS_ID"])
+multihost.initialize()
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.process_index() == rank
+
+# one process per group: two groups each own half the observations
+comm = Comm(groupsize=1)
+assert comm.ngroups == nproc
+
+fp = fake_hexagon_focalplane(
+    n_pix=2,
+    sample_rate=Quantity(10.0, u.Hz),
+    psd_net=Quantity(0.05, u.K_sqrt_s),
+)
+tele = Telescope("mh", focalplane=fp, site=SpaceSite("L2"))
+schedule = create_satellite_schedule(
+    prefix="mh",
+    mission_start=datetime(2027, 1, 1, tzinfo=timezone.utc),
+    observation_time=Quantity(120.0, u.second),
+    gap_time=Quantity(0.0, u.second),
+    num_observations=4,
+    prec_period=Quantity(10.0, u.minute),
+    spin_period=Quantity(2.0, u.minute),
+)
+
+data = Data(comm)
+ops.SimSatellite(telescope=tele, schedule=schedule, hwp_rpm=6.0).apply(data)
+
+# each group must own a disjoint subset covering all observations
+names = sorted(ob.name for ob in data.obs)
+all_names = sorted(n for grp in comm.allgather(names) for n in grp)
+assert len(all_names) == 4, all_names
+assert len(set(all_names)) == 4, all_names
+
+ops.DefaultNoiseModel().apply(data)
+det_pointing = ops.PointingDetectorSimple()
+pixels = ops.PixelsHealpix(
+    nside=16, detector_pointing=det_pointing, create_dist="pix_dist"
+)
+weights = ops.StokesWeights(
+    mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+)
+ops.SimNoise().apply(data)
+
+cov_and_hits = ops.CovarianceAndHits(
+    pixel_dist="pix_dist", pixel_pointing=pixels, stokes_weights=weights
+)
+cov_and_hits.apply(data)
+binner = ops.BinMap(
+    pixel_dist="pix_dist",
+    covariance=cov_and_hits.covariance,
+    pixel_pointing=pixels,
+    stokes_weights=weights,
+)
+binner.apply(data)
+
+out = {
+    "rank": rank,
+    "hits": np.asarray(data[cov_and_hits.hits].numpy()).sum(axis=-1).tolist(),
+    "map_sum": float(np.abs(np.asarray(data[binner.binned].numpy())).sum()),
+}
+with open(os.environ["TOAST_MH_OUT"] + f".{rank}", "w") as f:
+    json.dump(out, f)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("nproc", [2])
+def test_two_process_group_sim_and_binning(tmp_path, nproc):
+    port = _free_port()
+    outbase = str(tmp_path / "mh_out")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = []
+    for rank in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            TOAST_TPU_REPO=_REPO,
+            TOAST_COORDINATOR=f"127.0.0.1:{port}",
+            TOAST_NUM_PROCESSES=str(nproc),
+            TOAST_PROCESS_ID=str(rank),
+            TOAST_MH_OUT=outbase,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        env.pop("JAX_PLATFORM_NAME", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    results = []
+    for rank in range(nproc):
+        with open(f"{outbase}.{rank}") as f:
+            results.append(json.load(f))
+
+    # hit maps were synced across processes: all ranks hold the global sum
+    hits = [np.asarray(r["hits"]) for r in results]
+    for h in hits[1:]:
+        np.testing.assert_array_equal(hits[0], h)
+    # 4 obs x (1 + 120 s x 10 Hz) samples x 4 dets of global hits
+    assert hits[0].sum() == 4 * 1201 * 4
+    # binned noise maps are identical on every process after allreduce
+    sums = [r["map_sum"] for r in results]
+    assert all(s > 0 for s in sums)
+    np.testing.assert_allclose(sums, sums[0], rtol=1e-6)
