@@ -187,7 +187,8 @@ def main():
         def f():
             return fused_offset_solve(
                 stats_g, plan["amp_sorted"], plan["hit_starts"],
-                plan["hit_bounds"], plan["hit_valid"], cov_hit, rcond_hit,
+                plan["hit_bounds"], plan["hit_valid"], plan["rank_block"],
+                cov_hit, rcond_hit,
                 jnp.float32(0.5), jnp.float32(step), zero_f, zero_f,
                 plan["n_hi"], plan["n_amp"], n_det, n_base,
                 n_iter, jnp.float32(1e-30), use_prior=False, nnz=nnz,

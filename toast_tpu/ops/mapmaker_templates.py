@@ -250,6 +250,7 @@ class SolveAmplitudes(Operator):
             plan["hit_starts"],
             plan["hit_bounds"],
             plan["hit_valid"],
+            plan["rank_block"],
             cov_hit,
             rcond_hit,
             jnp.float32(tmpl.good_fraction),
