@@ -32,6 +32,63 @@ def hex_nring(n_pix):
     return nring
 
 
+def _hex_ring_sector_step(pos):
+    """Decompose a hexagon position index into (ring, sector, step).
+
+    Position 0 is the center; positions then walk concentric rings, six
+    sectors per ring with ``ring`` steps per sector (the ordering contract
+    of ``ref:src/toast/instrument_sim.py:176`` ``hex_layout``).
+    """
+    if pos == 0:
+        return 0, 0, 0
+    rem = pos - 1
+    ring = 1
+    while rem >= 6 * ring:
+        rem -= 6 * ring
+        ring += 1
+    return ring, rem // ring, rem % ring
+
+
+def hex_xieta_row_col(n_pix, pos):
+    """(row, col) of a hexagon position in the Xi/Eta plane grid.
+
+    Row 0 runs along the vertex-vertex axis (rows signed, positive toward
+    +Eta); columns count up from the left edge of each row — the grid the
+    reference uses to alternate polarization angles
+    (``ref:src/toast/instrument_sim.py:40``).
+    """
+    n_rings = hex_nring(n_pix)
+    ring, sector, step = _hex_ring_sector_step(pos)
+    if ring == 0:
+        return 0, n_rings - 1
+    left = n_rings - ring - 1  # column of the leftmost pixel in outer rows
+    if sector == 0:  # NE edge: east vertex going up
+        return step, left + 2 * ring - step
+    if sector == 1:  # top edge, right to left
+        return ring, left + ring - step
+    if sector == 2:  # NW edge, descending
+        return ring - step, left
+    if sector == 3:  # SW edge, descending below axis
+        return -step, left
+    if sector == 4:  # bottom edge, left to right
+        return -ring, left + step
+    return -ring + step, left + ring + step  # SE edge, ascending
+
+
+def hex_gamma_angles_qu(n_pix, offset_deg=0.0):
+    """Alternating 0/45 degree polarization angles by grid column parity.
+
+    Matches ``ref:src/toast/instrument_sim.py:107`` ``hex_gamma_angles_qu``:
+    pixels in even Xi/Eta columns get 0 degrees, odd columns 45, plus a
+    constant offset (90 for the orthogonal "B" detectors).
+    """
+    pol = np.zeros(n_pix)
+    for p in range(n_pix):
+        _, col = hex_xieta_row_col(n_pix, p)
+        pol[p] = (0.0 if col % 2 == 0 else 45.0) + offset_deg
+    return np.radians(pol)
+
+
 def hex_layout_positions(n_pix):
     """(x, y) offsets of hexagonally packed pixels in units of pixel pitch.
 
@@ -61,6 +118,18 @@ def hex_layout_positions(n_pix):
                     return np.array(pos)
         ring += 1
     return np.array(pos[:n_pix])
+
+
+def xieta_to_quat(xi, eta, gamma):
+    """Focalplane Xi/Eta/gamma projection to a detector quaternion.
+
+    The Xi axis points along -Y of the ISO frame and Eta along -X, so
+    ``phi = atan2(-xi, -eta)`` and the orientation untwists as
+    ``psi = gamma - phi`` (``ref:src/toast/instrument_coords.py:10-53``).
+    """
+    theta = np.arcsin(np.hypot(xi, eta))
+    phi = np.arctan2(-xi, -eta) if theta > 1.0e-12 else 0.0
+    return qa.from_iso_angles(theta, phi, gamma - phi)
 
 
 def rhombus_layout_positions(n_pix):
@@ -118,22 +187,27 @@ def fake_hexagon_focalplane(
     width_rad = (
         width.to_value(u.rad) if isinstance(width, Quantity) else np.radians(width)
     )
+    # Xi/Eta positions: planar hexagon walk scaled so the vertex-vertex
+    # diameter spans the requested width (pixel pitch = width/(2 rings - 2),
+    # ref:instrument_sim.py:239-246), then projected with sin().
     xy = hex_layout_positions(n_pix)
-    pix_quats = pixels_to_quats(xy, width_rad)
+    n_rings = hex_nring(n_pix)
+    pitch = width_rad / (2 * n_rings - 2) if n_rings > 1 else 0.0
+    dist = np.hypot(xy[:, 0], xy[:, 1]) * pitch
+    ang = np.arctan2(xy[:, 1], xy[:, 0])
+    xis = np.sin(dist) * np.cos(ang)
+    etas = np.sin(dist) * np.sin(ang)
+    gamma_a = hex_gamma_angles_qu(n_pix, offset_deg=0.0)
 
     names = []
     quats = []
     gammas = []
     pols = []
     pixels = []
-    # polarization angle pattern: alternating 0/45 by pixel, A/B orthogonal
     for p in range(n_pix):
-        base_ang = 0.0 if p % 2 == 0 else np.pi / 4
-        for ab, pol_ang in (("A", base_ang), ("B", base_ang + np.pi / 2)):
+        for ab, pol_ang in (("A", gamma_a[p]), ("B", gamma_a[p] + np.pi / 2)):
             names.append(f"D{p:03d}{ab}")
-            quats.append(
-                qa.mult(pix_quats[p], qa.rotation(ZAXIS, pol_ang))
-            )
+            quats.append(xieta_to_quat(xis[p], etas[p], pol_ang))
             gammas.append(pol_ang)
             pols.append(ab)
             pixels.append(p)
