@@ -183,15 +183,26 @@ def main():
 
     zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
 
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and plan["rank_block1k"] is not None
+        and plan["n_hit_b"] <= (1 << 22)
+    )
+    print(f"    use_pallas_expand={use_pallas}", flush=True)
+
     def solve(n_iter):
         def f():
             return fused_offset_solve(
                 stats_g, plan["amp_sorted"], plan["hit_starts"],
                 plan["hit_bounds"], plan["hit_valid"], plan["rank_block"],
+                plan["rank_sorted"],
+                plan["rank_block1k"] if plan["rank_block1k"] is not None
+                else plan["rank_block"],
                 cov_hit, rcond_hit,
                 jnp.float32(0.5), jnp.float32(step), zero_f, zero_f,
                 plan["n_hi"], plan["n_amp"], n_det, n_base,
                 n_iter, jnp.float32(1e-30), use_prior=False, nnz=nnz,
+                use_pallas_expand=use_pallas,
             )
         return f
     _, dt1 = t("fused_solve 1 iter", solve(1))

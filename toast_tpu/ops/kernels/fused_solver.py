@@ -68,6 +68,21 @@ _LOW = 128          # lane width of the two-level amplitude decomposition
 _FILL = np.int32(2147483647)
 
 
+def _bucket(n):
+    """Round up to an eighth-octave bucket (a multiple of 2^(k-3) just
+    above n).  Pure powers of two waste up to 2x of every per-run gather,
+    sort and stream on padding; eighth-octave buckets cap the waste at
+    12.5% while keeping the number of distinct compiled shapes per octave
+    at eight.  Always a multiple of 512 (the stat block) and of 8.
+    """
+    n = max(int(n), 1)
+    if n <= 4096:
+        return 1 << (n - 1).bit_length()
+    k = (n - 1).bit_length()
+    q = 1 << (k - 3)
+    return -(-n // q) * q
+
+
 # ---------------------------------------------------------------------------
 # plan: runs, sorted order, hit-pixel compression
 # ---------------------------------------------------------------------------
@@ -86,6 +101,15 @@ def _change_mask(pix_flat, n_samp, step):
 
 @partial(jax.jit, static_argnames=("n_runs_b", "n_samp", "step", "n_base"))
 def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
+    """One multi-operand sort builds the whole pixel-sorted run order.
+
+    ``lax.sort`` with (key, iota, starts) carries the permutation AND the
+    run starts through the sort in one pass (~2 ns/row measured on v5e),
+    where argsort followed by two payload gathers costs ~8 ns/row per
+    gather — random gathers, not sorting, are the expensive primitive on
+    TPU.  Everything downstream (amplitude index, hit segmentation) is
+    arithmetic on the sorted starts.
+    """
     n = pix_flat.shape[0]
     starts = jnp.nonzero(change, size=n_runs_b, fill_value=n)[0].astype(jnp.int32)
     valid = starts < n
@@ -94,19 +118,23 @@ def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
     # flagged (pix < 0) runs sort first, fill runs sort last; both excluded
     # from hit segments and weight-zeroed
     run_pix = jnp.where(valid, raw_pix, _FILL)
-    det_row = safe // n_samp
-    run_amp = jnp.where(
-        valid, det_row * n_base + (safe % n_samp) // step, 0
+    iota = jnp.arange(n_runs_b, dtype=jnp.int32)
+    sorted_pix, order, starts_sorted = jax.lax.sort(
+        (run_pix, iota, starts), num_keys=1
+    )
+    valid_sorted = starts_sorted < n
+    safe_s = jnp.minimum(starts_sorted, n - 1)
+    amp_sorted = jnp.where(
+        valid_sorted,
+        (safe_s // n_samp) * n_base + (safe_s % n_samp) // step,
+        0,
     ).astype(jnp.int32)
-    order = jnp.argsort(run_pix, stable=False).astype(jnp.int32)
-    sorted_pix = run_pix[order]
     change_s = jnp.ones(n_runs_b, dtype=bool)
     change_s = change_s.at[1:].set(sorted_pix[1:] != sorted_pix[:-1])
     good_sorted = (sorted_pix >= 0) & (sorted_pix != _FILL)
     hit_first = change_s & good_sorted
     n_hit = jnp.sum(hit_first)
     rank_sorted = jnp.maximum(jnp.cumsum(hit_first) - 1, 0).astype(jnp.int32)
-    amp_sorted = run_amp[order]
     return (
         starts, order, amp_sorted, rank_sorted, good_sorted, hit_first,
         sorted_pix, n_hit,
@@ -146,13 +174,13 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
     pix_flat = pixels.reshape(-1)
     change = _change_mask(pix_flat, n_samp, step)
     n_runs = int(jnp.sum(change))
-    n_runs_b = min(1 << (max(n_runs, 1) - 1).bit_length(), pix_flat.shape[0])
+    n_runs_b = min(_bucket(n_runs), pix_flat.shape[0])
     (
         starts, order, amp_sorted, rank_sorted, good_sorted, hit_first,
         sorted_pix, n_hit_dev,
     ) = _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base)
     n_hit = int(n_hit_dev)
-    n_hit_b = min(1 << (max(n_hit, 1) - 1).bit_length(), n_runs_b)
+    n_hit_b = min(_bucket(n_hit), n_runs_b)
     hit_starts, hit_bounds, hit_pix, hit_valid = _plan_hits(
         hit_first, sorted_pix, n_hit_b
     )
@@ -161,6 +189,8 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
     plan = {
         "starts": starts,
         "rank_block": rank_sorted[::blk],
+        "rank_sorted": rank_sorted,
+        "rank_block1k": rank_sorted[::1024] if n_runs_b % 1024 == 0 else None,
         "bounds1": jnp.concatenate(
             [starts, jnp.asarray([pix_flat.shape[0]], dtype=jnp.int32)]
         ),
@@ -391,6 +421,7 @@ def _stats_block(groups, lo, hi):
     jax.jit,
     static_argnames=(
         "n_hi", "n_amp", "n_det", "n_base", "n_iter_max", "use_prior", "nnz",
+        "use_pallas_expand",
     ),
 )
 def fused_offset_solve(
@@ -400,6 +431,8 @@ def fused_offset_solve(
     hit_bounds,
     hit_valid,
     rank_block,         # (n_runs_b / block,) segment rank at block starts
+    rank_sorted,        # (n_runs_b,) segment rank of every sorted run
+    rank_block1k,       # (n_runs_b / 1024,) rank at 1024-block starts (TPU)
     cov_hit,            # (n_hit_b, n_tri) solver covariance (inverted, cut)
     rcond_hit,          # (n_hit_b,)
     good_fraction,
@@ -414,6 +447,7 @@ def fused_offset_solve(
     convergence,
     use_prior=False,
     nnz=3,
+    use_pallas_expand=False,
 ):
     """Run-compressed PCG with matmul-formulated index algebra.
 
@@ -427,12 +461,23 @@ def fused_offset_solve(
     n_tri = nnz * (nnz + 1) // 2
     hits_run = _stats_col(stats_groups, 2 * nnz + 2 + n_tri)
 
+    if use_pallas_expand:
+        from .pallas_expand import expand_rows_pallas
+
+        def expand(vals_hit):
+            return expand_rows_pallas(
+                vals_hit, rank_block1k, rank_sorted, n_runs_b
+            )
+    else:
+
+        def expand(vals_hit):
+            return expand_hit_to_runs(
+                vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
+            )
+
     # rcond cut at run granularity (pixel constant per run -> exact)
     good_hit = (rcond_hit > 0).astype(jnp.float32)
-    good_run = expand_hit_to_runs(
-        good_hit[:, None] * hit_valid[:, None],
-        hit_starts, hit_valid, rank_block, n_runs_b,
-    )[:, 0]
+    good_run = expand(good_hit[:, None] * hit_valid[:, None])[:, 0]
     Wc = W * good_run[:, None]
     nc = n_run * good_run
     yc = y * good_run[:, None]
@@ -472,9 +517,7 @@ def fused_offset_solve(
         a_run = amp_expand(a, amp_hi, amp_lo, n_hi)
         zmap = bin_runs(Wc * a_run[:, None])
         binned = _apply_tri(cov_hit, zmap, nnz)
-        val_run = expand_hit_to_runs(
-            binned, hit_starts, hit_valid, rank_block, n_runs_b
-        )
+        val_run = expand(binned)
         v = jnp.sum(Wc * val_run, axis=1)
         out = diag_n * a - amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
         if use_prior:
@@ -484,9 +527,7 @@ def fused_offset_solve(
     # RHS: b = M^T N^-1 Z d on the cut statistics
     zmap_b = bin_runs(yc)
     binned_b = _apply_tri(cov_hit, zmap_b, nnz)
-    val_b = expand_hit_to_runs(
-        binned_b, hit_starts, hit_valid, rank_block, n_runs_b
-    )
+    val_b = expand(binned_b)
     vb = zc - jnp.sum(Wc * val_b, axis=1)
     b = amp_reduce(vb[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0] * amp_mask
 

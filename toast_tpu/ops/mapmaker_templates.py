@@ -244,6 +244,15 @@ class SolveAmplitudes(Operator):
 
         use_prior = "prior_filter" in info
         zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
+        # the Pallas monotone-expand kernel needs 1024-divisible run blocks
+        # and a hit table that fits VMEM; elsewhere use the XLA fill
+        import jax as _jax
+
+        use_pallas = (
+            _jax.default_backend() == "tpu"
+            and plan["rank_block1k"] is not None
+            and plan["n_hit_b"] <= (1 << 22)
+        )
         amps_flat, iters, rel, diag_n, amp_mask = fused_offset_solve(
             stats,
             plan["amp_sorted"],
@@ -251,6 +260,9 @@ class SolveAmplitudes(Operator):
             plan["hit_bounds"],
             plan["hit_valid"],
             plan["rank_block"],
+            plan["rank_sorted"],
+            plan["rank_block1k"] if plan["rank_block1k"] is not None
+            else plan["rank_block"],
             cov_hit,
             rcond_hit,
             jnp.float32(tmpl.good_fraction),
@@ -265,6 +277,7 @@ class SolveAmplitudes(Operator):
             jnp.float32(float(self.convergence)),
             use_prior=use_prior,
             nnz=nnz,
+            use_pallas_expand=use_pallas,
         )
         amps = AmplitudesMap()
         zero = tmpl.zeros()
