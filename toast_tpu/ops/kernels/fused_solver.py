@@ -111,13 +111,18 @@ def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
     arithmetic on the sorted starts.
     """
     n = pix_flat.shape[0]
-    starts = jnp.nonzero(change, size=n_runs_b, fill_value=n)[0].astype(jnp.int32)
+    # Compaction of run starts AND their pixels in one 2-operand sample
+    # sort: key = position where a run starts else n.  jnp.nonzero lowers
+    # ~9x slower than lax.sort here (335 ms vs 38 ms at 33.5M on v5e), and
+    # the payload operand replaces a 138 ms pix[starts] gather.
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    poskey = jnp.where(change, iota_n, jnp.int32(n))
+    starts_all, pix_at = jax.lax.sort((poskey, pix_flat), num_keys=1)
+    starts = starts_all[:n_runs_b]
     valid = starts < n
-    safe = jnp.minimum(starts, n - 1)
-    raw_pix = pix_flat[safe]
     # flagged (pix < 0) runs sort first, fill runs sort last; both excluded
     # from hit segments and weight-zeroed
-    run_pix = jnp.where(valid, raw_pix, _FILL)
+    run_pix = jnp.where(valid, pix_at[:n_runs_b], _FILL)
     iota = jnp.arange(n_runs_b, dtype=jnp.int32)
     sorted_pix, order, starts_sorted = jax.lax.sort(
         (run_pix, iota, starts), num_keys=1
