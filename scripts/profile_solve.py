@@ -138,7 +138,7 @@ def main():
     from toast_tpu.ops.kernels.fused_solver import (
         _FUSED_PLAN_CACHE, accumulate_hit_cov, fused_maps,
         fused_offset_solve, invert_hit_cov, prepare_fused_plan,
-        run_stats_sorted,
+        run_stats_pointing, run_stats_tod,
     )
 
     tmpl = Offset(step_time=Quantity(60.0, u.second))
@@ -168,16 +168,22 @@ def main():
           f"compression={N/max(plan['n_runs'],1):.1f}x", flush=True)
 
     wg = good * dw[:, None]
-    def stats():
-        return run_stats_sorted(
-            tod.reshape(-1), wts.reshape(-1, nnz), wg.reshape(-1),
-            good.reshape(-1), plan["bounds1"], plan["order"],
-            plan["good_sorted"],
+    def stats_pt():
+        return run_stats_pointing(
+            wts.reshape(-1, nnz), wg.reshape(-1), good.reshape(-1),
+            plan["bounds1"], plan["order"], plan["good_sorted"],
         )
-    stats_g, _ = t("run_stats_sorted", stats)
+    pt_g, _ = t("run_stats_pointing (cacheable)", stats_pt)
+
+    def stats_td():
+        return run_stats_tod(
+            tod.reshape(-1), wts.reshape(-1, nnz), wg.reshape(-1),
+            plan["bounds1"], plan["order"], plan["good_sorted"],
+        )
+    td_g, _ = t("run_stats_tod (per realization)", stats_td)
 
     def cov():
-        acc, hh = accumulate_hit_cov(stats_g, plan["hit_bounds"], nnz)
+        acc, hh = accumulate_hit_cov(pt_g, plan["hit_bounds"], nnz)
         return invert_hit_cov(acc, 1e-3, nnz)
     (cov_hit, rcond_hit), _ = t("hit_cov+invert", cov)
 
@@ -193,7 +199,7 @@ def main():
     def solve(n_iter):
         def f():
             return fused_offset_solve(
-                stats_g, plan["amp_sorted"], plan["hit_starts"],
+                pt_g, td_g, plan["amp_sorted"], plan["hit_starts"],
                 plan["hit_bounds"], plan["hit_valid"], plan["rank_block"],
                 plan["rank_sorted"],
                 plan["rank_block1k"] if plan["rank_block1k"] is not None
@@ -216,7 +222,7 @@ def main():
     amps = jnp.zeros((plan["n_amp"],), dtype=jnp.float32)
     def maps():
         return fused_maps(
-            stats_g, amps, plan["amp_sorted"], plan["hit_starts"],
+            pt_g, td_g, amps, plan["amp_sorted"], plan["hit_starts"],
             plan["hit_bounds"], plan["n_hi"], nnz=nnz)
     t("fused_maps", maps)
 

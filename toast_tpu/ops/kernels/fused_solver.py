@@ -118,6 +118,16 @@ def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
     iota_n = jnp.arange(n, dtype=jnp.int32)
     poskey = jnp.where(change, iota_n, jnp.int32(n))
     starts_all, pix_at = jax.lax.sort((poskey, pix_flat), num_keys=1)
+    # n_runs_b may exceed n on tiny inputs (buckets stay block-divisible
+    # for the stats/expand kernels); pad the compaction with fill entries
+    if n_runs_b > n:
+        pad = n_runs_b - n
+        starts_all = jnp.concatenate(
+            [starts_all, jnp.full((pad,), n, dtype=jnp.int32)]
+        )
+        pix_at = jnp.concatenate(
+            [pix_at, jnp.full((pad,), _FILL, dtype=pix_at.dtype)]
+        )
     starts = starts_all[:n_runs_b]
     valid = starts < n
     # flagged (pix < 0) runs sort first, fill runs sort last; both excluded
@@ -149,19 +159,43 @@ def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
 @partial(jax.jit, static_argnames=("n_hit_b",))
 def _plan_hits(hit_first, sorted_pix, n_hit_b):
     n_runs_b = hit_first.shape[0]
-    hit_starts = jnp.nonzero(hit_first, size=n_hit_b, fill_value=n_runs_b)[
-        0
-    ].astype(jnp.int32)
+    # same compaction-by-sort as _plan_runs: one 2-operand sort replaces
+    # the slow jnp.nonzero lowering plus a separate sorted_pix gather
+    iota = jnp.arange(n_runs_b, dtype=jnp.int32)
+    poskey = jnp.where(hit_first, iota, jnp.int32(n_runs_b))
+    starts_all, pix_at = jax.lax.sort((poskey, sorted_pix), num_keys=1)
+    hit_starts = starts_all[:n_hit_b]
     hit_bounds = jnp.concatenate(
         [hit_starts, jnp.asarray([n_runs_b], dtype=jnp.int32)]
     )
-    hit_pix = sorted_pix[jnp.minimum(hit_starts, n_runs_b - 1)]
     hit_valid = hit_starts < n_runs_b
-    hit_pix = jnp.where(hit_valid, hit_pix, 0)
+    hit_pix = jnp.where(hit_valid, pix_at[:n_hit_b], 0)
     return hit_starts, hit_bounds, hit_pix, hit_valid
 
 
 _FUSED_PLAN_CACHE: dict = {}
+_POINTING_STATS_CACHE: dict = {}
+
+
+def pointing_stats_key(plan, weights, flags_applied, det_weights):
+    """Cache key for the pointing-dependent run statistics, or None.
+
+    Only the unflagged case is cached (identity-keying live flag arrays
+    risks stale aliasing; fingerprinting them costs an extra round trip).
+    The key combines the plan's pixel fingerprint, the Stokes-weight
+    content fingerprint and a host hash of the detector noise weights.
+    """
+    if flags_applied:
+        return None
+    wflat = jax.lax.bitcast_convert_type(
+        weights.reshape(-1).astype(jnp.float32), jnp.int32
+    )
+    wfp = pixel_fingerprint(wflat)
+    return (
+        plan["fp_key"],
+        wfp,
+        hash(np.asarray(det_weights, dtype=np.float64).tobytes()),
+    )
 
 
 def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
@@ -179,7 +213,9 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
     pix_flat = pixels.reshape(-1)
     change = _change_mask(pix_flat, n_samp, step)
     n_runs = int(jnp.sum(change))
-    n_runs_b = min(_bucket(n_runs), pix_flat.shape[0])
+    # NOT capped at the sample count: buckets must stay divisible by the
+    # stat/expand block (512), which a raw n cap breaks on tiny inputs
+    n_runs_b = _bucket(n_runs)
     (
         starts, order, amp_sorted, rank_sorted, good_sorted, hit_first,
         sorted_pix, n_hit_dev,
@@ -192,6 +228,7 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
     n_amp = n_det * n_base
     blk = min(_STAT_BLOCK, n_runs_b)
     plan = {
+        "fp_key": fp_key,
         "starts": starts,
         "rank_block": rank_sorted[::blk],
         "rank_sorted": rank_sorted,
@@ -230,57 +267,30 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
 _STAT_BLOCK = 512
 
 
-@jax.jit
-def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
-    """All per-run statistics, boundary-differenced, pixel-sorted.
+def _run_sums_sorted(flat_cols, bounds1, order, good_sorted):
+    """Pixel-sorted per-run sums of the given per-sample columns.
 
-    Args:
-        tod: (N,) signal, time-major flattened.
-        weights: (N, nnz) Stokes weights.
-        wg: (N,) detector noise weight x good mask (0 on flagged samples).
-        good_count: (N,) 1.0 on unflagged samples (hit counting).
-        bounds1: (n_runs_b + 1,) time-order run boundaries.
-        order: (n_runs_b,) permutation to pixel-sorted order.
-        good_sorted: (n_runs_b,) validity of sorted runs.
+    Blocked boundary-differencing with exactly TWO k-wide gather sweeps
+    over the runs (gathers cost ~6 ns/row + ~2-6 ns per 4-byte column on
+    v5e regardless of locality — they, not the streaming math, bound this
+    pass):
 
-    Returns:
-        tuple of four (n_runs_b, 4) pixel-sorted statistic groups holding
-        [W (nnz), n, y (nnz), z, tri (nnz*(nnz+1)/2), hits, pad].
-
-    Random gathers cost ~16-29 ns per index on TPU regardless of locality
-    (scalar-issue bound), so the whole pass is built around exactly TWO
-    gather sweeps over the runs — one 16-wide local-prefix fetch, one
-    16-wide reorder — everything else streams:
-
-    * per-sample stats go into a ``(n_blocks, 16, B)`` layout (block dim
-      in lanes keeps the 16-column minor packed; a row-major ``(N, 16)``
+    * per-sample columns go into a ``(n_blocks, k, B)`` layout (block dim
+      in lanes keeps the k-column minor packed; a row-major ``(N, k)``
       would lane-pad 8x) and get within-block inclusive prefix sums;
     * a run's sum telescopes to ``loc(end) - loc(start)`` plus the sum of
       whole-block sums for any block boundaries the run crosses.  Within-
-      block prefixes and the <= step/B crossed-block sums are small, so
-      plain f32 is exact enough — no compensated block prefix needed;
+      block prefixes and the crossed-block sums are small, so plain f32 is
+      exact enough — no compensated block prefix needed;
     * the crossing corrections are a per-block sorted segment-sum
       (n_blocks rows), scattered at unique run indices (deterministic).
     """
-    nnz = weights.shape[-1]
-    N = tod.shape[0]
-    B = _STAT_BLOCK
-    n_runs_b = order.shape[0]
-
-    wgw = weights * wg[:, None]
-    wgt = wg * tod
-    flat_cols = [wgw[:, i] for i in range(nnz)]
-    flat_cols.append(wg)
-    for i in range(nnz):
-        flat_cols.append(wgt * weights[:, i])
-    flat_cols.append(wgt)
-    for i in range(nnz):
-        for j in range(i, nnz):
-            flat_cols.append(wgw[:, i] * weights[:, j])
-    flat_cols.append(good_count)
     while len(flat_cols) % 4:
         flat_cols.append(jnp.zeros_like(flat_cols[0]))
     k = len(flat_cols)
+    N = flat_cols[0].shape[0]
+    B = _STAT_BLOCK
+    n_runs_b = order.shape[0]
 
     n_blocks = -(-N // B)
     pad = n_blocks * B - N
@@ -291,7 +301,7 @@ def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
     local = jnp.cumsum(x, axis=-1)        # within-block inclusive prefix
     block_sums = local[:, :, -1]          # (n_blocks, k)
 
-    # local prefix at every bound: ONE 16-wide gather from the (N, k)
+    # local prefix at every bound: ONE k-wide gather from the (N, k)
     # flattening (packed layout), masked to zero at block starts
     local_s = jnp.transpose(local, (0, 2, 1)).reshape(n_blocks * B, k)
     safe = jnp.clip(bounds1 - 1, 0, n_blocks * B - 1)
@@ -301,11 +311,11 @@ def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
     sums_time = loc_at[1:] - loc_at[:-1]
 
     # block-crossing corrections: block boundary c|c+1 lies inside run
-    # r(c); segment-sum block sums by run (sorted keys, unique targets)
+    # r(c); segment-sum block sums by run (sorted keys, unique targets).
+    # A boundary at p belongs to the run with start < p <= end: the
+    # largest j with bounds1[j] < p (side="left" - 1); boundaries past N
+    # (zero padding) are routed to a dropped overflow segment
     bdry = (jnp.arange(n_blocks, dtype=jnp.int32) + 1) * B
-    # boundary at p belongs to the run with start < p <= end: the largest
-    # j with bounds1[j] < p (side="left" - 1); boundaries past N (zero
-    # padding) are routed to a dropped overflow segment
     r_of_b = (
         jnp.searchsorted(bounds1, bdry, side="left").astype(jnp.int32) - 1
     )
@@ -320,10 +330,74 @@ def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
     )[:n_runs_b]
     sums_time = sums_time + corr
 
-    # ONE 16-wide reorder to pixel-sorted order, then mask + split groups
+    # ONE k-wide reorder to pixel-sorted order, then mask + split groups
     sorted_sums = jnp.where(good_sorted[:, None], sums_time[order], 0.0)
     return tuple(
         sorted_sums[:, start : start + 4] for start in range(0, k, 4)
+    )
+
+
+@jax.jit
+def run_stats_pointing(weights, wg, good_count, bounds1, order, good_sorted):
+    """Pointing-dependent per-run statistics (TOD-independent).
+
+    Returns three (n_runs_b, 4) pixel-sorted groups holding
+    ``[W (nnz), n, tri (nnz*(nnz+1)/2), hits, pad]``.
+
+    These depend only on the Stokes weights, the noise weights and the
+    flags — NOT on the signal — so Monte-Carlo realizations over a fixed
+    scan and the solver/final-binning passes reuse them (the reference
+    caches the equivalent covariance products across MC iterations via
+    ``mc_mode``, ref:src/toast/ops/mapmaker.py:118).
+    """
+    nnz = weights.shape[-1]
+    wgw = weights * wg[:, None]
+    flat_cols = [wgw[:, i] for i in range(nnz)]
+    flat_cols.append(wg)
+    for i in range(nnz):
+        for j in range(i, nnz):
+            flat_cols.append(wgw[:, i] * weights[:, j])
+    flat_cols.append(good_count)
+    return _run_sums_sorted(flat_cols, bounds1, order, good_sorted)
+
+
+@jax.jit
+def run_stats_tod(tod, weights, wg, bounds1, order, good_sorted):
+    """TOD-dependent per-run statistics: one (n_runs_b, 4) group
+    ``[y (nnz), z]``.  The per-realization hot path: 4 columns instead of
+    16 keeps both gather sweeps ~3x cheaper than a combined pass."""
+    nnz = weights.shape[-1]
+    wgt = wg * tod
+    flat_cols = [wgt * weights[:, i] for i in range(nnz)]
+    flat_cols.append(wgt)
+    return _run_sums_sorted(flat_cols, bounds1, order, good_sorted)
+
+
+def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
+    """All per-run statistics in the combined legacy layout
+    ``[W (nnz), n, y (nnz), z, tri, hits, pad]`` (two separate passes).
+    """
+    nnz = weights.shape[-1]
+    pt = run_stats_pointing(weights, wg, good_count, bounds1, order, good_sorted)
+    td = run_stats_tod(tod, weights, wg, bounds1, order, good_sorted)
+    return _merge_stats(pt, td, nnz)
+
+
+def _merge_stats(pt_groups, tod_groups, nnz):
+    """Interleave pointing/tod stat groups into the combined column order
+    ``[W, n, y, z, tri, hits, pad]`` used by the solver accessors."""
+    pt_cols = [g[:, i] for g in pt_groups for i in range(4)]
+    td_cols = [g[:, i] for g in tod_groups for i in range(4)]
+    n_tri = nnz * (nnz + 1) // 2
+    cols = (
+        pt_cols[: nnz + 1]
+        + td_cols[: nnz + 1]
+        + pt_cols[nnz + 1 : nnz + 1 + n_tri + 1]
+    )
+    while len(cols) % 4:
+        cols.append(jnp.zeros_like(cols[0]))
+    return tuple(
+        jnp.stack(cols[s : s + 4], axis=-1) for s in range(0, len(cols), 4)
     )
 
 
@@ -430,7 +504,8 @@ def _stats_block(groups, lo, hi):
     ),
 )
 def fused_offset_solve(
-    stats_groups,       # tuple of (n_runs_b, 4) groups from run_stats_sorted
+    pt_groups,          # pointing stat groups from run_stats_pointing
+    tod_groups,         # tod stat groups from run_stats_tod
     amp_sorted,
     hit_starts,
     hit_bounds,
@@ -458,13 +533,13 @@ def fused_offset_solve(
 
     Returns (amplitudes, iterations, rel_delta, diag_n, amp_mask).
     """
-    n_runs_b = stats_groups[0].shape[0]
-    W = _stats_block(stats_groups, 0, nnz)
-    n_run = _stats_col(stats_groups, nnz)
-    y = _stats_block(stats_groups, nnz + 1, 2 * nnz + 1)
-    z = _stats_col(stats_groups, 2 * nnz + 1)
+    n_runs_b = pt_groups[0].shape[0]
+    W = _stats_block(pt_groups, 0, nnz)
+    n_run = _stats_col(pt_groups, nnz)
+    y = _stats_block(tod_groups, 0, nnz)
+    z = _stats_col(tod_groups, nnz)
     n_tri = nnz * (nnz + 1) // 2
-    hits_run = _stats_col(stats_groups, 2 * nnz + 2 + n_tri)
+    hits_run = _stats_col(pt_groups, nnz + 1 + n_tri)
 
     if use_pallas_expand:
         from .pallas_expand import expand_rows_pallas
@@ -566,7 +641,10 @@ def fused_offset_solve(
 
 
 @partial(jax.jit, static_argnames=("n_hi", "nnz"))
-def fused_maps(stats_groups, amps, amp_sorted, hit_starts, hit_bounds, n_hi, nnz=3):
+def fused_maps(
+    pt_groups, tod_groups, amps, amp_sorted, hit_starts, hit_bounds, n_hi,
+    nnz=3,
+):
     """Hit-space products from the solved amplitudes, zero sample passes.
 
     Returns (zmap_raw, zmap_clean, invnpp_hit, hits_hit): the raw
@@ -575,8 +653,8 @@ def fused_maps(stats_groups, amps, amp_sorted, hit_starts, hit_bounds, n_hi, nnz
     all restricted to hit pixels.  Binning the destriped map needs no pass
     over samples at all — it falls out of the same run statistics.
     """
-    W = _stats_block(stats_groups, 0, nnz)
-    y = _stats_block(stats_groups, nnz + 1, 2 * nnz + 1)
+    W = _stats_block(pt_groups, 0, nnz)
+    y = _stats_block(tod_groups, 0, nnz)
     n_tri = nnz * (nnz + 1) // 2
 
     amp_hi = amp_sorted // _LOW
@@ -588,19 +666,20 @@ def fused_maps(stats_groups, amps, amp_sorted, hit_starts, hit_bounds, n_hi, nnz
 
     zmap_raw = bin_runs(y)
     zmap_clean = zmap_raw - bin_runs(W * a_run[:, None])
-    invnpp_hit, hits_hit = accumulate_hit_cov(stats_groups, hit_bounds, nnz)
+    invnpp_hit, hits_hit = accumulate_hit_cov(pt_groups, hit_bounds, nnz)
     return zmap_raw, zmap_clean, invnpp_hit, hits_hit
 
 
 @partial(jax.jit, static_argnames=("nnz",))
-def accumulate_hit_cov(stats_groups, hit_bounds, nnz):
-    """(invnpp_hit, hits_hit) from the run statistics, <=4-wide passes."""
+def accumulate_hit_cov(pt_groups, hit_bounds, nnz):
+    """(invnpp_hit, hits_hit) from the pointing statistics, <=4-wide
+    passes."""
     n_tri = nnz * (nnz + 1) // 2
-    base = 2 * nnz + 2
+    base = nnz + 1
     cols = []
     for start in range(base, base + n_tri + 1, 4):
         group = _stats_block(
-            stats_groups, start, min(start + 4, base + n_tri + 1)
+            pt_groups, start, min(start + 4, base + n_tri + 1)
         )
         cols.append(segment_sum_sorted(group, hit_bounds))
     acc = jnp.concatenate(cols, axis=-1)

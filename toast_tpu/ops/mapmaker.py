@@ -198,7 +198,8 @@ class MapMaker(Operator):
         amps = data[amplitudes_key][tmpl.name].local
 
         zmap_raw, zmap_clean, invnpp_hit, hits_hit = fused_maps(
-            state["stats"],
+            state["pt_stats"],
+            state["tod_stats"],
             amps,
             plan["amp_sorted"],
             plan["hit_starts"],

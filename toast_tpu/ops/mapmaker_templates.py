@@ -157,7 +157,8 @@ class SolveAmplitudes(Operator):
             fused_offset_solve,
             invert_hit_cov,
             prepare_fused_plan,
-            run_stats_sorted,
+            run_stats_pointing,
+            run_stats_tod,
         )
 
         log = Logger.get()
@@ -205,6 +206,7 @@ class SolveAmplitudes(Operator):
         # solver bakes into its solver_flags, minus the rcond cut, which
         # is applied at run level inside the solve)
         good = jnp.ones(pix.shape, dtype=jnp.float32)
+        flags_applied = []
         if (
             binning.det_flags is not None
             and binning.det_flags in ob.detdata
@@ -213,6 +215,10 @@ class SolveAmplitudes(Operator):
             good = good * (
                 (df.astype(jnp.uint32) & jnp.uint32(binning.det_flag_mask)) == 0
             ).astype(jnp.float32)
+            flags_applied.append(
+                ("det", id(ob.detdata[binning.det_flags].data),
+                 int(binning.det_flag_mask))
+            )
         if (
             binning.shared_flags is not None
             and binning.shared_flags in ob.shared
@@ -221,23 +227,58 @@ class SolveAmplitudes(Operator):
             good = good * (
                 (sf.astype(jnp.uint32) & jnp.uint32(binning.shared_flag_mask)) == 0
             ).astype(jnp.float32)[None, :]
+            flags_applied.append(
+                ("shared", id(sf), int(binning.shared_flag_mask))
+            )
 
         plan = prepare_fused_plan(pix, n_samp, step, n_base, n_det)
         wg = good * det_weights[:, None]
-        stats = run_stats_sorted(
+
+        # pointing-dependent statistics (W, n, w w^T triangle, hits) are
+        # TOD-independent: cache them with the plan so MC realizations over
+        # a fixed scan and repeated passes skip the 12-wide sweep (the
+        # reference reuses the equivalent covariance products across MC
+        # iterations, ref:src/toast/ops/mapmaker.py mc_mode).  The cache
+        # key extends the plan's pixel fingerprint with the weights content
+        # and the flag/noise-weight state; the fingerprint fetch is ~one
+        # round trip vs ~200 ms for the sweep at 33.5M samples.
+        from .kernels.fused_solver import (
+            _POINTING_STATS_CACHE,
+            accumulate_hit_cov,
+            pointing_stats_key,
+        )
+
+        pt_key = pointing_stats_key(
+            plan, wts, flags_applied, np.array([
+                nse.detector_weight(d).value for d in dets
+            ]))
+        cached = _POINTING_STATS_CACHE.get(pt_key) if pt_key else None
+        if cached is None:
+            pt_stats = run_stats_pointing(
+                wts.reshape(-1, nnz),
+                wg.reshape(-1),
+                good.reshape(-1),
+                plan["bounds1"],
+                plan["order"],
+                plan["good_sorted"],
+            )
+            if pt_key:
+                if len(_POINTING_STATS_CACHE) > 2:
+                    _POINTING_STATS_CACHE.clear()
+                _POINTING_STATS_CACHE[pt_key] = pt_stats
+        else:
+            pt_stats = cached
+        tod_stats = run_stats_tod(
             tod.reshape(-1),
             wts.reshape(-1, nnz),
             wg.reshape(-1),
-            good.reshape(-1),
             plan["bounds1"],
             plan["order"],
             plan["good_sorted"],
         )
 
         # solver covariance + rcond from the same statistics
-        from .kernels.fused_solver import accumulate_hit_cov
-
-        acc, _hits_hit = accumulate_hit_cov(stats, plan["hit_bounds"], nnz)
+        acc, _hits_hit = accumulate_hit_cov(pt_stats, plan["hit_bounds"], nnz)
         cov_hit, rcond_hit = invert_hit_cov(
             acc, float(self.solve_rcond_threshold), nnz
         )
@@ -254,7 +295,8 @@ class SolveAmplitudes(Operator):
             and plan["n_hit_b"] <= (1 << 22)
         )
         amps_flat, iters, rel, diag_n, amp_mask = fused_offset_solve(
-            stats,
+            pt_stats,
+            tod_stats,
             plan["amp_sorted"],
             plan["hit_starts"],
             plan["hit_bounds"],
@@ -287,7 +329,8 @@ class SolveAmplitudes(Operator):
         # destriped maps from these without another pass over the samples
         data._internal[f"{prefix}_fused_state"] = {
             "plan": plan,
-            "stats": stats,
+            "pt_stats": pt_stats,
+            "tod_stats": tod_stats,
             "invnpp_hit": acc,
             "nnz": nnz,
             "dets": dets,
@@ -295,7 +338,10 @@ class SolveAmplitudes(Operator):
             "pixels_id": id(ob.detdata[pixels_name].data),
             "weights_id": id(ob.detdata[weights_name].data),
         }
-        iters_i, rel_f = int(iters), float(rel)
+        # one host fetch for both scalars (each fetch is a full round trip
+        # through the remote-TPU tunnel)
+        it_rel = np.asarray(jnp.stack([iters.astype(jnp.float32), rel]))
+        iters_i, rel_f = int(it_rel[0]), float(it_rel[1])
         info_dict = {
             "iterations": iters_i,
             "converged": bool(rel_f <= float(self.convergence)),
