@@ -21,24 +21,47 @@ def name_UID(name, int64=False):
     return np.uint64(val)
 
 
+_RATE_CACHE: dict = {}
+
+
 def rate_from_times(timestamps):
     """Estimate sample rate statistics from a timestamp vector.
 
     Returns ``(rate_hz, dt, dt_min, dt_max, dt_std)`` like the reference
-    ``src/toast/utils.py:655``.
+    ``src/toast/utils.py:655``.  Results are cached by array identity
+    (weakref-guarded): the median costs a host sort of the full timestamp
+    vector, and several operators call this per apply on the same shared
+    ``times`` column.
     """
+    import weakref
+
     ts = np.asarray(timestamps, dtype=np.float64)
     if len(ts) < 2:
         return (1.0, 1.0, 1.0, 1.0, 0.0)
+    cacheable = ts is timestamps or (
+        isinstance(timestamps, np.ndarray) and ts.base is timestamps
+    )
+    if cacheable:
+        hit = _RATE_CACHE.get(id(timestamps))
+        if hit is not None and hit[0]() is timestamps:
+            return hit[1]
     diffs = np.diff(ts)
     dt = float(np.median(diffs))
-    return (
+    result = (
         1.0 / dt,
         dt,
         float(np.min(diffs)),
         float(np.max(diffs)),
         float(np.std(diffs)),
     )
+    if cacheable:
+        if len(_RATE_CACHE) > 64:
+            _RATE_CACHE.clear()
+        try:
+            _RATE_CACHE[id(timestamps)] = (weakref.ref(timestamps), result)
+        except TypeError:
+            pass
+    return result
 
 
 class SetDict(dict):
