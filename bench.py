@@ -283,6 +283,10 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
 
         mapkernels._PLAN_CACHE.clear()
         mapkernels._SHARDED_PLAN_CACHE.clear()
+        # drain the device queue (FIFO): unforced tail work of the previous
+        # run (map scatters, cleaned TOD) must not bleed into the next
+        # run's measured window
+        float(jnp.sum(jnp.zeros((8,))))
 
     # warmup: populates the jit + persistent compilation caches.  Steady
     # state is what the science metric measures (the reference's C++ is

@@ -48,7 +48,7 @@ class DetectorData:
         self._sample_shape = tuple(shape[1:]) if len(shape) > 1 else ()
         self._n_samp = int(shape[0])
         self.units = units
-        self.dtype = np.dtype(dtype)
+        self.dtype = canonical_detdata_dtype(dtype)
         # Optional sharding placer (Observation wires the live MeshDist in):
         # every full-array rebind is placed onto the observation's device
         # mesh, so detdata written by any operator stays det x samp sharded.
@@ -127,6 +127,33 @@ class DetectorData:
         )
 
 
+def canonical_detdata_dtype(dtype):
+    """The device detector-data dtype policy, applied explicitly.
+
+    Detector data lives on the TPU, which has no 64-bit ALU: 64-bit
+    requests (e.g. reference HDF5 files storing float64 TOD,
+    ref:src/toast/io/observation_hdf_save.py) are downcast to their 32-bit
+    counterparts BY POLICY — not by JAX's silent truncation warning.
+    Precision-critical host data (timestamps, boresight) stays float64 in
+    shared data, and device reductions use compensated summation where
+    float32 would lose accuracy (see kernels/mapkernels.segment_sum_sorted).
+    Enabling JAX x64 mode (``jax.config.update("jax_enable_x64", True)``)
+    restores 64-bit storage for workflows that need it.
+    """
+    import jax as _jax
+
+    dt = np.dtype(dtype)
+    if _jax.config.jax_enable_x64:
+        return dt
+    mapping = {
+        np.dtype(np.float64): np.dtype(np.float32),
+        np.dtype(np.int64): np.dtype(np.int32),
+        np.dtype(np.uint64): np.dtype(np.uint32),
+        np.dtype(np.complex128): np.dtype(np.complex64),
+    }
+    return mapping.get(dt, dt)
+
+
 class DetDataManager(MutableMapping):
     """Dict of named DetectorData, with create/ensure helpers."""
 
@@ -172,7 +199,7 @@ class DetDataManager(MutableMapping):
             existing = self._fields[name]
             if (
                 existing.sample_shape == tuple(sample_shape)
-                and existing.dtype == np.dtype(dtype)
+                and existing.dtype == canonical_detdata_dtype(dtype)
             ):
                 if detectors is not None:
                     missing = [

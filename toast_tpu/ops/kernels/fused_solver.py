@@ -99,6 +99,18 @@ def _change_mask(pix_flat, n_samp, step):
     return change | ((within % step) == 0)
 
 
+@partial(jax.jit, static_argnames=("n_samp", "step"))
+def _fp_and_count(pix_flat, n_samp, step):
+    """Content fingerprint + run count in one program: ONE host fetch
+    serves both the plan-cache lookup and (on a miss) the run bucket."""
+    from .mapkernels import _fingerprint_jit
+
+    fp = _fingerprint_jit(pix_flat)
+    change = _change_mask(pix_flat, n_samp, step)
+    n_runs = jnp.sum(change, dtype=jnp.int32)
+    return jnp.concatenate([fp, n_runs[None]]), change
+
+
 @partial(jax.jit, static_argnames=("n_runs_b", "n_samp", "step", "n_base"))
 def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
     """One multi-operand sort builds the whole pixel-sorted run order.
@@ -187,15 +199,33 @@ def pointing_stats_key(plan, weights, flags_applied, det_weights):
     """
     if flags_applied:
         return None
-    wflat = jax.lax.bitcast_convert_type(
-        weights.reshape(-1).astype(jnp.float32), jnp.int32
-    )
-    wfp = pixel_fingerprint(wflat)
+    wfp = np.asarray(_fingerprint_nd_jit(weights))
     return (
         plan["fp_key"],
-        wfp,
+        (int(wfp[0]), int(wfp[1])) + tuple(weights.shape),
         hash(np.asarray(det_weights, dtype=np.float64).tobytes()),
     )
+
+
+@jax.jit
+def _fingerprint_nd_jit(x):
+    """64-bit content hash of an ND array WITHOUT flattening it.
+
+    A 1-D reshape of a (det, samp, nnz) array forces a physical relayout
+    whose minor-dim lane padding inflates traffic ~40x on TPU; broadcasted
+    iotas build the linear index elementwise instead (hash values match
+    mapkernels._fingerprint_jit on the flattened order).
+    """
+    xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, xi.shape, 0)
+    for ax in range(1, xi.ndim):
+        idx = idx * jnp.int32(xi.shape[ax]) + jax.lax.broadcasted_iota(
+            jnp.int32, xi.shape, ax
+        )
+    mixed = xi * (idx * jnp.int32(-1640531527) | jnp.int32(1))
+    h1 = jnp.sum(xi, dtype=jnp.int32)
+    h2 = jnp.sum(mixed ^ (xi >> 7), dtype=jnp.int32)
+    return jnp.stack([h1, h2])
 
 
 def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
@@ -204,15 +234,16 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
     Two small host fetches (run count, hit count) per new pointing; plans
     are reused across Monte-Carlo realizations and solver/final passes.
     """
-    fp_key = pixel_fingerprint(pixels) + (
+    pix_flat = pixels.reshape(-1)
+    fpc, change = _fp_and_count(pix_flat, n_samp, step)
+    fpc = np.asarray(fpc)
+    fp_key = (int(fpc[0]), int(fpc[1]), pix_flat.shape[0]) + (
         int(n_samp), int(step), int(n_base), int(n_det),
     )
     hit = _FUSED_PLAN_CACHE.get(fp_key)
     if hit is not None:
         return hit
-    pix_flat = pixels.reshape(-1)
-    change = _change_mask(pix_flat, n_samp, step)
-    n_runs = int(jnp.sum(change))
+    n_runs = int(fpc[2])
     # NOT capped at the sample count: buckets must stay divisible by the
     # stat/expand block (512), which a raw n cap breaks on tiny inputs
     n_runs_b = _bucket(n_runs)

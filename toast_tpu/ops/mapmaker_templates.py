@@ -161,15 +161,34 @@ class SolveAmplitudes(Operator):
             run_stats_tod,
         )
 
+        from ..utils.timing import GlobalTimers, function_timing_enabled
+
+        class _seg:
+            """Nested wall-clock segments under TOAST_FUNCTIME."""
+
+            __slots__ = ("key",)
+
+            def __init__(self, key):
+                self.key = f"fused_solve.{key}"
+
+            def __enter__(self):
+                if function_timing_enabled():
+                    GlobalTimers.get().start(self.key)
+
+            def __exit__(self, *exc):
+                if function_timing_enabled():
+                    GlobalTimers.get().stop(self.key)
+
         log = Logger.get()
         tmpl = self.template_matrix.templates[0]
         ob = data.obs[0]
 
         # template structure (amplitude layout, optional prior filters);
         # cheap — runs on the raw flags, not a scratch copy
-        self.template_matrix.det_data = self.det_data
-        self.template_matrix.reset()
-        self.template_matrix.initialize(data)
+        with _seg("template_init"):
+            self.template_matrix.det_data = self.det_data
+            self.template_matrix.reset()
+            self.template_matrix.initialize(data)
         info = tmpl._obs_info[0]
         dets = info["dets"]
         didx = info["det_idx"]
@@ -231,7 +250,8 @@ class SolveAmplitudes(Operator):
                 ("shared", id(sf), int(binning.shared_flag_mask))
             )
 
-        plan = prepare_fused_plan(pix, n_samp, step, n_base, n_det)
+        with _seg("plan"):
+            plan = prepare_fused_plan(pix, n_samp, step, n_base, n_det)
         wg = good * det_weights[:, None]
 
         # pointing-dependent statistics (W, n, w w^T triangle, hits) are
@@ -248,40 +268,44 @@ class SolveAmplitudes(Operator):
             pointing_stats_key,
         )
 
-        pt_key = pointing_stats_key(
-            plan, wts, flags_applied, np.array([
-                nse.detector_weight(d).value for d in dets
-            ]))
+        with _seg("pt_key"):
+            pt_key = pointing_stats_key(
+                plan, wts, flags_applied, np.array([
+                    nse.detector_weight(d).value for d in dets
+                ]))
         cached = _POINTING_STATS_CACHE.get(pt_key) if pt_key else None
         if cached is None:
-            pt_stats = run_stats_pointing(
+            with _seg("pt_stats"):
+                pt_stats = run_stats_pointing(
                 wts.reshape(-1, nnz),
                 wg.reshape(-1),
                 good.reshape(-1),
-                plan["bounds1"],
-                plan["order"],
-                plan["good_sorted"],
-            )
+                    plan["bounds1"],
+                    plan["order"],
+                    plan["good_sorted"],
+                )
             if pt_key:
                 if len(_POINTING_STATS_CACHE) > 2:
                     _POINTING_STATS_CACHE.clear()
                 _POINTING_STATS_CACHE[pt_key] = pt_stats
         else:
             pt_stats = cached
-        tod_stats = run_stats_tod(
-            tod.reshape(-1),
-            wts.reshape(-1, nnz),
-            wg.reshape(-1),
-            plan["bounds1"],
-            plan["order"],
-            plan["good_sorted"],
-        )
+        with _seg("tod_stats"):
+            tod_stats = run_stats_tod(
+                tod.reshape(-1),
+                wts.reshape(-1, nnz),
+                wg.reshape(-1),
+                plan["bounds1"],
+                plan["order"],
+                plan["good_sorted"],
+            )
 
         # solver covariance + rcond from the same statistics
-        acc, _hits_hit = accumulate_hit_cov(pt_stats, plan["hit_bounds"], nnz)
-        cov_hit, rcond_hit = invert_hit_cov(
-            acc, float(self.solve_rcond_threshold), nnz
-        )
+        with _seg("cov"):
+            acc, _hits_hit = accumulate_hit_cov(pt_stats, plan["hit_bounds"], nnz)
+            cov_hit, rcond_hit = invert_hit_cov(
+                acc, float(self.solve_rcond_threshold), nnz
+            )
 
         use_prior = "prior_filter" in info
         zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
@@ -294,8 +318,9 @@ class SolveAmplitudes(Operator):
             and plan["rank_block1k"] is not None
             and plan["n_hit_b"] <= (1 << 22)
         )
-        amps_flat, iters, rel, diag_n, amp_mask = fused_offset_solve(
-            pt_stats,
+        with _seg("solve_dispatch"):
+            amps_flat, iters, rel, diag_n, amp_mask = fused_offset_solve(
+                pt_stats,
             tod_stats,
             plan["amp_sorted"],
             plan["hit_starts"],
@@ -340,7 +365,8 @@ class SolveAmplitudes(Operator):
         }
         # one host fetch for both scalars (each fetch is a full round trip
         # through the remote-TPU tunnel)
-        it_rel = np.asarray(jnp.stack([iters.astype(jnp.float32), rel]))
+        with _seg("fetch_wait"):
+            it_rel = np.asarray(jnp.stack([iters.astype(jnp.float32), rel]))
         iters_i, rel_f = int(it_rel[0]), float(it_rel[1])
         info_dict = {
             "iterations": iters_i,

@@ -56,9 +56,14 @@ def _good_counts(det_flags, mask, step, n_base):
 
 @partial(jax.jit, static_argnames=("step", "n_base"))
 def _offset_add(tod, amps2d, step, n_base):
-    n_samp = tod.shape[1]
-    idx = jnp.arange(n_samp, dtype=jnp.int32) // step
-    return tod + amps2d[:, idx]
+    # broadcast-reshape instead of a gather: amps2d[:, t // step] lowers to
+    # a slow per-element gather on TPU, while broadcast -> reshape -> slice
+    # is a pure layout stream
+    n_det, n_samp = tod.shape
+    expanded = jnp.broadcast_to(
+        amps2d[:, :, None], (n_det, n_base, step)
+    ).reshape(n_det, n_base * step)[:, :n_samp]
+    return tod + expanded
 
 
 @partial(jax.jit, static_argnames=("step", "n_base"))
