@@ -525,6 +525,80 @@ def test_ground_scheduler_max_time_budget():
     assert any(s.name == "open" for s in sch.scans)
 
 
+def test_ground_scheduler_reference_options():
+    """Operational days, elevation grid, boresight rotation, moon phase and
+    sun/moon ephemeris columns (reference schedule_sim_ground.py CLI
+    behaviors: --operational-days, --elevations-deg,
+    --boresight-angle-step-deg)."""
+    from datetime import datetime, timezone
+
+    import numpy as np
+
+    from toast_tpu.schedule_sim_ground import Patch, build_schedule
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    def mk_patches():
+        return [
+            Patch("p1", 1.0, [(30, -30), (50, -30), (50, -45), (30, -45)]),
+            Patch("p2", 1.0, [(120, -30), (140, -30), (140, -45), (120, -45)]),
+        ]
+
+    sch = build_schedule(
+        start=datetime(2023, 1, 10, tzinfo=timezone.utc),
+        stop=datetime(2023, 1, 20, tzinfo=timezone.utc),
+        patches=mk_patches(),
+        el_min=Quantity(20.0, u.deg),
+        el_max=Quantity(85.0, u.deg),
+        operational_days=2,
+        elevations=[Quantity(e, u.deg) for e in (25.0, 35.0, 45.0, 55.0, 65.0)],
+        boresight_angle_step=Quantity(45.0, u.deg),
+    )
+    assert len(sch.scans) > 0
+    # operational days: all scans inside <= 2 distinct UTC days
+    days = {int(s.start_timestamp // 86400) for s in sch.scans}
+    assert len(days) <= 2
+    # elevation grid: every scan elevation snaps to the allowed values
+    grid = {25.0, 35.0, 45.0, 55.0, 65.0}
+    for s in sch.scans:
+        assert min(abs(s.el.to_value(u.deg) - g) for g in grid) < 1e-6
+    # boresight rotation: more than one angle appears, all multiples of 45
+    angles = {round(s.boresight_angle.to_value(u.deg), 6) for s in sch.scans}
+    assert len(angles) > 1
+    for a in angles:
+        assert abs(a / 45.0 - round(a / 45.0)) < 1e-9
+    # ephemeris columns are populated: moon phase in (0, 100], sun el sane
+    phases = [s.moon_phase for s in sch.scans]
+    assert all(0.0 <= p <= 100.0 for p in phases)
+    assert any(p > 1.0 for p in phases)
+    assert all(
+        -np.pi / 2 <= s.sun_el_begin.to_value(u.rad) <= np.pi / 2
+        for s in sch.scans
+    )
+
+
+def test_moon_phase_cycle():
+    """The moon-phase model tracks the synodic cycle: a full moon and a new
+    moon occur within any 30-day window, ~29.5 days apart."""
+    import numpy as np
+
+    from toast_tpu.math.coordinates import moon_phase
+
+    t0 = 1700000000.0
+    t = t0 + np.arange(0, 30 * 86400, 3600.0)
+    ph = moon_phase(t)
+    assert ph.max() > 97.0
+    assert ph.min() < 3.0
+    # period: peaks of consecutive cycles ~29.5 days apart
+    t2 = t0 + np.arange(0, 70 * 86400, 3600.0)
+    ph2 = moon_phase(t2)
+    peaks = t2[np.where((ph2[1:-1] > ph2[:-2]) & (ph2[1:-1] > ph2[2:]) &
+                        (ph2[1:-1] > 90))[0] + 1]
+    assert len(peaks) >= 2
+    period = np.diff(peaks)[0] / 86400.0
+    assert abs(period - 29.53) < 1.5
+
+
 def test_weather_seasonal_cycle():
     """Atacama pwv follows the annual cycle: austral summer (Jan) wetter
     than winter (Jul) — the parametric analog of the reference's monthly

@@ -221,3 +221,20 @@ def moon_azel(site, times):
     return radec_to_azel(
         site.lat.to_value(u.rad), site.lon.to_value(u.rad), times, ra, dec
     )
+
+
+def moon_phase(times):
+    """Percent of the lunar disk illuminated (0 = new, 100 = full).
+
+    Computed from the sun-moon elongation: illuminated fraction
+    ``(1 - cos(elongation)) / 2``.  Matches the semantics of pyephem's
+    ``Moon.phase`` used by the reference scheduler
+    (``ref:src/toast/schedule_sim_ground.py:1994``).
+    """
+    ra_m, dec_m = moon_radec(times)
+    ra_s, dec_s = sun_radec(times)
+    cose = np.sin(dec_m) * np.sin(dec_s) + np.cos(dec_m) * np.cos(
+        dec_s
+    ) * np.cos(ra_m - ra_s)
+    elong = np.arccos(np.clip(cose, -1.0, 1.0))
+    return 100.0 * 0.5 * (1.0 - np.cos(elong))

@@ -189,26 +189,34 @@ _FUSED_PLAN_CACHE: dict = {}
 _POINTING_STATS_CACHE: dict = {}
 
 
-def pointing_stats_key(plan, weights, flags_applied, det_weights):
-    """Cache key for the pointing-dependent run statistics, or None.
+def pointing_stats_key(plan, weights, flag_arrays, det_weights):
+    """Cache key for the pointing-dependent run statistics.
 
-    Only the unflagged case is cached (identity-keying live flag arrays
-    risks stale aliasing; fingerprinting them costs an extra round trip).
-    The key combines the plan's pixel fingerprint, the Stokes-weight
-    content fingerprint and a host hash of the detector noise weights.
+    The key combines the plan's pixel fingerprint, content fingerprints of
+    the Stokes weights and every applied flag array (batched into ONE
+    device fetch), and a host hash of the detector noise weights — safe
+    across array rebinds, regenerated-but-equal content, and flag edits.
     """
-    if flags_applied:
-        return None
-    wfp = np.asarray(_fingerprint_nd_jit(weights))
+    fps = np.asarray(_fingerprints_jit((weights,) + tuple(flag_arrays)))
+    parts = tuple(
+        (int(fps[i, 0]), int(fps[i, 1])) for i in range(fps.shape[0])
+    )
     return (
         plan["fp_key"],
-        (int(wfp[0]), int(wfp[1])) + tuple(weights.shape),
+        parts,
+        tuple(weights.shape),
+        tuple(tuple(f.shape) for f in flag_arrays),
         hash(np.asarray(det_weights, dtype=np.float64).tobytes()),
     )
 
 
 @jax.jit
-def _fingerprint_nd_jit(x):
+def _fingerprints_jit(arrays):
+    """Stacked content hashes of several ND arrays — one host fetch."""
+    return jnp.stack([_fingerprint_nd(a) for a in arrays])
+
+
+def _fingerprint_nd(x):
     """64-bit content hash of an ND array WITHOUT flattening it.
 
     A 1-D reshape of a (det, samp, nnz) array forces a physical relayout
@@ -216,7 +224,10 @@ def _fingerprint_nd_jit(x):
     iotas build the linear index elementwise instead (hash values match
     mapkernels._fingerprint_jit on the flattened order).
     """
-    xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    else:
+        xi = x.astype(jnp.int32)
     idx = jax.lax.broadcasted_iota(jnp.int32, xi.shape, 0)
     for ax in range(1, xi.ndim):
         idx = idx * jnp.int32(xi.shape[ax]) + jax.lax.broadcasted_iota(
@@ -226,6 +237,8 @@ def _fingerprint_nd_jit(x):
     h1 = jnp.sum(xi, dtype=jnp.int32)
     h2 = jnp.sum(mixed ^ (xi >> 7), dtype=jnp.int32)
     return jnp.stack([h1, h2])
+
+
 
 
 def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):

@@ -225,7 +225,8 @@ class SolveAmplitudes(Operator):
         # solver bakes into its solver_flags, minus the rcond cut, which
         # is applied at run level inside the solve)
         good = jnp.ones(pix.shape, dtype=jnp.float32)
-        flags_applied = []
+        flag_arrays = []
+        flag_masks = []
         if (
             binning.det_flags is not None
             and binning.det_flags in ob.detdata
@@ -234,10 +235,8 @@ class SolveAmplitudes(Operator):
             good = good * (
                 (df.astype(jnp.uint32) & jnp.uint32(binning.det_flag_mask)) == 0
             ).astype(jnp.float32)
-            flags_applied.append(
-                ("det", id(ob.detdata[binning.det_flags].data),
-                 int(binning.det_flag_mask))
-            )
+            flag_arrays.append(df)
+            flag_masks.append(int(binning.det_flag_mask))
         if (
             binning.shared_flags is not None
             and binning.shared_flags in ob.shared
@@ -246,9 +245,8 @@ class SolveAmplitudes(Operator):
             good = good * (
                 (sf.astype(jnp.uint32) & jnp.uint32(binning.shared_flag_mask)) == 0
             ).astype(jnp.float32)[None, :]
-            flags_applied.append(
-                ("shared", id(sf), int(binning.shared_flag_mask))
-            )
+            flag_arrays.append(sf)
+            flag_masks.append(int(binning.shared_flag_mask))
 
         with _seg("plan"):
             plan = prepare_fused_plan(pix, n_samp, step, n_base, n_det)
@@ -270,9 +268,9 @@ class SolveAmplitudes(Operator):
 
         with _seg("pt_key"):
             pt_key = pointing_stats_key(
-                plan, wts, flags_applied, np.array([
+                plan, wts, flag_arrays, np.array([
                     nse.detector_weight(d).value for d in dets
-                ]))
+                ])) + (tuple(flag_masks),)
         cached = _POINTING_STATS_CACHE.get(pt_key) if pt_key else None
         if cached is None:
             with _seg("pt_stats"):

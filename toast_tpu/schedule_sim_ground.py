@@ -134,6 +134,27 @@ def _angdist(az1, el1, az2, el2):
     return np.arccos(np.clip(cosd, -1.0, 1.0))
 
 
+def _check_sso(site, az_lo, az_hi, el, body_azel, angle_rad, alt_min_rad, t1, t2):
+    """Does a solar-system object come within ``angle_rad`` of the CES?
+
+    Mirrors the reference ``check_sso`` (``schedule_sim_ground.py:1186``):
+    sample the scan's az range and the time span on a 10x10 grid; the body
+    only matters while above ``alt_min_rad``.  Returns ``(too_close,
+    t_safe)`` where ``t_safe`` is the last sampled time before the
+    encroachment (== t2 when clear).
+    """
+    azs = np.linspace(az_lo, az_hi, 10)
+    times = np.linspace(t1, t2, 10)
+    az_b, el_b = body_azel(site, times)
+    for i, t in enumerate(times):
+        if el_b[i] <= alt_min_rad:
+            continue
+        min_dist = np.min(_angdist(azs, el, az_b[i], el_b[i]))
+        if min_dist < angle_rad:
+            return True, times[max(i - 1, 0)]
+    return False, t2
+
+
 class HorizontalPatch(Patch):
     """Fixed azimuth-range, fixed-elevation patch
     (reference ``schedule_sim_ground.py:541``): scans a constant horizontal
@@ -276,6 +297,14 @@ def build_schedule(
     gap_small=Quantity(10.0, u.second),
     partial_visibility=False,
     elevation_balance=False,
+    sun_avoidance_altitude=Quantity(-18.0, u.deg),
+    moon_avoidance_altitude=Quantity(-18.0, u.deg),
+    operational_days=None,
+    timezone_hours=0.0,
+    elevations=None,
+    boresight_angle_step=Quantity(0.0, u.deg),
+    boresight_angle_time=None,
+    ces_min_time=Quantity(1.0, u.second),
 ):
     """Plan constant-elevation scans of the given patches.
 
@@ -285,6 +314,25 @@ def build_schedule(
     elevation differs from their time-weighted mean observed elevation,
     spreading integration depth over elevations (reference
     ``schedule_sim_ground.py:2379`` behaviors).
+
+    Reference-parity options (``schedule_sim_ground.py`` CLI):
+
+    * sun/moon avoidance is enforced over the FULL scan az range and
+      duration on a 10x10 grid (reference ``check_sso:1186``), with
+      avoidance altitudes below which the body is ignored;
+      HorizontalPatch and partial scans are truncated at the encroachment
+      time, regular patches are skipped (``SunTooClose``/``MoonTooClose``
+      semantics);
+    * ``operational_days`` stops scheduling once scans span more than that
+      many distinct local days (``timezone_hours`` sets the day boundary,
+      reference ``--operational-days``/``--timezone``);
+    * ``elevations`` (sequence of Quantity) snaps each scan elevation up
+      to a discrete allowed grid (reference ``--elevations-deg``);
+    * ``boresight_angle_step``/``boresight_angle_time`` rotate the
+      boresight on a time schedule (reference ``--boresight-angle-step-deg``
+      / ``--boresight-angle-time-min``);
+    * every scan records sun/moon az/el at its endpoints and the mean moon
+      phase, like the reference schedule format.
 
     Returns a GroundSchedule.
     """
@@ -307,17 +355,33 @@ def build_schedule(
     el_max_rad = el_max.to_value(u.rad)
     sun_rad = sun_avoidance_angle.to_value(u.rad)
     moon_rad = moon_avoidance_angle.to_value(u.rad)
+    sun_alt_rad = sun_avoidance_altitude.to_value(u.rad)
+    moon_alt_rad = moon_avoidance_altitude.to_value(u.rad)
     ces_s = ces_max_time.to_value(u.second)
+    ces_min_s = ces_min_time.to_value(u.second)
     gap_s = gap.to_value(u.second)
+    el_grid = (
+        None
+        if not elevations
+        else np.sort(np.asarray([e.to_value(u.rad) for e in elevations]))
+    )
+    bore_step_rad = boresight_angle_step.to_value(u.rad)
+    bore_time_s = (
+        None
+        if boresight_angle_time is None
+        else boresight_angle_time.to_value(u.second)
+    )
 
     scans = []
     t = start.timestamp()
     t_stop = stop.timestamp()
     scan_idx = {p.name: 0 for p in patches}
+    ods = set()
     while t < t_stop:
-        # choose the visible patch with the largest priority score
-        best = None
-        best_score = -np.inf
+        # rank visible patches by priority; try candidates in order so a
+        # mid-scan sun/moon encroachment on one patch falls through to the
+        # next (reference attempt_scan semantics)
+        candidates = []
         for patch in patches:
             score = patch.priority(t)
             if score == -np.inf:
@@ -336,17 +400,72 @@ def build_schedule(
             if elevation_balance and patch.el_time > 0:
                 mean_el = patch.el_time_weighted / patch.el_time
                 score *= 1.0 + 2.0 * abs(vis[2] - mean_el)
-            if score <= best_score:
+            candidates.append((score, len(candidates), patch, vis))
+        candidates.sort(key=lambda c: -c[0])
+
+        chosen = None
+        for score, _, patch, (az_min, az_max, el_scan, patch_ces) in candidates:
+            if el_grid is not None and not isinstance(
+                patch, (HorizontalPatch, SSOPatch, CoolerCyclePatch)
+            ):
+                # snap the scan elevation UP to the allowed grid (the scan
+                # must still clear the patch bottom)
+                k = np.searchsorted(el_grid, el_scan - 1e-9)
+                if k >= len(el_grid) or el_grid[k] > el_max_rad:
+                    continue
+                el_scan = max(el_scan, el_grid[k])
+            t_end = min(t + (patch_ces if patch_ces else ces_s), t_stop)
+            truncatable = partial_visibility or isinstance(
+                patch, HorizontalPatch
+            )
+            clear = True
+            own_body = patch.body if isinstance(patch, SSOPatch) else None
+            for body, body_azel, ang, alt in (
+                ("sun", coords.sun_azel, sun_rad, sun_alt_rad),
+                ("moon", coords.moon_azel, moon_rad, moon_alt_rad),
+            ):
+                if ang <= 0 or body == own_body:
+                    # a calibration patch tracking this body scans AT it
+                    continue
+                too_close, t_safe = _check_sso(
+                    site, az_min, az_max, el_scan, body_azel, ang, alt, t, t_end
+                )
+                if too_close:
+                    if truncatable and t_safe - t >= ces_min_s:
+                        t_end = min(t_end, t_safe)
+                    else:
+                        clear = False
+                        break
+            if not clear or t_end - t < ces_min_s:
                 continue
-            best_score = score
-            best = (patch, vis)
-        if best is None:
-            t += 600.0  # nothing visible; try again in 10 minutes
+            chosen = (patch, az_min, az_max, el_scan, t_end)
+            break
+
+        if chosen is None:
+            t += 600.0  # nothing observable; try again in 10 minutes
             continue
-        patch, (az_min, az_max, el_scan, patch_ces) = best
-        t_end = min(t + (patch_ces if patch_ces else ces_s), t_stop)
+        patch, az_min, az_max, el_scan, t_end = chosen
+        if operational_days is not None:
+            od = int((t + 3600.0 * timezone_hours) // 86400.0)
+            ods.add(od)
+            if len(ods) > operational_days:
+                break
         if isinstance(patch, CoolerCyclePatch):
             patch.last_cycle_end = t_end
+        bore = 0.0
+        if bore_step_rad != 0.0:
+            steps_per_cycle = max(
+                1, int(round(2.0 * np.pi / abs(bore_step_rad)))
+            )
+            if bore_time_s:
+                k = int((t - start.timestamp()) // bore_time_s)
+            else:
+                k = len(scans)
+            bore = (k % steps_per_cycle) * bore_step_rad
+        tb = np.array([t, t_end])
+        sun_az_be, sun_el_be = coords.sun_azel(site, tb)
+        moon_az_be, moon_el_be = coords.moon_azel(site, tb)
+        phase = float(np.mean(coords.moon_phase(tb)))
         scans.append(
             GroundScan(
                 name=patch.name,
@@ -357,6 +476,16 @@ def build_schedule(
                 el=Quantity(el_scan, u.rad),
                 scan_indx=scan_idx[patch.name],
                 subscan_indx=0,
+                boresight_angle=Quantity(bore, u.rad),
+                sun_az_begin=Quantity(sun_az_be[0], u.rad),
+                sun_az_end=Quantity(sun_az_be[1], u.rad),
+                sun_el_begin=Quantity(sun_el_be[0], u.rad),
+                sun_el_end=Quantity(sun_el_be[1], u.rad),
+                moon_az_begin=Quantity(moon_az_be[0], u.rad),
+                moon_az_end=Quantity(moon_az_be[1], u.rad),
+                moon_el_begin=Quantity(moon_el_be[0], u.rad),
+                moon_el_end=Quantity(moon_el_be[1], u.rad),
+                moon_phase=phase,
             )
         )
         patch.time_observed += t_end - t
@@ -369,6 +498,7 @@ def build_schedule(
     log.info(
         f"build_schedule: {len(scans)} scans of {len(patches)} patches "
         f"over {(t_stop - start.timestamp()) / 86400:.1f} days"
+        + (f" ({len(ods)} operational days)" if ods else "")
     )
     return GroundSchedule(
         scans=scans,
@@ -405,8 +535,31 @@ def run_scheduler(opts=None):
     parser.add_argument("--el-max", default="80 deg")
     parser.add_argument("--sun-avoidance-angle", default="30 deg")
     parser.add_argument("--moon-avoidance-angle", default="0 deg")
+    parser.add_argument("--sun-avoidance-altitude", default="-18 deg")
+    parser.add_argument("--moon-avoidance-altitude", default="-18 deg")
     parser.add_argument("--ces-max-time", default="20 min")
+    parser.add_argument("--ces-min-time", default="1 s")
     parser.add_argument("--gap", default="60 s")
+    parser.add_argument(
+        "--operational-days", type=int, default=None,
+        help="Stop after this many distinct local observing days",
+    )
+    parser.add_argument(
+        "--timezone", type=float, default=0.0,
+        help="UTC offset in hours defining operational-day boundaries",
+    )
+    parser.add_argument(
+        "--elevations",
+        default=None,
+        help="Comma-separated allowed scan elevations in degrees",
+    )
+    parser.add_argument("--boresight-angle-step", default="0 deg")
+    parser.add_argument(
+        "--boresight-angle-time", default=None,
+        help="Rotate the boresight on this time cadence (e.g. '60 min')",
+    )
+    parser.add_argument("--partial-visibility", action="store_true")
+    parser.add_argument("--elevation-balance", action="store_true")
     parser.add_argument(
         "--patch",
         action="append",
@@ -488,8 +641,29 @@ def run_scheduler(opts=None):
         el_max=qs(args.el_max),
         sun_avoidance_angle=qs(args.sun_avoidance_angle),
         moon_avoidance_angle=qs(args.moon_avoidance_angle),
+        sun_avoidance_altitude=qs(args.sun_avoidance_altitude),
+        moon_avoidance_altitude=qs(args.moon_avoidance_altitude),
         ces_max_time=qs(args.ces_max_time),
+        ces_min_time=qs(args.ces_min_time),
         gap=qs(args.gap),
+        operational_days=args.operational_days,
+        timezone_hours=args.timezone,
+        elevations=(
+            None
+            if not args.elevations
+            else [
+                Quantity(float(e), u.deg)
+                for e in args.elevations.split(",")
+            ]
+        ),
+        boresight_angle_step=qs(args.boresight_angle_step),
+        boresight_angle_time=(
+            None
+            if args.boresight_angle_time is None
+            else qs(args.boresight_angle_time)
+        ),
+        partial_visibility=args.partial_visibility,
+        elevation_balance=args.elevation_balance,
     )
     schedule.write(args.out)
     return schedule
