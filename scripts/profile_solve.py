@@ -193,6 +193,7 @@ def main():
         jax.default_backend() == "tpu"
         and plan["rank_block1k"] is not None
         and plan["n_hit_b"] <= (1 << 22)
+        and plan["n_hi"] <= 2048
     )
     print(f"    use_pallas_expand={use_pallas}", flush=True)
 

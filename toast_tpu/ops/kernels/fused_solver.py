@@ -587,6 +587,7 @@ def fused_offset_solve(
 
     if use_pallas_expand:
         from .pallas_expand import expand_rows_pallas
+        from .pallas_reduce import _BLOCK as _RBLOCK, amp_reduce_pallas
 
         def expand(vals_hit):
             return expand_rows_pallas(
@@ -598,6 +599,15 @@ def fused_offset_solve(
             return expand_hit_to_runs(
                 vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
             )
+
+    if use_pallas_expand and n_runs_b % _RBLOCK == 0:
+
+        def reduce1(v):
+            return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
+    else:
+
+        def reduce1(v):
+            return amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
 
     # rcond cut at run granularity (pixel constant per run -> exact)
     good_hit = (rcond_hit > 0).astype(jnp.float32)
@@ -612,11 +622,8 @@ def fused_offset_solve(
     amp_lo = amp_sorted % _LOW
 
     # diagonal, baseline flags, preconditioner — all from run sums
-    sums = amp_reduce(
-        jnp.stack([nc, hc], axis=-1), amp_hi, amp_lo, n_hi, n_amp
-    )
-    diag_n = sums[:, 0]
-    n_good = sums[:, 1]
+    diag_n = reduce1(nc)
+    n_good = reduce1(hc)
     amp_mask = (
         (n_good / step_len >= good_fraction) & (diag_n > 0)
     ).astype(jnp.float32)
@@ -643,7 +650,7 @@ def fused_offset_solve(
         binned = _apply_tri(cov_hit, zmap, nnz)
         val_run = expand(binned)
         v = jnp.sum(Wc * val_run, axis=1)
-        out = diag_n * a - amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
+        out = diag_n * a - reduce1(v)
         if use_prior:
             out = out + apply_prior(a)
         return out * amp_mask
@@ -653,7 +660,7 @@ def fused_offset_solve(
     binned_b = _apply_tri(cov_hit, zmap_b, nnz)
     val_b = expand(binned_b)
     vb = zc - jnp.sum(Wc * val_b, axis=1)
-    b = amp_reduce(vb[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0] * amp_mask
+    b = reduce1(vb) * amp_mask
 
     x0 = jnp.zeros_like(b)
     r0 = b

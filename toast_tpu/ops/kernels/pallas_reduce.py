@@ -1,0 +1,92 @@
+"""Pallas TPU kernel: per-amplitude reduction of per-run values.
+
+``out[g] = sum over runs r with amp[r] == g of v[r]`` — the transpose of
+the amplitude expansion, the other half of every fused-solver PCG
+iteration (``fused_solver.amp_reduce``).
+
+The XLA one-hot einsum formulation materializes the (n_runs, 128)
+``one_hot_lo * v`` contraction operand in HBM (~3 GB at production sizes,
+~14 ms on v5e); here each 1024-run block builds its one-hot factors in
+VMEM and accumulates a resident ``(n_hi, 3*128)`` float32 accumulator via
+one bf16 MXU matmul per block — nothing but the inputs ever crosses HBM.
+
+Exactness: the one-hot factors are exactly representable in bf16 and the
+float32 payload is split into three bf16 components (8+8+8 mantissa bits)
+recombined in float32 after the kernel — the result is bitwise equal to a
+float32 gather-sum in block order, and deterministic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 4096  # large blocks amortize grid-step overhead (launch-bound)
+_LOW = 128
+
+
+def _reduce_kernel(amp_ref, val_ref, out_ref):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    amp = amp_ref[:]                       # (BLOCK,) int32
+    v = val_ref[:]                         # (BLOCK,) float32
+    n_hi = out_ref.shape[0]
+    hi = amp // _LOW
+    lo = amp - hi * _LOW
+    # (BLOCK, 128) payload scattered onto the low lane, then an exact bf16
+    # 3-way split (Mosaic only reshapes 32-bit vectors into new minor
+    # dims, so mask in f32 first)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _LOW), 1)
+    mv = jnp.where(lanes == lo[:, None], v[:, None], jnp.float32(0))
+    m1 = mv.astype(jnp.bfloat16)
+    r1 = mv - m1.astype(jnp.float32)
+    m2 = r1.astype(jnp.bfloat16)
+    m3 = (r1 - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+    m = jnp.concatenate([m1, m2, m3], axis=1)
+    # (n_hi, BLOCK) bf16 one-hot of the high digit
+    oh_hi = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_hi, _BLOCK), 0) == hi[None, :]
+    ).astype(jnp.bfloat16)
+    out_ref[:] += jnp.dot(oh_hi, m, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_hi", "n_amp", "interpret"))
+def amp_reduce_pallas(vals, amp_sorted, n_hi, n_amp, interpret=False):
+    """sum of ``vals`` per amplitude id — Pallas MXU block accumulation.
+
+    Args:
+        vals: (n_runs_b,) float32 per-run values (already masked).
+        amp_sorted: (n_runs_b,) int32 amplitude ids in [0, n_amp).
+        n_hi: static ceil(n_amp / 128).
+        n_amp: static amplitude count.
+
+    Returns:
+        (n_amp,) float32 per-amplitude sums.
+    """
+    n_runs_b = vals.shape[0]
+    n_blocks = n_runs_b // _BLOCK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK,), lambda b: (b,)),
+            pl.BlockSpec((_BLOCK,), lambda b: (b,)),
+        ],
+        out_specs=pl.BlockSpec((n_hi, 3 * _LOW), lambda b: (0, 0)),
+    )
+    acc = pl.pallas_call(
+        _reduce_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_hi, 3 * _LOW), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(amp_sorted, vals)
+    total = acc[:, :_LOW] + acc[:, _LOW : 2 * _LOW] + acc[:, 2 * _LOW :]
+    return total.reshape(-1)[:n_amp]

@@ -315,6 +315,9 @@ class SolveAmplitudes(Operator):
             _jax.default_backend() == "tpu"
             and plan["rank_block1k"] is not None
             and plan["n_hit_b"] <= (1 << 22)
+            # reduce kernel holds a (n_hi, 3*128) f32 accumulator plus a
+            # (n_hi, 1024) bf16 one-hot in VMEM
+            and plan["n_hi"] <= 2048
         )
         with _seg("solve_dispatch"):
             amps_flat, iters, rel, diag_n, amp_mask = fused_offset_solve(
