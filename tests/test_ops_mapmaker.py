@@ -401,6 +401,107 @@ def test_fused_matches_dense_gls_oracle():
     )
 
 
+def test_fused_multi_obs_matches_generic():
+    """Equal-shaped multi-observation data takes the stacked fused path and
+    agrees with the generic operator-chain solver."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.models import Data, create_satellite_schedule
+    from toast_tpu.parallel import Comm
+    from helpers import create_space_telescope
+
+    nside = 16
+    comm = Comm()
+    data = Data(comm)
+    tele = create_space_telescope(n_pix=3)
+    start = datetime(2023, 2, 23, tzinfo=timezone.utc)
+    sched = create_satellite_schedule(
+        prefix="eq_",
+        mission_start=start,
+        observation_time=Quantity(15.0, u.minute),
+        gap_time=Quantity(0.0, u.minute),
+        num_observations=3,
+        prec_period=Quantity(10.0, u.minute),
+        spin_period=Quantity(2.0, u.minute),
+    )
+    ops.SimSatellite(name="eqsim", telescope=tele, schedule=sched).apply(data)
+    assert len(data.obs) == 3
+    assert len({ob.n_local_samples for ob in data.obs}) == 1
+
+    fp = data.obs[0].telescope.focalplane
+    fp.detector_data["psd_fknee"][:] = 1.0
+    ops.DefaultNoiseModel().apply(data)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    fake = _fake_sky(data, nside)
+    ops.ScanMap(map_key="fake_sky", det_data="signal").apply(data)
+    ops.SimNoise().apply(data)
+    tods = [ob.detdata["signal"].numpy().copy() for ob in data.obs]
+
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+    results = {}
+    for fused in (True, False):
+        for ob, tod in zip(data.obs, tods):
+            ob.detdata["signal"].data = tod
+        tmpl = Offset(step_time=Quantity(10.0, u.second))
+        tm = ops.TemplateMatrix(templates=[tmpl])
+        solver = ops.SolveAmplitudes(
+            name=f"m{int(fused)}",
+            binning=binner,
+            template_matrix=tm,
+            amplitudes=f"mamps{int(fused)}",
+            solve_rcond_threshold="1e-3",
+            iter_max=100,
+            convergence="1e-12",
+            use_fused=fused,
+        )
+        solver.apply(data)
+        info = data[f"mamps{int(fused)}_solve_info"]
+        if fused:
+            assert info.get("fused_multi", False)
+        results[fused] = np.asarray(
+            data[f"mamps{int(fused)}"]["Offset"].local, dtype=np.float64
+        )
+    a_f, a_g = results[True], results[False]
+    rms = np.sqrt(np.mean(a_g**2))
+    delta = (a_f - a_g) - np.mean(a_f - a_g)
+    assert np.sqrt(np.mean(delta**2)) < 0.05 * rms, (
+        np.abs(delta).max(),
+        rms,
+    )
+
+    # the full MapMaker over the fused-multi path recovers the sky
+    for ob, tod in zip(data.obs, tods):
+        ob.detdata["signal"].data = tod
+    mapper = ops.MapMaker(
+        name="mm",
+        binning=binner,
+        template_matrix=ops.TemplateMatrix(
+            templates=[Offset(step_time=Quantity(10.0, u.second))]
+        ),
+        solve_rcond_threshold="1e-3",
+        map_rcond_threshold="1e-3",
+        iter_max=60,
+        convergence="1e-10",
+        write_binmap=True,
+    )
+    mapper.apply(data)
+    d = data["mm_map"].numpy()
+    rc = data["mm_rcond"].numpy()[:, 0]
+    good = rc > 1e-2
+    assert good.sum() > 100
+    err = np.sqrt(np.mean((d[good, 0] - fake[good, 0]) ** 2))
+    assert err < 0.15
+    assert np.isfinite(data["mm_binmap"].numpy()).all()
+    assert data["mm_hits"].numpy().max() > 0
+
+
 def test_destriping_multiple_observations_mixed_lengths():
     """MapMaker over several observations of different lengths: amplitude
     blocks span observations and the destriped sky is still recovered

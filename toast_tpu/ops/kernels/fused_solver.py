@@ -176,6 +176,14 @@ def _plan_hits(hit_first, sorted_pix, n_hit_b):
     iota = jnp.arange(n_runs_b, dtype=jnp.int32)
     poskey = jnp.where(hit_first, iota, jnp.int32(n_runs_b))
     starts_all, pix_at = jax.lax.sort((poskey, sorted_pix), num_keys=1)
+    if n_hit_b > n_runs_b:  # shared multi-obs hit bucket may exceed runs
+        pad = n_hit_b - n_runs_b
+        starts_all = jnp.concatenate(
+            [starts_all, jnp.full((pad,), n_runs_b, jnp.int32)]
+        )
+        pix_at = jnp.concatenate(
+            [pix_at, jnp.full((pad,), _FILL, pix_at.dtype)]
+        )
     hit_starts = starts_all[:n_hit_b]
     hit_bounds = jnp.concatenate(
         [hit_starts, jnp.asarray([n_runs_b], dtype=jnp.int32)]
@@ -241,17 +249,22 @@ def _fingerprint_nd(x):
 
 
 
-def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
+def prepare_fused_plan(
+    pixels, n_samp, step, n_base, n_det, runs_bucket=None, hit_bucket=None
+):
     """Run/sort/hit plan for the fused solve, cached by pixel content.
 
     Two small host fetches (run count, hit count) per new pointing; plans
     are reused across Monte-Carlo realizations and solver/final passes.
+    ``runs_bucket``/``hit_bucket`` override the padded sizes so plans of
+    different observations can share one stacked shape (multi-obs solve).
     """
     pix_flat = pixels.reshape(-1)
     fpc, change = _fp_and_count(pix_flat, n_samp, step)
     fpc = np.asarray(fpc)
     fp_key = (int(fpc[0]), int(fpc[1]), pix_flat.shape[0]) + (
         int(n_samp), int(step), int(n_base), int(n_det),
+        runs_bucket, hit_bucket,
     )
     hit = _FUSED_PLAN_CACHE.get(fp_key)
     if hit is not None:
@@ -260,12 +273,20 @@ def prepare_fused_plan(pixels, n_samp, step, n_base, n_det):
     # NOT capped at the sample count: buckets must stay divisible by the
     # stat/expand block (512), which a raw n cap breaks on tiny inputs
     n_runs_b = _bucket(n_runs)
+    if runs_bucket is not None:
+        if runs_bucket < n_runs:
+            raise ValueError("runs_bucket smaller than the run count")
+        n_runs_b = runs_bucket
     (
         starts, order, amp_sorted, rank_sorted, good_sorted, hit_first,
         sorted_pix, n_hit_dev,
     ) = _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base)
     n_hit = int(n_hit_dev)
     n_hit_b = min(_bucket(n_hit), n_runs_b)
+    if hit_bucket is not None:
+        if hit_bucket < n_hit:
+            raise ValueError("hit_bucket smaller than the hit count")
+        n_hit_b = hit_bucket
     hit_starts, hit_bounds, hit_pix, hit_valid = _plan_hits(
         hit_first, sorted_pix, n_hit_b
     )
@@ -689,6 +710,255 @@ def fused_offset_solve(
     )
     rel = jnp.where(delta0 > 0, delta / jnp.where(delta0 > 0, delta0, 1.0), 0.0)
     return x, it, rel, diag_n, amp_mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_pix", "n_hi", "n_amp_obs", "n_iter_max", "nnz", "use_pallas_expand",
+    ),
+)
+def fused_offset_solve_multi(
+    W_all,              # (K, n_runs_b, nnz) run weight sums, UNMASKED
+    n_all,              # (K, n_runs_b) run weighted counts
+    hits_all,           # (K, n_runs_b) run hit counts
+    y_all,              # (K, n_runs_b, nnz) signal-weight sums
+    z_all,              # (K, n_runs_b) signal sums
+    invnpp_glob,        # (n_pix, n_tri) PRE-ACCUMULATED inverse covariance
+    hits_glob,          # (n_pix,) pre-accumulated hit counts
+    amp_sorted,         # (K, n_runs_b) LOCAL amplitude ids
+    hit_bounds,         # (K, n_hit_b + 1)
+    hit_valid,          # (K, n_hit_b)
+    hit_pix,            # (K, n_hit_b) GLOBAL pixel ids (0 where invalid)
+    hit_starts,         # (K, n_hit_b)
+    rank_block,         # (K, n_runs_b / stat block)
+    rank_sorted,        # (K, n_runs_b)
+    rank_block1k,       # (K, n_runs_b / 1024) or rank_block when unusable
+    rcond_threshold,    # scalar f32
+    good_fraction,
+    step_len,
+    n_pix,
+    n_hi,
+    n_amp_obs,
+    n_iter_max,
+    convergence,
+    nnz=3,
+    use_pallas_expand=False,
+):
+    """Run-compressed PCG over MULTIPLE observations of equal shape.
+
+    TPU redesign of the reference's multi-observation destriping
+    (``ref:src/toast/ops/mapmaker.py:719`` orchestration + the
+    per-observation template kernels): observations couple only through
+    the sky, so every per-run operand is stacked on a leading obs axis
+    and the matvec ``lax.scan``s over observations, accumulating a dense
+    GLOBAL noise-weighted map — HBM holds run-level statistics, never the
+    samples, which is what lets a year-scale set of observations stream
+    through one chip.  The global inverse covariance is accumulated
+    per-observation OUTSIDE this program (one jit per obs) so the sample
+    arrays and the 6-column triangle statistics never coexist stacked.
+
+    The rcond cut is uniform within a hit segment, so it folds into hit-
+    level masking inside the matvec — the per-iteration scan does NO
+    per-run mask expansion.
+
+    Returns (amplitudes (K*n_amp_obs,), iterations, rel, amp_mask,
+    cov_glob, rcond_glob, zmap_raw, zmap_clean).
+    """
+    K, n_runs_b = amp_sorted.shape
+
+    if use_pallas_expand:
+        from .pallas_expand import expand_rows_pallas
+        from .pallas_reduce import _BLOCK as _RBLOCK, amp_reduce_pallas
+
+        def expand(vals_hit, pk):
+            return expand_rows_pallas(
+                vals_hit, pk["rank_block1k"], pk["rank_sorted"], n_runs_b
+            )
+    else:
+
+        def expand(vals_hit, pk):
+            return expand_hit_to_runs(
+                vals_hit, pk["hit_starts"], pk["hit_valid"],
+                pk["rank_block"], n_runs_b,
+            )
+
+    if use_pallas_expand and n_runs_b % _RBLOCK == 0:
+
+        def reduce1(v, pk):
+            return amp_reduce_pallas(v, pk["amp_sorted"], n_hi, n_amp_obs)
+    else:
+
+        def reduce1(v, pk):
+            return amp_reduce(
+                v[:, None], pk["amp_sorted"] // _LOW,
+                pk["amp_sorted"] % _LOW, n_hi, n_amp_obs,
+            )[:, 0]
+
+    plans = {
+        "amp_sorted": amp_sorted,
+        "hit_bounds": hit_bounds,
+        "hit_valid": hit_valid,
+        "hit_pix": hit_pix,
+        "hit_starts": hit_starts,
+        "rank_block": rank_block,
+        "rank_sorted": rank_sorted,
+        "rank_block1k": rank_block1k,
+    }
+
+    cov_glob, rcond_glob = _invert_tri(invnpp_glob, rcond_threshold, nnz)
+
+    def good_hit_of(pk):
+        return (
+            (rcond_glob[pk["hit_pix"]] > 0) & pk["hit_valid"]
+        ).astype(jnp.float32)
+
+    # ---- diagonal / baseline flags (one good-run expansion per obs) ----
+    def scan_diag(carry, xs):
+        n_k, h_k, pk = xs
+        g_run = expand(good_hit_of(pk)[:, None], pk)[:, 0]
+        return carry, (reduce1(n_k * g_run, pk), reduce1(h_k * g_run, pk))
+
+    _, (diag_rows, ngood_rows) = jax.lax.scan(
+        scan_diag, None, (n_all, hits_all, plans)
+    )
+    diag_n = diag_rows.reshape(-1)
+    n_good = ngood_rows.reshape(-1)
+    amp_mask = (
+        (n_good / step_len >= good_fraction) & (diag_n > 0)
+    ).astype(jnp.float32)
+    precond_diag = jnp.where(
+        diag_n > 0, 1.0 / jnp.where(diag_n > 0, diag_n, 1.0), 0.0
+    )
+
+    def bin_to_global(vals_rows, pk, zmap, mask_hits):
+        loc = segment_sum_sorted(vals_rows, pk["hit_bounds"])
+        return zmap.at[pk["hit_pix"]].add(loc * mask_hits[:, None])
+
+    def matvec(a):
+        a2 = a.reshape(K, n_amp_obs)
+
+        def scan_zmap(zmap, xs):
+            a_k, W_k, pk = xs
+            a_run = amp_expand(
+                a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
+            )
+            return (
+                bin_to_global(W_k * a_run[:, None], pk, zmap, good_hit_of(pk)),
+                None,
+            )
+
+        zmap, _ = jax.lax.scan(
+            scan_zmap, jnp.zeros((n_pix, nnz), jnp.float32), (a2, W_all, plans)
+        )
+        binned = _apply_tri(cov_glob, zmap, nnz)
+
+        def scan_out(carry, xs):
+            a_k, d_k, W_k, pk = xs
+            b_loc = binned[pk["hit_pix"]] * good_hit_of(pk)[:, None]
+            val_run = expand(b_loc, pk)
+            v = jnp.sum(W_k * val_run, axis=1)
+            return carry, d_k * a_k - reduce1(v, pk)
+
+        _, out_rows = jax.lax.scan(
+            scan_out, None, (a2, diag_n.reshape(K, n_amp_obs), W_all, plans)
+        )
+        return out_rows.reshape(-1) * amp_mask
+
+    # ---- RHS (needs a per-run mask: z is reduced per amplitude) ----
+    def scan_rhs_zmap(zmap, xs):
+        y_k, pk = xs
+        return bin_to_global(y_k, pk, zmap, good_hit_of(pk)), None
+
+    zmap_b, _ = jax.lax.scan(
+        scan_rhs_zmap, jnp.zeros((n_pix, nnz), jnp.float32), (y_all, plans)
+    )
+    binned_b = _apply_tri(cov_glob, zmap_b, nnz)
+
+    def scan_rhs(carry, xs):
+        z_k, W_k, pk = xs
+        g_hit = good_hit_of(pk)
+        g_run = expand(g_hit[:, None], pk)[:, 0]
+        b_loc = binned_b[pk["hit_pix"]] * g_hit[:, None]
+        val_b = expand(b_loc, pk)
+        vb = z_k * g_run - jnp.sum(W_k * val_b, axis=1)
+        return carry, reduce1(vb, pk)
+
+    _, b_rows = jax.lax.scan(scan_rhs, None, (z_all, W_all, plans))
+    b = b_rows.reshape(-1) * amp_mask
+
+    def apply_precond(r):
+        return r * precond_diag * amp_mask
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    d0 = apply_precond(r0)
+    delta0 = jnp.sum(r0 * d0)
+
+    def cond(state):
+        x, r, d, delta, it = state
+        return (it < n_iter_max) & (delta > convergence * delta0) & (delta0 > 0)
+
+    def body(state):
+        x, r, d, delta, it = state
+        q = matvec(d)
+        dq = jnp.sum(d * q)
+        alpha = jnp.where(dq > 0, delta / jnp.where(dq > 0, dq, 1.0), 0.0)
+        x = x + alpha * d
+        r = r - alpha * q
+        s = apply_precond(r)
+        delta_new = jnp.sum(r * s)
+        beta = jnp.where(
+            delta > 0, delta_new / jnp.where(delta > 0, delta, 1.0), 0.0
+        )
+        d = s + beta * d
+        return (x, r, d, delta_new, it + 1)
+
+    x, r, d, delta, it = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, delta0, jnp.int32(0))
+    )
+    rel = jnp.where(delta0 > 0, delta / jnp.where(delta0 > 0, delta0, 1.0), 0.0)
+
+    # ---- final noise-weighted maps (UNMASKED: the map rcond cut is
+    # applied at inversion time by the caller) ----
+    def scan_maps(carry, xs):
+        zraw, zclean = carry
+        a_k, W_k, y_k, z_k, pk = xs
+        ones = jnp.ones_like(pk["hit_valid"], jnp.float32)
+        ok = pk["hit_valid"].astype(jnp.float32)
+        zraw = bin_to_global(y_k, pk, zraw, ok)
+        a_run = amp_expand(
+            a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
+        )
+        zclean = bin_to_global(y_k - W_k * a_run[:, None], pk, zclean, ok)
+        return (zraw, zclean), None
+
+    (zmap_raw, zmap_clean), _ = jax.lax.scan(
+        scan_maps,
+        (
+            jnp.zeros((n_pix, nnz), jnp.float32),
+            jnp.zeros((n_pix, nnz), jnp.float32),
+        ),
+        (x.reshape(K, n_amp_obs), W_all, y_all, z_all, plans),
+    )
+
+    return (
+        x, it, rel, amp_mask,
+        cov_glob, rcond_glob, zmap_raw, zmap_clean,
+    )
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def accumulate_global_cov(pt_groups, hit_bounds, hit_valid, hit_pix,
+                          invnpp_glob, hits_glob, nnz=3):
+    """Scatter one observation's hit-space covariance triangle and hit
+    counts into the global dense accumulators (multi-obs setup pass)."""
+    tri_loc, hits_loc = accumulate_hit_cov(pt_groups, hit_bounds, nnz)
+    ok = hit_valid.astype(jnp.float32)
+    invnpp_glob = invnpp_glob.at[hit_pix].add(tri_loc * ok[:, None])
+    hits_glob = hits_glob.at[hit_pix].add(hits_loc * ok)
+    return invnpp_glob, hits_glob
+
 
 
 @partial(jax.jit, static_argnames=("n_hi", "nnz"))

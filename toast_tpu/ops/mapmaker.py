@@ -90,6 +90,41 @@ class MapMaker(Operator):
         fused_state = data._internal.get(f"{self.name}_solve_fused_state")
         if (
             fused_state is not None
+            and fused_state.get("multi")
+            and map_binning is self.binning
+            and [
+                id(ob.detdata[map_binning.pixel_pointing.pixels].data)
+                for ob in data.obs
+            ] == fused_state["pixels_ids"]
+            and [
+                id(ob.detdata[map_binning.stokes_weights.weights].data)
+                for ob in data.obs
+            ] == fused_state["weights_ids"]
+        ):
+            cleaned = f"{self.name}_cleaned" if self.save_cleaned else self.det_data
+            if self.save_cleaned and self.overwrite_cleaned:
+                cleaned = self.det_data
+            ApplyAmplitudes(
+                name=f"{self.name}_apply",
+                op="subtract",
+                det_data=self.det_data,
+                amplitudes=amplitudes_key,
+                template_matrix=self.template_matrix,
+                output=cleaned if cleaned != self.det_data else None,
+            ).apply(data, detectors=detectors)
+            self._fused_finish_multi(data, fused_state)
+            del data._internal[f"{self.name}_solve_fused_state"]
+            log.info_rank(
+                "MapMaker: destriped map complete (fused multi-obs)",
+                timer=timer,
+            )
+            if self.output_dir is not None:
+                self._write_products(data)
+            return
+
+        if (
+            fused_state is not None
+            and not fused_state.get("multi")
             and map_binning is self.binning
             and len(data.obs) == 1
             and id(
@@ -241,6 +276,49 @@ class MapMaker(Operator):
         if self.write_noiseweighted_map:
             data[f"{self.name}_noiseweighted"] = scatter(
                 zmap_clean, nnz, units=units**-1
+            )
+
+    def _fused_finish_multi(self, data, state):
+        """Final products from the multi-obs fused solve's dense global
+        accumulators: invert at the map rcond threshold and apply."""
+        import jax.numpy as jnp
+
+        from ..pixels import PixelData
+        from ..pixels.covariance import _apply_tri
+        from ..utils import units as u
+        from .kernels.fused_solver import invert_hit_cov
+
+        nnz = state["nnz"]
+        n_tri = nnz * (nnz + 1) // 2
+        cov_glob, rcond_glob = invert_hit_cov(
+            state["invnpp_glob"], float(self.map_rcond_threshold), nnz
+        )
+        map_glob = _apply_tri(cov_glob, state["zmap_clean"], nnz)
+        binmap_glob = _apply_tri(cov_glob, state["zmap_raw"], nnz)
+
+        dist = data[self.binning.pixel_dist]
+        units = self.binning.det_data_units
+
+        def store(arr, n_value, dtype=np.float32, units=u.dimensionless):
+            pd = PixelData(dist, dtype=dtype, n_value=n_value, units=units)
+            pd.data = arr.astype(pd.data.dtype).reshape(pd.data.shape)
+            return pd
+
+        data[f"{self.name}_hits"] = store(
+            state["hits_glob"][:, None], 1, dtype=np.int32
+        )
+        data[f"{self.name}_rcond"] = store(rcond_glob[:, None], 1)
+        data[f"{self.name}_cov"] = store(cov_glob, n_tri, units=units**2)
+        if self.write_invcov:
+            data[f"{self.name}_invcov"] = store(
+                state["invnpp_glob"], n_tri, units=units**-2
+            )
+        if self.write_binmap:
+            data[f"{self.name}_binmap"] = store(binmap_glob, nnz, units=units)
+        data[f"{self.name}_map"] = store(map_glob, nnz, units=units)
+        if self.write_noiseweighted_map:
+            data[f"{self.name}_noiseweighted"] = store(
+                state["zmap_clean"], nnz, units=units**-1
             )
 
     def _write_products(self, data):

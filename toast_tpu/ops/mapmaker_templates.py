@@ -140,6 +140,26 @@ class SolveAmplitudes(Operator):
             and not getattr(self.binning, "sharded", False)
         )
 
+    def _fused_multi_applicable(self, data):
+        """Stacked multi-observation fused solve: equal-shaped obs, one
+        Offset template without a noise prior, unsharded map domain."""
+        from ..templates.offset import Offset
+
+        if not (
+            self.use_fused
+            and len(data.obs) > 1
+            and len(self.template_matrix.templates) == 1
+            and isinstance(self.template_matrix.templates[0], Offset)
+            and self.template_matrix.templates[0].view is None
+            and not self.template_matrix.templates[0].use_noise_prior
+            and not getattr(self.binning, "sharded", False)
+        ):
+            return False
+        shapes = {
+            (ob.n_local_samples, len(ob.local_detectors)) for ob in data.obs
+        }
+        return len(shapes) == 1
+
     def _solve_fused(self, data, detectors, binning, prefix):
         """Run-compressed MXU-formulated on-device PCG
         (kernels/fused_solver.py).
@@ -384,6 +404,255 @@ class SolveAmplitudes(Operator):
         )
         return amps, info_dict
 
+    def _solve_fused_multi(self, data, detectors, binning, prefix):
+        """Stacked multi-observation fused PCG (equal-shaped observations).
+
+        Observations couple only through the sky: per-obs run-compressed
+        statistics are stacked on a leading axis, the solve lax.scans over
+        them against a dense global noise-weighted map, and HBM never
+        holds more than one observation's samples at a time — the at-scale
+        streaming architecture (reference multi-obs orchestration:
+        ``src/toast/ops/mapmaker.py:719``).
+        """
+        import jax as _jax
+
+        from ..templates.amplitudes import AmplitudesMap
+        from .kernels.fused_solver import (
+            _POINTING_STATS_CACHE,
+            fused_offset_solve_multi,
+            pointing_stats_key,
+            prepare_fused_plan,
+            run_stats_pointing,
+            run_stats_tod,
+        )
+
+        log = Logger.get()
+        tmpl = self.template_matrix.templates[0]
+        self.template_matrix.det_data = self.det_data
+        self.template_matrix.reset()
+        self.template_matrix.initialize(data)
+
+        pixels_name = binning.pixel_pointing.pixels
+        weights_name = binning.stokes_weights.weights
+        if any(
+            pixels_name not in ob.detdata or weights_name not in ob.detdata
+            for ob in data.obs
+        ):
+            from .operator import Pipeline
+
+            saved_cd = binning.pixel_pointing.create_dist
+            if binning.pixel_dist not in data:
+                binning.pixel_pointing.create_dist = binning.pixel_dist
+            Pipeline(
+                operators=[binning.pixel_pointing, binning.stokes_weights],
+                detector_sets=["ALL"],
+            ).apply(data, detectors=detectors)
+            binning.pixel_pointing.create_dist = saved_cd
+
+        infos = tmpl._obs_info
+        step = infos[0]["step"]
+        n_base = infos[0]["n_base"]
+        n_det = len(infos[0]["dets"])
+        if any(
+            i["step"] != step or i["n_base"] != n_base or len(i["dets"]) != n_det
+            for i in infos
+        ):
+            raise RuntimeError("multi-obs fused solve requires equal shapes")
+        n_samp = data.obs[0].n_local_samples
+        n_amp_obs = n_det * n_base
+        dist = data[binning.pixel_dist]
+        n_pix = dist.n_pix
+
+        # pass 1: per-obs plans with their natural buckets, to learn the
+        # shared stacked shape
+        def obs_arrays(ob, info):
+            didx = info["det_idx"]
+            pix = ob.detdata[pixels_name].data[didx]
+            wts = ob.detdata[weights_name].data[didx]
+            tod = ob.detdata[self.det_data].data[didx]
+            good = jnp.ones(pix.shape, dtype=jnp.float32)
+            flag_arrays = []
+            flag_masks = []
+            if binning.det_flags is not None and binning.det_flags in ob.detdata:
+                df = ob.detdata[binning.det_flags].data[didx]
+                good = good * (
+                    (df.astype(jnp.uint32) & jnp.uint32(binning.det_flag_mask))
+                    == 0
+                ).astype(jnp.float32)
+                flag_arrays.append(df)
+                flag_masks.append(int(binning.det_flag_mask))
+            if (
+                binning.shared_flags is not None
+                and binning.shared_flags in ob.shared
+            ):
+                sf = ob.shared.jax_view(binning.shared_flags)
+                good = good * (
+                    (sf.astype(jnp.uint32) & jnp.uint32(binning.shared_flag_mask))
+                    == 0
+                ).astype(jnp.float32)[None, :]
+                flag_arrays.append(sf)
+                flag_masks.append(int(binning.shared_flag_mask))
+            nse = ob[binning.noise_model]
+            dw = np.array(
+                [nse.detector_weight(d).value for d in info["dets"]],
+                dtype=np.float32,
+            )
+            wg = good * jnp.asarray(dw)[:, None]
+            return pix, wts, tod, good, wg, flag_arrays, flag_masks, dw
+
+        plans = []
+        per_obs = []
+        for ob, info in zip(data.obs, infos):
+            arrays = obs_arrays(ob, info)
+            plan = prepare_fused_plan(arrays[0], n_samp, step, n_base, n_det)
+            plans.append(plan)
+            per_obs.append(arrays)
+        runs_bucket = max(p["n_runs_b"] for p in plans)
+        hit_bucket = min(max(p["n_hit_b"] for p in plans), runs_bucket)
+        # pass 2: rebuild any plan whose buckets differ (content-cached)
+        for i, (plan, arrays) in enumerate(zip(plans, per_obs)):
+            if plan["n_runs_b"] != runs_bucket or plan["n_hit_b"] != hit_bucket:
+                plans[i] = prepare_fused_plan(
+                    arrays[0], n_samp, step, n_base, n_det,
+                    runs_bucket=runs_bucket, hit_bucket=hit_bucket,
+                )
+
+        # per-obs statistics: compute the 12-column pointing sweep one obs
+        # at a time, keep only the slim per-run solver operands (W, n,
+        # hits) plus the tod columns (y, z), and scatter the 6-column
+        # covariance triangle into the GLOBAL dense accumulators right
+        # away — the stacked HBM footprint stays ~9 f32 columns per run,
+        # which is what lets >=1e9 samples of observations stream through
+        # one chip.  pt-stat caching across realizations only for small K
+        # (the cache would pin ~0.3 GB per observation).
+        from .kernels.fused_solver import accumulate_global_cov
+
+        nnz = int(per_obs[0][1].shape[-1])
+        n_tri = nnz * (nnz + 1) // 2
+        invnpp_glob = jnp.zeros((n_pix, n_tri), jnp.float32)
+        hits_glob = jnp.zeros((n_pix,), jnp.float32)
+        W_rows, n_rows, h_rows, y_rows, z_rows = [], [], [], [], []
+        cache_ok = len(data.obs) <= 4
+        for plan, (pix, wts, tod, good, wg, flag_arrays, flag_masks, dw) in zip(
+            plans, per_obs
+        ):
+            pt = None
+            pt_key = None
+            if cache_ok:
+                pt_key = pointing_stats_key(plan, wts, flag_arrays, dw) + (
+                    tuple(flag_masks),
+                )
+                pt = _POINTING_STATS_CACHE.get(pt_key)
+            if pt is None:
+                pt = run_stats_pointing(
+                    wts.reshape(-1, nnz), wg.reshape(-1), good.reshape(-1),
+                    plan["bounds1"], plan["order"], plan["good_sorted"],
+                )
+                if cache_ok:
+                    if len(_POINTING_STATS_CACHE) > 4:
+                        _POINTING_STATS_CACHE.clear()
+                    _POINTING_STATS_CACHE[pt_key] = pt
+            td = run_stats_tod(
+                tod.reshape(-1), wts.reshape(-1, nnz), wg.reshape(-1),
+                plan["bounds1"], plan["order"], plan["good_sorted"],
+            )
+            invnpp_glob, hits_glob = accumulate_global_cov(
+                pt, plan["hit_bounds"], plan["hit_valid"], plan["hit_pix"],
+                invnpp_glob, hits_glob, nnz=nnz,
+            )
+
+            def _col(groups, i):
+                return groups[i // 4][:, i % 4]
+
+            W_rows.append(
+                jnp.stack([_col(pt, i) for i in range(nnz)], axis=-1)
+            )
+            n_rows.append(_col(pt, nnz))
+            h_rows.append(_col(pt, nnz + 1 + n_tri))
+            y_rows.append(
+                jnp.stack([_col(td, i) for i in range(nnz)], axis=-1)
+            )
+            z_rows.append(_col(td, nnz))
+
+        def stack(key):
+            return jnp.stack([p[key] for p in plans])
+
+        use_pallas = (
+            _jax.default_backend() == "tpu"
+            and all(p["rank_block1k"] is not None for p in plans)
+            and hit_bucket <= (1 << 22)
+            and plans[0]["n_hi"] <= 2048
+        )
+        rb1k = (
+            stack("rank_block1k") if use_pallas else stack("rank_block")
+        )
+        (
+            amps_flat, iters, rel, amp_mask,
+            cov_glob, rcond_glob, zmap_raw, zmap_clean,
+        ) = fused_offset_solve_multi(
+            jnp.stack(W_rows),
+            jnp.stack(n_rows),
+            jnp.stack(h_rows),
+            jnp.stack(y_rows),
+            jnp.stack(z_rows),
+            invnpp_glob,
+            hits_glob,
+            stack("amp_sorted"),
+            stack("hit_bounds"),
+            stack("hit_valid"),
+            stack("hit_pix"),
+            stack("hit_starts"),
+            stack("rank_block"),
+            stack("rank_sorted"),
+            rb1k,
+            jnp.float32(float(self.solve_rcond_threshold)),
+            jnp.float32(tmpl.good_fraction),
+            jnp.float32(step),
+            n_pix,
+            plans[0]["n_hi"],
+            n_amp_obs,
+            self.iter_max,
+            jnp.float32(float(self.convergence)),
+            nnz=nnz,
+            use_pallas_expand=use_pallas,
+        )
+        amps = AmplitudesMap()
+        zero = tmpl.zeros()
+        zero.local = amps_flat
+        amps[tmpl.name] = zero
+        data._internal[f"{prefix}_fused_state"] = {
+            "multi": True,
+            "nnz": nnz,
+            "invnpp_glob": invnpp_glob,
+            "hits_glob": hits_glob,
+            "zmap_raw": zmap_raw,
+            "zmap_clean": zmap_clean,
+            "pixels_ids": [
+                id(ob.detdata[pixels_name].data) for ob in data.obs
+            ],
+            "weights_ids": [
+                id(ob.detdata[weights_name].data) for ob in data.obs
+            ],
+        }
+        it_rel = np.asarray(jnp.stack([iters.astype(jnp.float32), rel]))
+        iters_i, rel_f = int(it_rel[0]), float(it_rel[1])
+        total_runs = sum(p["n_runs"] for p in plans)
+        info_dict = {
+            "iterations": iters_i,
+            "converged": bool(rel_f <= float(self.convergence)),
+            "residuals": [rel_f],
+            "fused": True,
+            "fused_multi": True,
+            "n_runs": total_runs,
+            "compression": len(data.obs) * n_det * n_samp / max(total_runs, 1),
+        }
+        log.info(
+            f"Fused multi-obs PCG finished: {len(data.obs)} obs, "
+            f"{iters_i} iterations, final rel delta = {rel_f:0.3e}, "
+            f"run compression {info_dict['compression']:.1f}x"
+        )
+        return amps, info_dict
+
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         from .mapmaker_solve import SolverLHS, SolverRHS, solve
@@ -399,6 +668,15 @@ class SolveAmplitudes(Operator):
             # single fused flow: statistics sweep + covariance + rcond cut
             # + PCG, all on device — none of the flag/scratch staging below
             amplitudes, info = self._solve_fused(data, detectors, binning, prefix)
+            data[self.amplitudes] = amplitudes
+            data[f"{self.amplitudes}_solve_info"] = info
+            self.template_matrix.det_data = self.det_data
+            return
+
+        if self._fused_multi_applicable(data):
+            amplitudes, info = self._solve_fused_multi(
+                data, detectors, binning, prefix
+            )
             data[self.amplitudes] = amplitudes
             data[f"{self.amplitudes}_solve_info"] = info
             self.template_matrix.det_data = self.det_data
