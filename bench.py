@@ -55,14 +55,32 @@ def main():
     parser.add_argument("--nside", type=int, default=None)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument(
+        "--obs",
+        type=int,
+        default=1,
+        help="Number of equal observations (multi-obs streaming case: the "
+        "stacked fused solver couples them through the global sky while "
+        "HBM holds run statistics, not samples)",
+    )
+    parser.add_argument(
         "--no-validate",
         action="store_true",
         help="skip the reference-stats validation case",
+    )
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="Force a JAX platform (e.g. 'cpu'); the JAX_PLATFORMS env var "
+        "is overridden by the axon sitecustomize, so this sets the config "
+        "key before first use",
     )
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # persistent compilation cache: compile once per machine, not per run
     jax.config.update("jax_compilation_cache_dir", "/tmp/toast_tpu_jax_cache")
@@ -128,8 +146,10 @@ def main():
             str(nside),
             "--iters",
             str(args.iters),
+            "--obs",
+            str(args.obs),
             "--no-validate",
-        ]
+        ] + (["--platform", args.platform] if args.platform else [])
         try:
             proc = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=2700
@@ -184,37 +204,46 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
     tele = Telescope("bench", focalplane=fp, site=SpaceSite("L2"))
 
     data = Data(comm)
-    ob = Observation(
-        comm,
-        tele,
-        n_samp,
-        name="bench_obs",
-        session=Session("bench_session"),
-    )
-    times = 1700000000.0 + np.arange(n_samp) / rate_hz
-    ob.shared.create_column("times", (n_samp,))
-    ob.shared.set("times", times)
-    ob.shared.create_column("flags", (n_samp,), dtype=np.uint8)
-    bore = satellite_scanning(
-        n_samp,
-        rate_hz,
-        spin_period_s=120.0,
-        spin_angle_rad=np.radians(30.0),
-        prec_period_s=600.0,
-        prec_angle_rad=np.radians(65.0),
-    )
-    ob.shared.create_column("boresight_radec", (n_samp, 4))
-    ob.shared.set("boresight_radec", bore)
-    # rotating half-wave plate (1 Hz): modulates polarization so that every
-    # hit pixel is well-conditioned for IQU — without it a short satellite
-    # scan crosses each pixel at nearly one orientation and the rcond cut
-    # removes almost the whole sky, silently reducing the destriping solve
-    # to a no-op
-    hwp_rpm = 60.0
-    hwp = np.mod(2.0 * np.pi * (hwp_rpm / 60.0) * (times - times[0]), 2.0 * np.pi)
-    ob.shared.create_column("hwp_angle", (n_samp,))
-    ob.shared.set("hwp_angle", hwp)
-    data.obs.append(ob)
+    n_obs = max(1, int(getattr(args, "obs", 1)))
+    for k in range(n_obs):
+        ob = Observation(
+            comm,
+            tele,
+            n_samp,
+            name=f"bench_obs_{k:03d}",
+            session=Session(f"bench_session_{k:03d}"),
+        )
+        t0_k = 1700000000.0 + k * (n_samp / rate_hz)
+        times = t0_k + np.arange(n_samp) / rate_hz
+        ob.shared.create_column("times", (n_samp,))
+        ob.shared.set("times", times)
+        ob.shared.create_column("flags", (n_samp,), dtype=np.uint8)
+        # consecutive observations continue the scan (sample_offset): each
+        # obs covers a different sky patch, coupled through the global map
+        bore = satellite_scanning(
+            n_samp,
+            rate_hz,
+            sample_offset=k * n_samp,
+            spin_period_s=120.0,
+            spin_angle_rad=np.radians(30.0),
+            prec_period_s=600.0,
+            prec_angle_rad=np.radians(65.0),
+        )
+        ob.shared.create_column("boresight_radec", (n_samp, 4))
+        ob.shared.set("boresight_radec", bore)
+        # rotating half-wave plate (1 Hz): modulates polarization so that
+        # every hit pixel is well-conditioned for IQU — without it a short
+        # satellite scan crosses each pixel at nearly one orientation and
+        # the rcond cut removes almost the whole sky, silently reducing
+        # the destriping solve to a no-op
+        hwp_rpm = 60.0
+        hwp = np.mod(
+            2.0 * np.pi * (hwp_rpm / 60.0) * (times - t0_k), 2.0 * np.pi
+        )
+        ob.shared.create_column("hwp_angle", (n_samp,))
+        ob.shared.set("hwp_angle", hwp)
+        data.obs.append(ob)
+    ob = data.obs[0]
 
     det_pointing = ops.PointingDetectorSimple()
     pixels = ops.PixelsHealpix(
@@ -247,11 +276,12 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         ops.Pipeline(operators=[pixels, weights]).apply(data)
         # detector quats are no longer needed once pixels/weights exist;
         # free the largest HBM block before the solver
-        if "quats" in ob.detdata:
-            del ob.detdata["quats"]
+        for o in data.obs:
+            if "quats" in o.detdata:
+                del o.detdata["quats"]
         # force completion: block_until_ready can return early through the
         # remote TPU tunnel, a scalar fetch cannot
-        float(jnp.sum(ob.detdata["weights"].data[0, :8]))
+        float(jnp.sum(data.obs[-1].detdata["weights"].data[0, :8]))
         t1 = time.perf_counter()
         tmpl = Offset(step_time=Quantity(60.0, u.second))
         tm = ops.TemplateMatrix(templates=[tmpl])
@@ -275,9 +305,10 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         for key in list(data.keys()):
             if key != "pixel_dist":
                 del data[key]
-        for field in list(ob.detdata.keys()):
-            del ob.detdata[field]
-        del ob._internal["noise_model"]
+        for o in data.obs:
+            for field in list(o.detdata.keys()):
+                del o.detdata[field]
+            del o._internal["noise_model"]
         # free run-1 bin plans (the new run's pixel arrays get new plans)
         from toast_tpu.ops.kernels import mapkernels
 
@@ -296,7 +327,7 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
     s1, m1 = run_once("bench", realization=1)
     runtime = s1 + m1
 
-    total_samples = n_det * n_samp
+    total_samples = n_obs * n_det * n_samp
     value = total_samples / runtime
 
     baseline = _load_measured_baseline()
@@ -310,7 +341,7 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         "baseline_measured": base_rate,
     }
     print(
-        f"# n_det={n_det} n_samp={n_samp} nside={nside} iters={args.iters} "
+        f"# n_obs={n_obs} n_det={n_det} n_samp={n_samp} nside={nside} iters={args.iters} "
         f"platform={jax.default_backend()} warmup={s0+m0:.2f}s "
         f"sim+pointing={s1:.2f}s mapmaker={m1:.2f}s total={runtime:.2f}s",
         file=sys.stderr,
