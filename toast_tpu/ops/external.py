@@ -138,18 +138,111 @@ class SimConviqt(_UnavailableExternal):
     det_data = Unicode(defaults.det_data)
 
 
-class SaveSpt3g(_UnavailableExternal):
-    """SPT3G frame export (reference ``ops/save_spt3g.py``)."""
+class SaveSpt3g(Operator):
+    """SPT3G frame export (reference ``ops/save_spt3g.py:23``).
 
-    _module = "spt3g"
+    The Observation -> frame conversion (``toast_tpu.spt3g``) is complete
+    and package-independent; the on-disk container is the native ``.g3``
+    serialization when the real spt3g package provides ``G3Writer``, and
+    a pickled frame list (``.g3pkl``) otherwise.
+    """
+
     directory = Unicode("spt3g_out")
+    framefile_prefix = Unicode("obs")
+    obs_export = Instance(
+        klass=object, allow_none=True, help="export_obs-style callable"
+    )
+
+    @classmethod
+    def available(cls):
+        return True
+
+    def _exec(self, data, detectors=None, **kwargs):
+        import os
+        import pickle
+
+        from ..spt3g import export_obs
+        from ..spt3g.g3shim import available as g3_available
+
+        exporter = self.obs_export or export_obs()
+        os.makedirs(self.directory, exist_ok=True)
+        for ob in data.obs:
+            frames = exporter(ob)
+            base = os.path.join(
+                self.directory, f"{self.framefile_prefix}_{ob.name}"
+            )
+            if g3_available():
+                from spt3g import core as c3g
+
+                writer = c3g.G3Writer(f"{base}.g3")
+                for frm in frames:
+                    writer(frm)
+                writer(c3g.G3Frame(c3g.G3FrameType.EndProcessing))
+            else:
+                with open(f"{base}.g3pkl", "wb") as f:
+                    pickle.dump(frames, f)
+
+    def _provides(self):
+        return {
+            "global": [], "meta": [], "detdata": [], "shared": [],
+            "intervals": [],
+        }
 
 
-class LoadSpt3g(_UnavailableExternal):
-    """SPT3G frame import (reference ``ops/load_spt3g.py``)."""
+class LoadSpt3g(Operator):
+    """SPT3G frame import (reference ``ops/load_spt3g.py:21``)."""
 
-    _module = "spt3g"
     directory = Unicode("spt3g_in")
+    obs_import = Instance(
+        klass=object, allow_none=True, help="import_obs-style callable"
+    )
+
+    @classmethod
+    def available(cls):
+        return True
+
+    def _exec(self, data, detectors=None, **kwargs):
+        import glob
+        import os
+        import pickle
+
+        from ..spt3g import import_obs
+        from ..spt3g.g3shim import available as g3_available
+
+        importer = self.obs_import or import_obs(comm=data.comm)
+        paths = sorted(
+            glob.glob(os.path.join(self.directory, "*.g3"))
+            + glob.glob(os.path.join(self.directory, "*.g3pkl"))
+        )
+        for path in paths:
+            if path.endswith(".g3pkl"):
+                with open(path, "rb") as f:
+                    frames = pickle.load(f)
+            else:
+                if not g3_available():
+                    raise RuntimeError(
+                        f"cannot read {path}: the spt3g package is required "
+                        "for native .g3 files"
+                    )
+                from spt3g import core as c3g
+
+                frames = []
+                reader = c3g.G3Reader(path)
+                while True:
+                    out = reader(None)
+                    if not out:
+                        break
+                    frames.extend(
+                        f for f in out
+                        if f.type != c3g.G3FrameType.EndProcessing
+                    )
+            data.obs.append(importer(frames))
+
+    def _provides(self):
+        return {
+            "global": [], "meta": [], "detdata": [], "shared": [],
+            "intervals": [],
+        }
 
 
 class RunSpt3g(_UnavailableExternal):

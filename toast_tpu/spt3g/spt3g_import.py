@@ -1,0 +1,276 @@
+"""SPT3G frame -> Observation conversion.
+
+Behavioral rebuild of ``ref:src/toast/spt3g/spt3g_import.py``:
+
+* :class:`import_obs_meta` consumes Observation + Calibration frames and
+  rebuilds the telescope (site class by dotted name, focalplane from the
+  serialized HDF5 bytes), session, detector sets and named noise models
+  (``:184-436``);
+* :class:`import_obs_data` consumes Scan frames, allocating shared /
+  detdata fields on first sight and filling each frame's sample span
+  (``:437-608``);
+* :class:`import_obs` stitches a frame stream back into one Observation
+  (``:609``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from datetime import datetime, timezone
+
+import numpy as np
+
+from ..utils.logging import Logger
+from .g3shim import from_g3_time, get_g3
+
+
+def _import_class(dotted, fallback):
+    try:
+        from ..utils.misc import import_from_name
+
+        return import_from_name(str(dotted))
+    except Exception:
+        return fallback
+
+
+class import_obs_meta:
+    """Rebuild telescope/site/session/focalplane/noise from the
+    Observation and Calibration frames (reference ``spt3g_import.py:184``).
+    """
+
+    def __init__(self, noise_models=()):
+        self._noise_models = list(noise_models)
+
+    def __call__(self, ob_frame, cal_frame):
+        import h5py
+
+        from ..models.instrument import (
+            Focalplane,
+            GroundSite,
+            Session,
+            SpaceSite,
+            Telescope,
+        )
+        from ..utils import units as u
+        from ..utils.units import Quantity
+
+        name = str(ob_frame["observation_name"])
+        uid = int(ob_frame["observation_uid"])
+        det_sets = [list(s) for s in ob_frame["observation_detector_sets"]]
+        det_flags = json.loads(str(ob_frame["observation_detector_flags"]))
+
+        site_name = str(ob_frame["site_name"])
+        site_uid = int(ob_frame["site_uid"])
+        if "site_lat_deg" in ob_frame:
+            site_class = _import_class(
+                ob_frame.get("site_class", ""), GroundSite
+            )
+            site = site_class(
+                site_name,
+                Quantity(float(ob_frame["site_lat_deg"]), u.deg),
+                Quantity(float(ob_frame["site_lon_deg"]), u.deg),
+                Quantity(float(ob_frame["site_alt_m"]), u.meter),
+                uid=site_uid,
+            )
+        else:
+            site = SpaceSite(site_name, uid=site_uid)
+
+        byte_reader = io.BytesIO(
+            np.asarray(cal_frame["focalplane"], dtype=np.uint8).tobytes()
+        )
+        with h5py.File(byte_reader, "r") as f:
+            focalplane = Focalplane.load_hdf5(f)
+
+        telescope = Telescope(
+            str(ob_frame["telescope_name"]),
+            uid=int(ob_frame["telescope_uid"]),
+            focalplane=focalplane,
+            site=site,
+        )
+
+        session = None
+        if "session_name" in ob_frame:
+            start = None
+            end = None
+            if "session_start" in ob_frame:
+                start = datetime.fromtimestamp(
+                    from_g3_time(ob_frame["session_start"]), tz=timezone.utc
+                )
+            if "session_end" in ob_frame:
+                end = datetime.fromtimestamp(
+                    from_g3_time(ob_frame["session_end"]), tz=timezone.utc
+                )
+            session = Session(
+                str(ob_frame["session_name"]),
+                uid=int(ob_frame["session_uid"]),
+                start=start,
+                end=end,
+            )
+
+        noise = []
+        for m_out, m_in in self._noise_models:
+            from ..models.noise import Noise
+
+            cls = _import_class(cal_frame.get(f"{m_in}_class", ""), Noise)
+            byte_reader = io.BytesIO(
+                np.asarray(cal_frame[m_in], dtype=np.uint8).tobytes()
+            )
+            with h5py.File(byte_reader, "r") as f:
+                try:
+                    model = cls.load_hdf5(f)
+                except TypeError:
+                    # subclass without a generic constructor (e.g. the
+                    # analytic model): the serialized PSDs fully define the
+                    # base container
+                    model = Noise.load_hdf5(f)
+            noise.append((m_out, model))
+
+        meta = {}
+        skip = {
+            "observation_name", "observation_uid",
+            "observation_detector_sets", "observation_detector_flags",
+            "telescope_name", "telescope_class", "telescope_uid",
+            "site_name", "site_class", "site_uid",
+            "site_lat_deg", "site_lon_deg", "site_alt_m",
+            "session_name", "session_class", "session_uid",
+            "session_start", "session_end",
+        }
+        for key, val in ob_frame.items():
+            if key in skip:
+                continue
+            if isinstance(val, (str, int, float)):
+                meta[key] = val
+
+        return name, uid, det_sets, det_flags, telescope, session, noise, meta
+
+
+class import_obs_data:
+    """Fill shared/detdata/intervals from Scan frames
+    (reference ``spt3g_import.py:437``)."""
+
+    def __init__(
+        self,
+        timestamp_names=("times", "times"),
+        shared_names=(),
+        det_names=(),
+        interval_names=(),
+    ):
+        self._timestamp_names = timestamp_names
+        self._shared_names = list(shared_names)
+        self._det_names = list(det_names)
+        self._interval_names = list(interval_names)
+
+    def frame_samples(self, frame):
+        t_in, _ = self._timestamp_names
+        return len(frame[t_in])
+
+    def __call__(self, obs, frames):
+        t_in, t_out = self._timestamp_names
+        offset = 0
+        interval_times = {out: [] for _, out in self._interval_names}
+        for frame in frames:
+            tvec = frame[t_in]
+            if hasattr(tvec, "to_seconds"):
+                times = tvec.to_seconds()
+            else:
+                times = np.array(
+                    [from_g3_time(t) for t in tvec], dtype=np.float64
+                )
+            n = len(times)
+            if t_out not in obs.shared:
+                obs.shared.create_column(t_out, (obs.n_local_samples,))
+            full = np.asarray(obs.shared[t_out])
+            full[offset : offset + n] = times
+            obs.shared.set(t_out, full)
+            for g3_key, shr_key, _ in self._shared_names:
+                vals = np.asarray(frame[g3_key])
+                width = int(frame.get(f"{g3_key}_shape1", 1))
+                if width > 1:
+                    vals = vals.reshape(n, width)
+                    shape = (obs.n_local_samples, width)
+                else:
+                    shape = (obs.n_local_samples,)
+                if shr_key not in obs.shared:
+                    obs.shared.create_column(shr_key, shape, dtype=vals.dtype)
+                full = np.asarray(obs.shared[shr_key])
+                full[offset : offset + n] = vals
+                obs.shared.set(shr_key, full)
+            for g3_key, det_key, _ in self._det_names:
+                g3map = frame[g3_key]
+                dtype = np.dtype(str(frame.get(f"{g3_key}_dtype", "f")))
+                units = str(frame.get(f"{g3_key}_units", ""))
+                if det_key not in obs.detdata:
+                    from ..utils.units import unit_from_string
+
+                    obs.detdata.create(
+                        det_key,
+                        dtype=dtype,
+                        units=unit_from_string(units),
+                    )
+                field = obs.detdata[det_key]
+                block = np.stack(
+                    [np.asarray(g3map[d]) for d in field.detectors]
+                )
+                # device arrays are immutable: copy-on-write fill
+                data = np.array(field.data)
+                data[:, offset : offset + n] = block.astype(data.dtype)
+                field.data = data
+            for ivl_key, ivl_out in self._interval_names:
+                for pair in frame[ivl_key]:
+                    interval_times[ivl_out].append(
+                        (from_g3_time(pair[0]), from_g3_time(pair[1]))
+                    )
+            offset += n
+        for ivl_out, spans in interval_times.items():
+            obs.intervals.create(ivl_out, timespans=spans)
+        return offset
+
+
+class import_obs:
+    """Frame stream -> Observation (reference ``spt3g_import.py:609``)."""
+
+    def __init__(self, comm=None, meta_import=None, data_import=None):
+        self._comm = comm
+        self._meta_import = meta_import or import_obs_meta()
+        self._data_import = data_import or import_obs_data()
+
+    def __call__(self, frames):
+        from ..models.observation import Observation
+        from ..parallel import Comm
+
+        c3g, _ = get_g3()
+        ob_frame = None
+        cal_frame = None
+        scans = []
+        for frm in frames:
+            if frm.type == c3g.G3FrameType.Observation:
+                ob_frame = frm
+            elif frm.type == c3g.G3FrameType.Calibration:
+                cal_frame = frm
+            elif frm.type == c3g.G3FrameType.Scan:
+                scans.append(frm)
+        if ob_frame is None or cal_frame is None:
+            raise RuntimeError("frame stream lacks Observation/Calibration")
+        (
+            name, uid, det_sets, det_flags, telescope, session, noise, meta
+        ) = self._meta_import(ob_frame, cal_frame)
+        n_samples = sum(self._data_import.frame_samples(f) for f in scans)
+        comm = self._comm or Comm()
+        obs = Observation(
+            comm,
+            telescope,
+            n_samples,
+            name=name,
+            uid=uid,
+            session=session,
+            detector_sets=det_sets,
+        )
+        if det_flags:
+            obs.set_local_detector_flags(det_flags)
+        for key, val in meta.items():
+            obs[key] = val
+        for m_out, model in noise:
+            obs[m_out] = model
+        self._data_import(obs, scans)
+        return obs
