@@ -121,13 +121,36 @@ def test_sim_totalconvolve_symmetric_beam():
         atol=1e-5,
     )
 
-    bad = beam_alm.copy()
-    bad[3, 2] = 1.0
-    data["beam_bad"] = {"T": bad}
-    with pytest.raises(RuntimeError, match="symmetric"):
-        ops.SimTotalconvolve(
-            alm="sky_alm", beam="beam_bad", det_data="x", pol=False
-        ).apply(data)
+    # an asymmetric beam takes the full 4-pi convolution path and must
+    # agree with the direct convolution-cube sampling at the detector
+    # pointings (the cube itself is oracle-verified in
+    # tests/test_beam_convolve.py)
+    asym = beam_alm.copy()
+    asym[3, 2] = 0.7 - 0.2j
+    asym[5, 1] = 0.4 + 0.3j
+    data["beam_asym"] = {"T": asym}
+    ops.SimTotalconvolve(
+        alm="sky_alm", beam="beam_asym", det_data="aconv", pol=False
+    ).apply(data)
+    import jax.numpy as jnp
+
+    from toast_tpu.math.beam_convolve import (
+        convolution_grids,
+        convolve_samples,
+        euler_zyz_from_quat,
+    )
+
+    grids_re, grids_im = convolution_grids(
+        alm, asym[:, :3], lmax, 2, n_theta=4 * (lmax + 1),
+        n_phi=8 * (lmax + 1),
+    )
+    quats = ob.detdata["quats"].data
+    phi, theta, psi = euler_zyz_from_quat(quats)
+    want = np.asarray(convolve_samples(grids_re, grids_im, theta, phi, psi))
+    got = ob.detdata["aconv"].numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # the asymmetric result differs from any psi-independent scan
+    assert np.abs(got - ob.detdata["conv"].numpy()).max() > 1e-3
 
 
 def test_scan_alm_beam_smoothing_reduces_power():

@@ -313,6 +313,27 @@ def synthesize_grid_pol(alm_E, alm_B, lmax, n_theta, n_phi):
     return Q, U
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def synthesize_grid_complex_spin(g_alm, lmax, spin, n_theta, n_phi):
+    """Complex synthesis ``f = sum_{l, m>=0} g_lm sY_lm`` on the grid.
+
+    Unlike :func:`synthesize_grid_T`, every m is counted ONCE and no
+    negative-m conjugate symmetry is assumed — this is the building block
+    of the asymmetric-beam convolution data cube, where the m>=0 and m<0
+    halves of a complex spin-m' field are synthesized separately.
+
+    Returns (re, im) real float32 grids of shape (n_theta, n_phi).
+    """
+    theta = jnp.pi * (jnp.arange(n_theta, dtype=jnp.float32) + 0.5) / n_theta
+    F = ring_coeffs(g_alm.astype(jnp.complex64), theta, lmax, spin=spin)
+    Fr, Fi = jnp.real(F), jnp.imag(F)
+    phi0 = jnp.zeros((n_theta,), jnp.float32)
+    # re f = Re sum F e^{im phi};  im f = Re sum (-i F) e^{im phi}
+    re = _ring_ifft(Fr, Fi, n_phi, phi0)
+    im = _ring_ifft(Fi, -Fr, n_phi, phi0)
+    return re, im
+
+
 def _catmull_rom_w(t):
     """Catmull-Rom cubic weights for fractional offset t in [0, 1)."""
     t2 = t * t
