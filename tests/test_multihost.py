@@ -112,12 +112,110 @@ with open(os.environ["TOAST_MH_OUT"] + f".{rank}", "w") as f:
 """
 
 
+_REDIST_WORKER = r"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.environ["TOAST_TPU_REPO"])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from toast_tpu.parallel import multihost
+from toast_tpu.parallel.mesh import DET_AXIS, SAMP_AXIS, MeshDist
+
+nproc = int(os.environ["TOAST_NUM_PROCESSES"])
+rank = int(os.environ["TOAST_PROCESS_ID"])
+multihost.initialize()
+assert jax.process_count() == nproc
+
+n_det, n_samp = 4, 12
+devs = np.asarray(jax.devices()[: nproc])
+
+# det-major layout: each process owns n_det/nproc detector rows
+mesh_det = Mesh(devs.reshape(nproc, 1), (DET_AXIS, SAMP_AXIS))
+dist_det = MeshDist(mesh_det)
+full = (np.arange(n_det * n_samp, dtype=np.float32)).reshape(n_det, n_samp)
+local_rows = full[rank * (n_det // nproc) : (rank + 1) * (n_det // nproc)]
+arr = jax.make_array_from_process_local_data(
+    dist_det.detdata_sharding(), local_rows, full.shape
+)
+
+# global det <-> samp transpose: reshard onto a samp-major mesh (the
+# reference's MPI_Alltoallv redistribution, observation_dist.py:807)
+mesh_samp = Mesh(devs.reshape(1, nproc), (DET_AXIS, SAMP_AXIS))
+dist_samp = MeshDist(mesh_samp)
+out = dist_samp.reshard(arr, dist_samp.detdata_sharding())
+
+# every process must now hold ALL detectors for its sample slice
+shards = [s for s in out.addressable_shards]
+assert len(shards) == 1
+block = np.asarray(shards[0].data)
+cols = n_samp // nproc
+expect = full[:, rank * cols : (rank + 1) * cols]
+np.testing.assert_array_equal(block, expect)
+
+# and back: round trip restores the det-major content exactly
+back = dist_det.reshard(out, dist_det.detdata_sharding())
+blk2 = np.asarray(back.addressable_shards[0].data)
+np.testing.assert_array_equal(blk2, local_rows)
+
+with open(os.environ["TOAST_MH_OUT"] + f".{rank}", "w") as f:
+    json.dump({"ok": True}, f)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+@pytest.mark.parametrize("nproc", [2])
+def test_two_process_redistribution(tmp_path, nproc):
+    """Global det<->samp transpose across processes (reference
+    ``observation_dist.redistribute``): reshard moves every detector row
+    to the process owning its sample columns and back, bit-exactly."""
+    port = _free_port()
+    outbase = str(tmp_path / "rd_out")
+    script = tmp_path / "rd_worker.py"
+    script.write_text(_REDIST_WORKER)
+    procs = []
+    for rank in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            TOAST_TPU_REPO=_REPO,
+            TOAST_COORDINATOR=f"127.0.0.1:{port}",
+            TOAST_NUM_PROCESSES=str(nproc),
+            TOAST_PROCESS_ID=str(rank),
+            TOAST_MH_OUT=outbase,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        )
+        env.pop("JAX_PLATFORM_NAME", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    for rank in range(nproc):
+        with open(f"{outbase}.{rank}") as f:
+            assert json.load(f)["ok"]
 
 
 @pytest.mark.parametrize("nproc", [2])

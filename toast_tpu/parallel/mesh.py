@@ -101,6 +101,28 @@ class MeshDist:
         spec = P(det, samp, *([None] * max(0, len(shape) - 2)))
         return NamedSharding(self.mesh, spec)
 
+    @property
+    def multi_process(self):
+        """True when the mesh spans more than one JAX process."""
+        return any(
+            d.process_index != jax.process_index()
+            for d in self.mesh.devices.flat
+        )
+
+    def reshard(self, array, sharding):
+        """Move a (possibly global) array onto a new sharding.
+
+        Within one process this is a plain device_put; across processes a
+        jitted identity with an output-sharding constraint makes XLA emit
+        the all-to-all over DCN — the TPU-native analog of the reference's
+        ``MPI_Alltoallv`` redistribution
+        (``ref:src/toast/observation_dist.py:807``).
+        """
+        if not self.multi_process:
+            return jax.device_put(array, sharding)
+        ident = jax.jit(lambda x: x, out_shardings=sharding)
+        return ident(array)
+
     def place_detdata(self, array):
         """Shard-place a detdata array with the best layout it admits.
 
@@ -114,7 +136,7 @@ class MeshDist:
             # nothing divides: leave placement alone rather than paying an
             # n_devices-fold replication for no parallelism
             return array
-        return jax.device_put(array, sharding)
+        return self.reshard(array, sharding)
 
     def pixel_sharding(self, extra_dims=1):
         """Sharding for map-domain arrays: pixel axis split over ALL devices.
