@@ -23,8 +23,16 @@ def plot_healpix_map(pixel_data, path, comp=0, nest=True, title=None, vmin=None,
     from .math import healpix as hpx
 
     plt = _plt()
-    arr = pixel_data.numpy()[:, comp]
-    nside = hpx.npix2nside(pixel_data.distribution.n_pix)
+    if hasattr(pixel_data, "numpy"):
+        full = pixel_data.numpy()
+        n_pix = pixel_data.distribution.n_pix
+    else:
+        full = np.asarray(pixel_data)
+        if full.ndim == 1:
+            full = full[:, None]
+        n_pix = full.shape[0]
+    arr = full[:, comp]
+    nside = hpx.npix2nside(n_pix)
     # rasterize onto a lon/lat grid
     nx, ny = 800, 400
     lon = np.linspace(-np.pi, np.pi, nx)
@@ -164,3 +172,291 @@ def plot_schedule(schedule, path, title=None):
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+def set_matplotlib_backend(backend="agg"):
+    """Select a non-interactive matplotlib backend
+    (reference ``vis.py:20``)."""
+    import matplotlib
+
+    try:
+        matplotlib.use(backend)
+    except Exception:
+        pass
+
+
+def plot_noise_estim(
+    fname,
+    est_freq,
+    est_psd,
+    fit_freq=None,
+    fit_psd=None,
+    true_net=None,
+    true_freq=None,
+    true_psd=None,
+    semilog=False,
+):
+    """Overlay estimated / fitted / true noise PSDs
+    (reference ``vis.py:35``).
+
+    Frequencies in Hz, PSDs in K^2 s (Quantities are converted).
+    """
+    from .utils import units as u
+    from .utils.units import Quantity
+
+    def _val(x, unit):
+        return x.to_value(unit) if isinstance(x, Quantity) else np.asarray(x)
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 6))
+    draw = ax.semilogx if semilog else ax.loglog
+    if true_freq is not None and true_psd is not None:
+        draw(
+            _val(true_freq, u.Hz),
+            _val(true_psd, u.K2_s),
+            color="black",
+            label="Input Truth",
+        )
+        if true_net is not None:
+            net = (
+                true_net.to_value(u.K_sqrt_s)
+                if isinstance(true_net, Quantity)
+                else float(true_net)
+            )
+            ax.axhline(
+                net**2,
+                label=f"NET = {net:0.2e} K/sqrt(Hz)",
+                linestyle="--",
+                color="black",
+            )
+    draw(_val(est_freq, u.Hz), _val(est_psd, u.K2_s), color="red",
+         label="Estimated")
+    if fit_freq is not None and fit_psd is not None:
+        draw(_val(fit_freq, u.Hz), _val(fit_psd, u.K2_s), color="blue",
+             label="Fit to 1/f Model")
+    ax.set_xlabel("Frequency [Hz]")
+    ax.set_ylabel("PSD [K$^2$ / Hz]")
+    ax.legend(loc="best")
+    fig.tight_layout()
+    if fname is not None:
+        fig.savefig(fname)
+    plt.close(fig)
+    return fname
+
+
+def plot_projected_quats(
+    outfile, qbore=None, qdet=None, valid=slice(None), scale=1.0,
+    equal_aspect=False,
+):
+    """Boresight / detector pointing in longitude-latitude with orientation
+    ticks (reference ``vis.py:348``)."""
+    from .math import qarray as qa
+
+    plt = _plt()
+
+    def _angles(quats):
+        lon, lat, psi = qa.to_lonlat_angles(np.asarray(quats))
+        return (
+            np.degrees(np.asarray(lon)),
+            np.degrees(np.asarray(lat)),
+            np.asarray(psi),
+        )
+
+    fig, ax = plt.subplots(figsize=(10, 8))
+    lon_all, lat_all = [], []
+    if qbore is not None:
+        blon, blat, bpsi = _angles(np.asarray(qbore)[valid])
+        lon_all.append(blon)
+        lat_all.append(blat)
+        ax.plot(blon, blat, color="black", lw=0.6, label="boresight")
+        # orientation ticks every ~20 points
+        step = max(1, len(blon) // 20)
+        mag = 0.5 * scale
+        ax.quiver(
+            blon[::step], blat[::step],
+            mag * np.cos(bpsi[::step]), mag * np.sin(bpsi[::step]),
+            color="black", width=0.002,
+        )
+    if qdet is not None:
+        cmap = plt.get_cmap("tab10")
+        for i, q in enumerate(qdet):
+            dlon, dlat, dpsi = _angles(np.asarray(q)[valid])
+            lon_all.append(dlon)
+            lat_all.append(dlat)
+            ax.plot(dlon, dlat, color=cmap(i % 10), lw=0.4,
+                    label=f"det {i}")
+            step = max(1, len(dlon) // 20)
+            mag = 0.35 * scale
+            ax.quiver(
+                dlon[::step], dlat[::step],
+                mag * np.cos(dpsi[::step]), mag * np.sin(dpsi[::step]),
+                color=cmap(i % 10), width=0.002,
+            )
+    if equal_aspect:
+        ax.set_aspect("equal")
+    ax.set_xlabel("Longitude [deg]")
+    ax.set_ylabel("Latitude [deg]")
+    ax.legend(fontsize=7, loc="best")
+    fig.tight_layout()
+    fig.savefig(outfile, dpi=120)
+    plt.close(fig)
+    return outfile
+
+
+def plot_healpix_maps(
+    hitfile=None,
+    mapfile=None,
+    range_I=None,
+    range_Q=None,
+    range_U=None,
+    max_hits=None,
+    truth=None,
+    cmap="bwr",
+    image_format="png",
+    out_dir=None,
+):
+    """Plot typical map-maker HEALPix outputs (reference ``vis.py:510``).
+
+    Reads hits / map (and optionally a truth map) files, writes one image
+    per component plus truth residuals when available.  Returns the list
+    of written files.
+    """
+    import os
+
+    from .pixels.io_healpix import read_healpix_fits, read_healpix_hdf5
+
+    def _read(path):
+        if path.endswith((".h5", ".hdf5")):
+            pd = read_healpix_hdf5(path)
+        else:
+            pd = read_healpix_fits(path)
+        return pd.numpy() if hasattr(pd, "numpy") else np.asarray(pd)
+
+    def _out(base, tag):
+        stem = os.path.splitext(os.path.basename(base))[0]
+        d = out_dir if out_dir is not None else os.path.dirname(base)
+        return os.path.join(d, f"{stem}_{tag}.{image_format}")
+
+    written = []
+    if hitfile is not None:
+        hits = np.asarray(_read(hitfile))
+        vmax = max_hits if max_hits is not None else None
+        written.append(
+            plot_healpix_map(
+                hits, _out(hitfile, "hits"), comp=0, vmin=0, vmax=vmax,
+                title="Hit counts",
+            )
+        )
+    if mapfile is not None:
+        m = np.asarray(_read(mapfile))
+        if m.ndim == 1:
+            m = m[:, None]
+        tr = None
+        if truth is not None:
+            tr = np.asarray(_read(truth))
+            if tr.ndim == 1:
+                tr = tr[:, None]
+        comps = ["I", "Q", "U"][: m.shape[1]]
+        ranges = {"I": range_I, "Q": range_Q, "U": range_U}
+        for ci, comp in enumerate(comps):
+            rng = ranges.get(comp)
+            vmin, vmax = (rng if rng is not None else (None, None))
+            written.append(
+                plot_healpix_map(
+                    m, _out(mapfile, comp), comp=ci, vmin=vmin, vmax=vmax,
+                    title=f"{comp} map",
+                )
+            )
+            if tr is not None and ci < tr.shape[1]:
+                resid = m.copy()
+                hit = m[:, ci] != 0
+                resid[:, ci] = np.where(hit, m[:, ci] - tr[:, ci], 0.0)
+                written.append(
+                    plot_healpix_map(
+                        resid, _out(mapfile, f"{comp}_resid"), comp=ci,
+                        vmin=vmin, vmax=vmax,
+                        title=f"{comp} - truth",
+                    )
+                )
+    return written
+
+
+def plot_wcs_maps(
+    hitfile=None,
+    mapfile=None,
+    range_I=None,
+    range_Q=None,
+    range_U=None,
+    max_hits=None,
+    truth=None,
+    cmap="viridis",
+    format="png",
+    out_dir=None,
+):
+    """Plot typical map-maker WCS outputs (reference ``vis.py:132``).
+
+    Returns the list of written files.
+    """
+    import os
+
+    from .pixels.io_wcs import read_wcs_fits, read_wcs_hdf5
+
+    plt = _plt()
+
+    def _read(path):
+        if path.endswith((".h5", ".hdf5")):
+            return read_wcs_hdf5(path)
+        return read_wcs_fits(path)
+
+    def _plot(img, vmin, vmax, out, title):
+        fig, ax = plt.subplots(figsize=(8, 6))
+        masked = np.ma.masked_invalid(img)
+        im = ax.imshow(
+            masked, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax,
+            interpolation="nearest",
+        )
+        fig.colorbar(im, ax=ax, shrink=0.8)
+        ax.set_title(title)
+        fig.tight_layout()
+        fig.savefig(out, dpi=120)
+        plt.close(fig)
+        return out
+
+    def _out(base, tag):
+        stem = os.path.splitext(os.path.basename(base))[0]
+        d = out_dir if out_dir is not None else os.path.dirname(base)
+        return os.path.join(d, f"{stem}_{tag}.{format}")
+
+    written = []
+    if hitfile is not None:
+        data, meta = _read(hitfile)
+        img = np.asarray(data)[..., 0] if np.asarray(data).ndim == 3 else np.asarray(data)
+        vmax = max_hits
+        written.append(_plot(img, 0, vmax, _out(hitfile, "hits"), "Hit counts"))
+    if mapfile is not None:
+        data, meta = _read(mapfile)
+        m = np.asarray(data)
+        if m.ndim == 2:
+            m = m[..., None]
+        tr = None
+        if truth is not None:
+            tdata, _ = _read(truth)
+            tr = np.asarray(tdata)
+            if tr.ndim == 2:
+                tr = tr[..., None]
+        comps = ["I", "Q", "U"][: m.shape[-1]]
+        ranges = {"I": range_I, "Q": range_Q, "U": range_U}
+        for ci, comp in enumerate(comps):
+            rng = ranges.get(comp)
+            vmin, vmax = (rng if rng is not None else (None, None))
+            written.append(
+                _plot(m[..., ci], vmin, vmax, _out(mapfile, comp), f"{comp} map")
+            )
+            if tr is not None and ci < tr.shape[-1]:
+                written.append(
+                    _plot(
+                        m[..., ci] - tr[..., ci], vmin, vmax,
+                        _out(mapfile, f"{comp}_resid"), f"{comp} - truth",
+                    )
+                )
+    return written
