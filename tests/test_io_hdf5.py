@@ -68,6 +68,32 @@ def test_roundtrip(tmp_path):
     )
 
 
+def test_roundtrip_flac_detdata(tmp_path):
+    """FLAC-compressed detdata (flacarray group layout, the reference's
+    on-disk compression) round-trips to quantization accuracy."""
+    from toast_tpu.io.flacarray_io import have_flac
+
+    if not have_flac():
+        pytest.skip("native FLAC codec unavailable")
+    data = _full_data()
+    ob = data.obs[0]
+    sig = ob.detdata["signal"].numpy().copy()
+    quanta = 1e-6
+    path = save_hdf5(
+        ob, str(tmp_path), codec_flac={"signal": quanta}
+    )
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        assert isinstance(f["detdata"]["signal"], h5py.Group)
+    ob2 = load_hdf5(path)
+    sig2 = ob2.detdata["signal"].numpy()
+    assert np.abs(sig2 - sig).max() <= quanta
+    assert str(ob2.detdata["signal"].units) == str(
+        ob.detdata["signal"].units
+    )
+
+
 def test_save_load_operators(tmp_path):
     data = _full_data()
     vol = str(tmp_path / "vol")

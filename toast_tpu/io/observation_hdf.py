@@ -39,6 +39,7 @@ def save_hdf5(
     detdata_float32=False,
     compress=True,
     codec_quanta=None,
+    codec_flac=None,
 ):
     """Write one observation to ``<dir>/<name>_<uid>.h5``; returns the path."""
     import h5py
@@ -112,6 +113,23 @@ def save_hdf5(
             arr = field.numpy()
             if detdata_float32 and arr.dtype == np.float64:
                 arr = arr.astype(np.float32)
+            flac_q = (codec_flac or {}).get(k)
+            if flac_q is not None:
+                # FLAC (flacarray group layout) via the native codec —
+                # the same on-disk structure the reference writes
+                # (ref:src/toast/io/observation_hdf_save.py:186)
+                from .flacarray_io import have_flac, write_flacarray
+
+                if have_flac():
+                    grp = dd.create_group(k)
+                    write_flacarray(
+                        grp,
+                        arr,
+                        quanta=None if flac_q is True else float(flac_q),
+                    )
+                    grp.attrs["units"] = field.units.name
+                    grp.attrs["detectors"] = json.dumps(field.detectors)
+                    continue
             quanta = (codec_quanta or {}).get(k)
             blob = None
             if quanta is not None and arr.dtype == np.float32 and arr.ndim == 2:
@@ -260,6 +278,24 @@ def load_hdf5(
             if detdata is not None and k not in detdata:
                 continue
             dset = f["detdata"][k]
+            import h5py as _h5py
+
+            if isinstance(dset, _h5py.Group):
+                # FLAC flacarray group layout
+                from .flacarray_io import read_flacarray
+
+                arr = read_flacarray(dset)
+                dets = json.loads(dset.attrs["detectors"])
+                units = u.unit_from_string(str(dset.attrs.get("units", "")))
+                ob.detdata.create(
+                    k,
+                    sample_shape=arr.shape[2:],
+                    dtype=arr.dtype,
+                    detectors=dets,
+                    units=units,
+                )
+                ob.detdata[k].data = arr
+                continue
             if dset.attrs.get("codec") == "ttc1":
                 from .. import native
 
