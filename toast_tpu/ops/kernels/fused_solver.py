@@ -621,7 +621,7 @@ def fused_offset_solve(
                 vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
             )
 
-    if use_pallas_expand and n_runs_b % _RBLOCK == 0:
+    if use_pallas_expand and n_runs_b % min(_RBLOCK, n_runs_b) == 0:
 
         def reduce1(v):
             return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
@@ -783,7 +783,7 @@ def fused_offset_solve_multi(
                 pk["rank_block"], n_runs_b,
             )
 
-    if use_pallas_expand and n_runs_b % _RBLOCK == 0:
+    if use_pallas_expand and n_runs_b % min(_RBLOCK, n_runs_b) == 0:
 
         def reduce1(v, pk):
             return amp_reduce_pallas(v, pk["amp_sorted"], n_hi, n_amp_obs)

@@ -36,15 +36,16 @@ def _reduce_kernel(amp_ref, val_ref, out_ref):
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    amp = amp_ref[:]                       # (BLOCK,) int32
-    v = val_ref[:]                         # (BLOCK,) float32
+    amp = amp_ref[:]                       # (block,) int32
+    v = val_ref[:]                         # (block,) float32
+    block = v.shape[0]
     n_hi = out_ref.shape[0]
     hi = amp // _LOW
     lo = amp - hi * _LOW
     # (BLOCK, 128) payload scattered onto the low lane, then an exact bf16
     # 3-way split (Mosaic only reshapes 32-bit vectors into new minor
     # dims, so mask in f32 first)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _LOW), 1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (block, _LOW), 1)
     mv = jnp.where(lanes == lo[:, None], v[:, None], jnp.float32(0))
     m1 = mv.astype(jnp.bfloat16)
     r1 = mv - m1.astype(jnp.float32)
@@ -53,7 +54,7 @@ def _reduce_kernel(amp_ref, val_ref, out_ref):
     m = jnp.concatenate([m1, m2, m3], axis=1)
     # (n_hi, BLOCK) bf16 one-hot of the high digit
     oh_hi = (
-        jax.lax.broadcasted_iota(jnp.int32, (n_hi, _BLOCK), 0) == hi[None, :]
+        jax.lax.broadcasted_iota(jnp.int32, (n_hi, block), 0) == hi[None, :]
     ).astype(jnp.bfloat16)
     out_ref[:] += jnp.dot(oh_hi, m, preferred_element_type=jnp.float32)
 
@@ -72,13 +73,14 @@ def amp_reduce_pallas(vals, amp_sorted, n_hi, n_amp, interpret=False):
         (n_amp,) float32 per-amplitude sums.
     """
     n_runs_b = vals.shape[0]
-    n_blocks = n_runs_b // _BLOCK
+    block = min(_BLOCK, n_runs_b)
+    n_blocks = n_runs_b // block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((_BLOCK,), lambda b: (b,)),
-            pl.BlockSpec((_BLOCK,), lambda b: (b,)),
+            pl.BlockSpec((block,), lambda b: (b,)),
+            pl.BlockSpec((block,), lambda b: (b,)),
         ],
         out_specs=pl.BlockSpec((n_hi, 3 * _LOW), lambda b: (0, 0)),
     )
