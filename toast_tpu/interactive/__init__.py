@@ -21,24 +21,9 @@ def widgets_available():
     return importlib.util.find_spec("ipywidgets") is not None
 
 
-class ObservationWidget:  # pragma: no cover - interactive only
-    """Summary widget for an Observation (requires ipywidgets)."""
+def __getattr__(name):
+    if name == "ObservationWidget":
+        from .widgets import ObservationWidget
 
-    def __init__(self, ob):
-        if not widgets_available():
-            raise RuntimeError("ipywidgets is not available")
-        self.ob = ob
-
-    def _ipython_display_(self):
-        import ipywidgets as w
-        from IPython.display import display
-
-        rows = [
-            f"name: {self.ob.name}",
-            f"detectors: {len(self.ob.all_detectors)}",
-            f"samples: {self.ob.n_local_samples}",
-            f"detdata: {list(self.ob.detdata.keys())}",
-            f"shared: {list(self.ob.shared.keys())}",
-            f"intervals: {list(self.ob.intervals.keys())}",
-        ]
-        display(w.VBox([w.Label(r) for r in rows]))
+        return ObservationWidget
+    raise AttributeError(name)
