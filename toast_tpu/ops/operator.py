@@ -30,10 +30,24 @@ class Operator(TraitConfig):
 
     API = Int(0, help="Internal interface version for this operator")
 
+    timing = Bool(
+        False, help="Log wall-clock time of every exec call "
+        "(reference ops/operator.py:19 timing trait)"
+    )
+
     def exec(self, data, detectors=None, **kwargs):
         log = Logger.get()
         if not self.enabled:
             log.verbose(f"Operator {self.name} is disabled, skipping exec")
+            return
+        if self.timing:
+            timer = Timer()
+            timer.start()
+            self._exec(data, detectors=detectors, **kwargs)
+            log.info(
+                f"Operator {self.name} exec: {timer.seconds():.3f} s "
+                "(host dispatch; device work may still be queued)"
+            )
             return
         self._exec(data, detectors=detectors, **kwargs)
 
