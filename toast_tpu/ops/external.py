@@ -127,15 +127,126 @@ class _UnavailableExternal(Operator):
         )
 
 
-class SimConviqt(_UnavailableExternal):
-    """4 pi beam convolution via libconviqt (reference ``ops/conviqt.py:31``)."""
+class SimConviqt(Operator):
+    """4-pi beam convolution (reference ``ops/conviqt.py:31``).
 
-    _module = "libconviqt_wrapper"
+    The reference wraps libconviqt; here the same interface — FITS a_lm
+    sky and beam files, optional per-detector file substitution — runs on
+    the NATIVE asymmetric convolution (``math/beam_convolve.py``, oracle-
+    validated) with no external library.
+    """
+
     comm = Instance(klass=object, allow_none=True)
     detector_pointing = Instance(klass=object, allow_none=True)
-    sky_file = Unicode(None, allow_none=True)
-    beam_file = Unicode(None, allow_none=True)
+    sky_file = Unicode(
+        None, allow_none=True,
+        help="FITS a_lm sky file; '{detector}' is substituted per det",
+    )
+    beam_file = Unicode(
+        None, allow_none=True,
+        help="FITS a_lm beam file; '{detector}' is substituted per det",
+    )
+    sky_file_dict = Dict({}, help="Per-detector sky files (supersedes sky_file)")
+    beam_file_dict = Dict({}, help="Per-detector beam files (supersedes beam_file)")
     det_data = Unicode(defaults.det_data)
+    lmax = Int(0, help="Band limit override (0 = from the sky file)")
+    beammmax = Int(-1, help="Beam m limit override (-1 = from the beam file)")
+    zero = Bool(False, help="Overwrite instead of accumulate")
+    quats = Unicode("quats", help="Detdata key for detector quaternions")
+    oversample = Int(4, help="Convolution grid oversampling")
+
+    @classmethod
+    def available(cls):
+        return True
+
+    def _exec(self, data, detectors=None, **kwargs):
+        import jax.numpy as jnp
+
+        from ..io.alm_fits import read_alm_fits
+        from ..math.beam_convolve import (
+            convolution_grids,
+            convolve_samples,
+            euler_zyz_from_quat,
+        )
+        from ..utils import units as u
+        from .operator import single_obs_view
+
+        if self.sky_file is None and not self.sky_file_dict:
+            raise RuntimeError("SimConviqt requires a sky_file")
+        if self.beam_file is None and not self.beam_file_dict:
+            raise RuntimeError("SimConviqt requires a beam_file")
+
+        grid_cache = {}
+
+        def grids_for(det):
+            skyf = self.sky_file_dict.get(
+                det,
+                self.sky_file.format(detector=det) if self.sky_file else None,
+            )
+            beamf = self.beam_file_dict.get(
+                det,
+                self.beam_file.format(detector=det) if self.beam_file else None,
+            )
+            key = (skyf, beamf)
+            if key in grid_cache:
+                return grid_cache[key]
+            alm, _ = read_alm_fits(skyf)
+            blm, file_mmax = read_alm_fits(beamf)
+            lmax = self.lmax if self.lmax > 0 else alm.shape[0] - 1
+            mmax = self.beammmax if self.beammmax >= 0 else file_mmax
+            mmax = min(mmax, lmax)
+            if alm.shape[0] < lmax + 1:
+                import numpy as _np
+
+                alm = _np.pad(
+                    alm, ((0, lmax + 1 - alm.shape[0]), (0, 0))
+                )
+            if alm.shape[1] < lmax + 1:
+                import numpy as _np
+
+                alm = _np.pad(alm, ((0, 0), (0, lmax + 1 - alm.shape[1])))
+            import numpy as _np
+
+            b = _np.zeros((lmax + 1, mmax + 1), dtype=complex)
+            rows = min(blm.shape[0], lmax + 1)
+            cols = min(blm.shape[1], mmax + 1)
+            b[:rows, :cols] = blm[:rows, :cols]
+            n_theta = max(self.oversample * (lmax + 1), 16)
+            grids = convolution_grids(
+                alm[: lmax + 1, : lmax + 1], b, lmax, mmax,
+                n_theta=n_theta, n_phi=2 * n_theta,
+            )
+            grid_cache[key] = grids
+            return grids
+
+        for ob in data.obs:
+            dets = ob.select_local_detectors(detectors)
+            if len(dets) == 0:
+                continue
+            if self.quats not in ob.detdata and self.detector_pointing is not None:
+                self.detector_pointing.exec(
+                    single_obs_view(data, ob), detectors=dets
+                )
+            quats = ob.detdata[self.quats].data
+            ob.detdata.ensure(self.det_data, units=u.K)
+            field = ob.detdata[self.det_data]
+            out = (
+                jnp.zeros_like(field.data) if self.zero else field.data
+            )
+            for det in dets:
+                di = field.index(det)
+                qi = ob.detdata[self.quats].index(det)
+                grids_re, grids_im = grids_for(det)
+                phi, theta, psi = euler_zyz_from_quat(quats[qi])
+                tod = convolve_samples(grids_re, grids_im, theta, phi, psi)
+                out = out.at[di].add(tod.astype(out.dtype))
+            field.data = out
+
+    def _provides(self):
+        return {
+            "global": [], "meta": [], "detdata": [self.det_data],
+            "shared": [], "intervals": [],
+        }
 
 
 class SaveSpt3g(Operator):
