@@ -79,7 +79,22 @@ class PixelsHealpix(Operator):
             self.nside_submap = self.nside
         hit_submaps = None
         if self.create_dist is not None:
-            hit_submaps = np.zeros(self.n_submap, dtype=bool)
+            existing = (
+                data[self.create_dist] if self.create_dist in data else None
+            )
+            if (
+                existing is not None
+                and existing.n_pix == self.n_pix
+                and existing.n_submap == self.n_submap
+            ):
+                # distribution already built for this geometry: keep it.
+                # The reference builds it once (BuildPixelDistribution);
+                # re-deriving it would force a device sync mid-pipeline on
+                # every Monte-Carlo realization.  Delete the data key to
+                # force a rebuild after a pointing change.
+                pass
+            else:
+                hit_submaps = np.zeros(self.n_submap, dtype=bool)
 
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
@@ -136,7 +151,7 @@ class PixelsHealpix(Operator):
                     ob._internal[marks_tag] = (cache_key, ob_hits)
                 hit_submaps |= ob_hits
 
-        if self.create_dist is not None:
+        if hit_submaps is not None:
             data[self.create_dist] = PixelDistribution(
                 n_pix=self.n_pix,
                 n_submap=self.n_submap,
