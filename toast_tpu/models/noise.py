@@ -110,6 +110,28 @@ class Noise:
                     out.append(k)
         return out
 
+    def mixing_is_identity(self, dets, keys):
+        """True when det i maps only to stream keys[i] with weight 1.0.
+
+        Cached per detector/key tuple: SimNoise checks this on every exec
+        and the dict-of-dicts walk costs ~1 us per (det, key) pair.
+        """
+        cache = getattr(self, "_ident_cache", None)
+        if cache is None:
+            cache = self._ident_cache = {}
+        tag = (tuple(dets), tuple(keys))
+        hit = cache.get(tag)
+        if hit is not None:
+            return hit
+        ident = len(dets) == len(keys) and all(
+            self._mix.get(d, {}) == {k: 1.0}
+            for d, k in zip(dets, keys)
+        )
+        if len(cache) > 8:
+            cache.clear()
+        cache[tag] = ident
+        return ident
+
     def _stream_inv_var(self, key):
         """Inverse white-noise variance of one stream (1/K^2).
 

@@ -124,14 +124,14 @@ class SimNoise(Operator):
                     )
 
             # mixing matrix: detector tod += sum_k weight(det,k) * stream_k
-            mix = np.zeros((len(dets), len(keys)), dtype=np.float32)
-            for i, d in enumerate(dets):
-                for j, k in enumerate(keys):
-                    mix[i, j] = nse.weight(d, k)
-            identity_mix = len(dets) == len(keys) and np.array_equal(
-                mix, np.eye(len(dets), dtype=np.float32)
-            )
-            det_noise = noise if identity_mix else jnp.asarray(mix) @ noise
+            if nse.mixing_is_identity(dets, keys):
+                det_noise = noise
+            else:
+                mix = np.zeros((len(dets), len(keys)), dtype=np.float32)
+                for i, d in enumerate(dets):
+                    for j, k in enumerate(keys):
+                        mix[i, j] = nse.weight(d, k)
+                det_noise = jnp.asarray(mix) @ noise
 
             field = ob.detdata[self.det_data]
             det_idx = np.array([field.index(d) for d in dets])
