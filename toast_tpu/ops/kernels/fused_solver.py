@@ -111,6 +111,24 @@ def _fp_and_count(pix_flat, n_samp, step):
     return jnp.concatenate([fp, n_runs[None]]), change
 
 
+@partial(jax.jit, static_argnames=("n_samp", "step"))
+def _fp_count_and_hashes(pix_flat, extra_arrays, n_samp, step):
+    """Pixel fingerprint + run count + content hashes of the pointing-stat
+    inputs (weights, flags) — ONE host fetch feeds both the plan cache and
+    the pointing-statistics cache."""
+    from .mapkernels import _fingerprint_jit
+
+    fp = _fingerprint_jit(pix_flat)
+    change = _change_mask(pix_flat, n_samp, step)
+    n_runs = jnp.sum(change, dtype=jnp.int32)
+    extra = (
+        jnp.stack([_fingerprint_nd(a) for a in extra_arrays]).reshape(-1)
+        if extra_arrays
+        else jnp.zeros((0,), jnp.int32)
+    )
+    return jnp.concatenate([fp, n_runs[None], extra]), change
+
+
 @partial(jax.jit, static_argnames=("n_runs_b", "n_samp", "step", "n_base"))
 def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
     """One multi-operand sort builds the whole pixel-sorted run order.
@@ -197,17 +215,22 @@ _FUSED_PLAN_CACHE: dict = {}
 _POINTING_STATS_CACHE: dict = {}
 
 
-def pointing_stats_key(plan, weights, flag_arrays, det_weights):
+def pointing_stats_key(plan, weights, flag_arrays, det_weights, hashes=None):
     """Cache key for the pointing-dependent run statistics.
 
     The key combines the plan's pixel fingerprint, content fingerprints of
     the Stokes weights and every applied flag array (batched into ONE
-    device fetch), and a host hash of the detector noise weights — safe
-    across array rebinds, regenerated-but-equal content, and flag edits.
+    device fetch — or passed precomputed via ``hashes`` so the plan and
+    stats caches share a single round trip), and a host hash of the
+    detector noise weights — safe across array rebinds,
+    regenerated-but-equal content, and flag edits.
     """
-    fps = np.asarray(_fingerprints_jit((weights,) + tuple(flag_arrays)))
+    if hashes is None:
+        fps = np.asarray(_fingerprints_jit((weights,) + tuple(flag_arrays)))
+        hashes = fps.reshape(-1)
     parts = tuple(
-        (int(fps[i, 0]), int(fps[i, 1])) for i in range(fps.shape[0])
+        (int(hashes[2 * i]), int(hashes[2 * i + 1]))
+        for i in range(len(hashes) // 2)
     )
     return (
         plan["fp_key"],
@@ -250,7 +273,8 @@ def _fingerprint_nd(x):
 
 
 def prepare_fused_plan(
-    pixels, n_samp, step, n_base, n_det, runs_bucket=None, hit_bucket=None
+    pixels, n_samp, step, n_base, n_det, runs_bucket=None, hit_bucket=None,
+    precomputed=None,
 ):
     """Run/sort/hit plan for the fused solve, cached by pixel content.
 
@@ -260,8 +284,11 @@ def prepare_fused_plan(
     different observations can share one stacked shape (multi-obs solve).
     """
     pix_flat = pixels.reshape(-1)
-    fpc, change = _fp_and_count(pix_flat, n_samp, step)
-    fpc = np.asarray(fpc)
+    if precomputed is None:
+        fpc, change = _fp_and_count(pix_flat, n_samp, step)
+        fpc = np.asarray(fpc)
+    else:
+        fpc, change = precomputed
     fp_key = (int(fpc[0]), int(fpc[1]), pix_flat.shape[0]) + (
         int(n_samp), int(step), int(n_base), int(n_det),
         runs_bucket, hit_bucket,

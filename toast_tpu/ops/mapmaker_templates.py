@@ -268,8 +268,19 @@ class SolveAmplitudes(Operator):
             flag_arrays.append(sf)
             flag_masks.append(int(binning.shared_flag_mask))
 
+        from .kernels.fused_solver import _fp_count_and_hashes
+
         with _seg("plan"):
-            plan = prepare_fused_plan(pix, n_samp, step, n_base, n_det)
+            # one device fetch feeds BOTH caches: pixel fingerprint + run
+            # count (plan) and weight/flag content hashes (pointing stats)
+            fpc_all, change = _fp_count_and_hashes(
+                pix.reshape(-1), (wts,) + tuple(flag_arrays), n_samp, step
+            )
+            fpc_all = np.asarray(fpc_all)
+            plan = prepare_fused_plan(
+                pix, n_samp, step, n_base, n_det,
+                precomputed=(fpc_all[:3], change),
+            )
         wg = good * det_weights[:, None]
 
         # pointing-dependent statistics (W, n, w w^T triangle, hits) are
@@ -290,7 +301,7 @@ class SolveAmplitudes(Operator):
             pt_key = pointing_stats_key(
                 plan, wts, flag_arrays, np.array([
                     nse.detector_weight(d).value for d in dets
-                ])) + (tuple(flag_masks),)
+                ]), hashes=fpc_all[3:]) + (tuple(flag_masks),)
         cached = _POINTING_STATS_CACHE.get(pt_key) if pt_key else None
         if cached is None:
             with _seg("pt_stats"):
