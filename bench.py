@@ -99,9 +99,10 @@ def main():
     else:
         # Prefer the largest case that compiles and fits: the axon
         # remote-compile helper rejects some large programs (HTTP 500
-        # chipless-AOT failures) and the fused solve peaks ~64 bytes/sample
-        # of HBM transients, so fall back through smaller cases.
-        case_list = [(64, 2**19), (64, 2**18)]
+        # chipless-AOT failures) and the statistics sweeps peak at tens of
+        # bytes/sample of HBM transients, so fall back through smaller
+        # cases.  Larger cases amortize the fixed host/round-trip costs.
+        case_list = [(128, 2**20), (64, 2**19), (64, 2**18)]
         nside = args.nside or 512
 
     from toast_tpu import ops
