@@ -4,7 +4,7 @@ The reference's external convolvers (conviqt, totalconvolve) consume sky
 and beam multipoles stored as FITS binary tables with three columns —
 ``index = l^2 + l + m + 1`` (int), real, imag — one HDU per T/E/B
 component (``healpy.fitsfunc.read_alm``).  This native reader/writer lets
-:class:`~toast_tpu.ops.scan_alm.SimConviqt` run without healpy or the
+:class:`~toast_tpu.ops.external.SimConviqt` run without healpy or the
 external libraries.
 """
 
