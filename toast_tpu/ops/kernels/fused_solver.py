@@ -53,6 +53,7 @@ BASELINE.json requirement).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -648,7 +649,14 @@ def fused_offset_solve(
                 vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
             )
 
-    if use_pallas_expand and n_runs_b % min(_RBLOCK, n_runs_b) == 0:
+    if (
+        use_pallas_expand
+        and n_runs_b % min(_RBLOCK, n_runs_b) == 0
+        # measured-win gate: the block-accumulate reduce beat the XLA
+        # one-hot einsum at 1024-run blocks only in setup, not in the
+        # iteration; enable after verifying the 4096-block variant wins
+        and os.environ.get("TOAST_PALLAS_REDUCE", "") == "1"
+    ):
 
         def reduce1(v):
             return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
@@ -810,7 +818,14 @@ def fused_offset_solve_multi(
                 pk["rank_block"], n_runs_b,
             )
 
-    if use_pallas_expand and n_runs_b % min(_RBLOCK, n_runs_b) == 0:
+    if (
+        use_pallas_expand
+        and n_runs_b % min(_RBLOCK, n_runs_b) == 0
+        # measured-win gate: the block-accumulate reduce beat the XLA
+        # one-hot einsum at 1024-run blocks only in setup, not in the
+        # iteration; enable after verifying the 4096-block variant wins
+        and os.environ.get("TOAST_PALLAS_REDUCE", "") == "1"
+    ):
 
         def reduce1(v, pk):
             return amp_reduce_pallas(v, pk["amp_sorted"], n_hi, n_amp_obs)
