@@ -74,7 +74,16 @@ def main():
         "is overridden by the axon sitecustomize, so this sets the config "
         "key before first use",
     )
+    parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="Per-stage TPU profile (ns/sample) printed side-by-side with "
+        "the measured CPU baseline's stage_ns_per_det_sample",
+    )
     args = parser.parse_args()
+
+    if args.profile:
+        return run_profile(args)
 
     import jax
     import jax.numpy as jnp
@@ -173,6 +182,50 @@ def main():
             file=sys.stderr,
         )
     raise RuntimeError(f"all bench cases failed; last: {last_error!r}")
+
+
+def run_profile(args):
+    """Per-stage profile vs the measured CPU baseline (VERDICT r2 ask)."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    import profile_solve
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    stages = profile_solve.main(
+        n_det=args.n_det, n_samp=args.n_samp, nside=args.nside
+    )
+    baseline = _load_measured_baseline()
+    base_stage = dict(baseline.get("stage_ns_per_det_sample", {}))
+    n_cores = baseline.get("assumed_node_cores", 64)
+    # side-by-side: TPU chip ns/sample vs the 64-core node's ns/sample
+    mapping = {
+        "sim_noise": ("noise_fft", "rng"),
+        "pointing+pixels+weights": ("pointing", "pixweights"),
+        "run_stats_tod (per realization)": ("accum",),
+        "per_pcg_iteration": ("solve_per_iter",),
+    }
+    rows = []
+    for tpu_key, cpu_keys in mapping.items():
+        if tpu_key not in stages:
+            continue
+        cpu_node = sum(base_stage.get(k, 0.0) for k in cpu_keys) / n_cores
+        rows.append(
+            {
+                "stage": tpu_key,
+                "tpu_chip_ns_per_sample": round(stages[tpu_key], 3),
+                "cpu_node_ns_per_sample": round(cpu_node, 3),
+                "baseline_stages": list(cpu_keys),
+            }
+        )
+    out = {
+        "metric": "stage_ns_per_sample",
+        "stages_tpu": {k: round(v, 3) for k, v in stages.items()},
+        "vs_cpu_node": rows,
+    }
+    print(json.dumps(out))
+    return 0
 
 
 def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):

@@ -18,7 +18,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 
-def main():
+def main(n_det=None, n_samp=None, nside=None, results=None):
     import jax
     import jax.numpy as jnp
 
@@ -36,9 +36,11 @@ def main():
     from toast_tpu.utils import units as u
     from toast_tpu.utils.units import Quantity
 
-    n_det = int(os.environ.get("PROF_NDET", 64))
-    n_samp = int(os.environ.get("PROF_NSAMP", 1 << 19))
-    nside = int(os.environ.get("PROF_NSIDE", 512))
+    n_det = n_det or int(os.environ.get("PROF_NDET", 64))
+    n_samp = n_samp or int(os.environ.get("PROF_NSAMP", 1 << 19))
+    nside = nside or int(os.environ.get("PROF_NSIDE", 512))
+    if results is None:
+        results = {}
     N = n_det * n_samp
     rate_hz = 100.0
     comm = Comm()
@@ -118,6 +120,7 @@ def main():
         dt = (time.perf_counter() - t0 - RTT) / reps
         print(f"  {tag:36s} {dt*1e3:9.1f} ms  ({dt/N*1e9:7.2f} ns/samp)",
               flush=True)
+        results[tag] = dt / N * 1e9
         return out, dt
 
     # --- pipeline stages ---
@@ -219,6 +222,8 @@ def main():
     print(f"    per-PCG-iteration {per_it*1e3:9.2f} ms "
           f"({per_it/N*1e9:7.2f} ns/samp)   setup {dt1-per_it:9.3f} s",
           flush=True)
+    results["per_pcg_iteration"] = per_it / N * 1e9
+    results["solve_setup"] = (dt1 - per_it) / N * 1e9
 
     amps = jnp.zeros((plan["n_amp"],), dtype=jnp.float32)
     def maps():
@@ -226,6 +231,7 @@ def main():
             pt_g, td_g, amps, plan["amp_sorted"], plan["hit_starts"],
             plan["hit_bounds"], plan["n_hi"], nnz=nnz)
     t("fused_maps", maps)
+    return results
 
 
 if __name__ == "__main__":
