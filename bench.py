@@ -85,6 +85,37 @@ def main():
     if args.profile:
         return run_profile(args)
 
+    if args.platform is None and os.environ.get("JAX_PLATFORMS", "") not in (
+        "", "cpu"
+    ) and not args.tiny:
+        # the remote-TPU tunnel can wedge hard enough that device init
+        # hangs forever; probe it in a disposable subprocess so a dead
+        # tunnel degrades to an explicit CPU-fallback measurement instead
+        # of hanging the benchmark driver
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, jax.numpy as jnp; "
+                    "print(float(jnp.sum(jnp.ones((8,)))))",
+                ],
+                capture_output=True,
+                timeout=300,
+            )
+            ok = probe.returncode == 0
+        except Exception:
+            ok = False
+        if not ok:
+            print(
+                "# TPU device init failed/hung; falling back to CPU "
+                "(metric tagged cpu_fallback)",
+                file=sys.stderr,
+            )
+            args.platform = "cpu"
+
     import jax
     import jax.numpy as jnp
 
@@ -393,7 +424,11 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         "unit": "samples/node-second",
         "vs_baseline": round(value / base_rate, 3),
         "baseline_measured": base_rate,
+        "platform": jax.default_backend(),
     }
+    if n_obs > 1:
+        result["n_obs"] = n_obs
+        result["total_samples"] = total_samples
     print(
         f"# n_obs={n_obs} n_det={n_det} n_samp={n_samp} nside={nside} iters={args.iters} "
         f"platform={jax.default_backend()} warmup={s0+m0:.2f}s "
