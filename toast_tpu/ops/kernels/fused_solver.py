@@ -394,12 +394,15 @@ def _run_sums_sorted(flat_cols, bounds1, order, good_sorted):
     local = jnp.cumsum(x, axis=-1)        # within-block inclusive prefix
     block_sums = local[:, :, -1]          # (n_blocks, k)
 
-    # local prefix at every bound: ONE k-wide gather from the (N, k)
-    # flattening (packed layout), masked to zero at block starts
-    local_s = jnp.transpose(local, (0, 2, 1)).reshape(n_blocks * B, k)
+    # local prefix at every bound: ONE k-wide gather straight out of the
+    # (n_blocks, k, B) layout (a physical transpose to (N, k) would copy
+    # the full statistics array — ~6 GB at 1e8 samples), masked to zero
+    # at block starts
     safe = jnp.clip(bounds1 - 1, 0, n_blocks * B - 1)
     loc_at = jnp.where(
-        (bounds1 % B == 0)[:, None], 0.0, local_s[safe]
+        (bounds1 % B == 0)[:, None],
+        0.0,
+        local[safe // B, :, safe % B],
     )  # (n_runs_b + 1, k)
     sums_time = loc_at[1:] - loc_at[:-1]
 
