@@ -112,3 +112,28 @@ def test_run_stats_match_numpy_oracle(seed):
     )
     # masked (fill/flagged) rows are exactly zero
     assert np.all(cols[~got_valid] == 0.0)
+
+
+def test_run_stats_pointing_split_pass_equivalence():
+    """The memory-capped 4-column split sweep equals the single sweep."""
+    rng = np.random.default_rng(1)
+    n_det, n_samp = 2, 2048
+    step, nnz = 512, 3
+    n_base = -(-n_samp // step)
+    N = n_det * n_samp
+    pix = np.repeat(
+        rng.integers(0, 200, N // 4 + 1), 4
+    )[:N].astype(np.int32).reshape(n_det, n_samp)
+    wts = rng.normal(size=(N, nnz)).astype(np.float32)
+    good = np.ones(N, np.float32)
+    wg = np.ones(N, np.float32)
+    plan = prepare_fused_plan(jnp.asarray(pix), n_samp, step, n_base, n_det)
+    args = (
+        jnp.asarray(wts), jnp.asarray(wg), jnp.asarray(good),
+        plan["bounds1"], plan["order"], plan["good_sorted"],
+    )
+    one = run_stats_pointing(*args, split=False)
+    many = run_stats_pointing(*args, split=True)
+    assert len(one) == len(many)
+    for a, b in zip(one, many):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

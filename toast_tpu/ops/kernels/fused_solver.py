@@ -433,8 +433,10 @@ def _run_sums_sorted(flat_cols, bounds1, order, good_sorted):
     )
 
 
-@jax.jit
-def run_stats_pointing(weights, wg, good_count, bounds1, order, good_sorted):
+@partial(jax.jit, static_argnames=("split",))
+def run_stats_pointing(
+    weights, wg, good_count, bounds1, order, good_sorted, split=None
+):
     """Pointing-dependent per-run statistics (TOD-independent).
 
     Returns three (n_runs_b, 4) pixel-sorted groups holding
@@ -454,6 +456,23 @@ def run_stats_pointing(weights, wg, good_count, bounds1, order, good_sorted):
         for j in range(i, nnz):
             flat_cols.append(wgw[:, i] * weights[:, j])
     flat_cols.append(good_count)
+    if split is None:
+        split = weights.shape[0] > (1 << 26)
+    if split:
+        # large observations: cap the blocked-prefix HBM transient by
+        # sweeping 4 columns at a time (~2 x N x 16 B instead of x 48 B).
+        # This pass is content-cached, so the extra gather sweeps are a
+        # one-time cost per pointing.
+        while len(flat_cols) % 4:
+            flat_cols.append(jnp.zeros_like(flat_cols[0]))
+        out = []
+        for s in range(0, len(flat_cols), 4):
+            out.extend(
+                _run_sums_sorted(
+                    flat_cols[s : s + 4], bounds1, order, good_sorted
+                )
+            )
+        return tuple(out)
     return _run_sums_sorted(flat_cols, bounds1, order, good_sorted)
 
 
