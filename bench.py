@@ -344,6 +344,30 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
     )
 
+    streaming = n_obs > 2
+
+    class _SimLoader:
+        """Out-of-core source: regenerates one observation's samples on
+        load (deterministic counter-based RNG), frees them on unload —
+        the bench analog of reading one observation's TOD from disk."""
+
+        def __init__(self, realization):
+            self.realization = realization
+
+        def load(self, ob):
+            from toast_tpu.ops.operator import Pipeline as _P
+            from toast_tpu.ops.operator import single_obs_view
+
+            view = single_obs_view(data, ob)
+            ops.SimNoise(realization=self.realization).apply(view)
+            _P(operators=[pixels, weights]).apply(view)
+            if "quats" in ob.detdata:
+                del ob.detdata["quats"]
+
+        def unload(self, ob):
+            for field in list(ob.detdata.keys()):
+                del ob.detdata[field]
+
     def run_once(tag, realization=0):
         """The full pipeline: noise sim -> pointing -> destriped map.
 
@@ -354,9 +378,43 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         maps) all recomputes, while pointing-derived plans legitimately
         persist (the reference reuses pointing/covariance across MC
         iterations the same way, ref:src/toast/ops/mapmaker.py mc_mode).
+
+        With more than two observations the run STREAMS: each observation
+        carries a loader that simulates its samples on demand inside the
+        solve and frees them right after the statistics sweep — HBM holds
+        run statistics, never the whole sample set.
         """
         t0 = time.perf_counter()
         ops.DefaultNoiseModel().apply(data)
+        if streaming:
+            from toast_tpu.pixels import PixelDistribution
+
+            if "pixel_dist" not in data:
+                data["pixel_dist"] = PixelDistribution(
+                    n_pix=12 * nside * nside,
+                    n_submap=max(1, (nside // max(1, nside // 4)) ** 2 * 12),
+                )
+            loader = _SimLoader(realization)
+            for o in data.obs:
+                o.loader = loader
+            t1 = time.perf_counter()
+            tmpl = Offset(step_time=Quantity(60.0, u.second))
+            tm = ops.TemplateMatrix(templates=[tmpl])
+            mapper = ops.MapMaker(
+                name=tag,
+                binning=binner,
+                template_matrix=tm,
+                solve_rcond_threshold="1e-3",
+                map_rcond_threshold="1e-3",
+                iter_min=args.iters,
+                iter_max=args.iters,
+                convergence="1e-14",
+                write_binmap=False,
+            )
+            mapper.apply(data)
+            float(jnp.sum(data[f"{tag}_map"].data[:64]))
+            t2 = time.perf_counter()
+            return t1 - t0, t2 - t1
         ops.SimNoise(realization=realization).apply(data)
         ops.Pipeline(operators=[pixels, weights]).apply(data)
         # detector quats are no longer needed once pixels/weights exist;

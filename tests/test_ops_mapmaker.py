@@ -502,6 +502,107 @@ def test_fused_multi_obs_matches_generic():
     assert data["mm_hits"].numpy().max() > 0
 
 
+def test_fused_multi_obs_streaming_loaders():
+    """Out-of-core multi-obs solve: observations with loaders are loaded
+    one at a time (sample data never coexists), and the solved amplitudes
+    and maps equal the all-resident solve bit-for-bit."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.models import Data, create_satellite_schedule
+    from toast_tpu.parallel import Comm
+    from toast_tpu.pixels import PixelDistribution
+    from helpers import create_space_telescope
+
+    nside = 16
+    comm = Comm()
+
+    def build_data():
+        data = Data(comm)
+        tele = create_space_telescope(n_pix=3)
+        sched = create_satellite_schedule(
+            prefix="st_",
+            mission_start=datetime(2023, 2, 23, tzinfo=timezone.utc),
+            observation_time=Quantity(10.0, u.minute),
+            gap_time=Quantity(0.0, u.minute),
+            num_observations=3,
+            prec_period=Quantity(10.0, u.minute),
+            spin_period=Quantity(2.0, u.minute),
+        )
+        ops.SimSatellite(name="stsim", telescope=tele, schedule=sched).apply(
+            data
+        )
+        fp = data.obs[0].telescope.focalplane
+        fp.detector_data["psd_fknee"][:] = 1.0
+        ops.DefaultNoiseModel().apply(data)
+        return data
+
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(mode="IQU", detector_pointing=det_pointing)
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+
+    def solve(data, tag):
+        tmpl = Offset(step_time=Quantity(10.0, u.second))
+        mapper = ops.MapMaker(
+            name=tag,
+            binning=binner,
+            template_matrix=ops.TemplateMatrix(templates=[tmpl]),
+            solve_rcond_threshold="1e-3",
+            map_rcond_threshold="1e-3",
+            iter_max=40,
+            convergence="1e-11",
+            write_binmap=True,
+        )
+        mapper.apply(data)
+        return (
+            np.asarray(data[f"{tag}_solve_amplitudes"]["Offset"].local)
+            if f"{tag}_solve_amplitudes" in data
+            else None,
+            data[f"{tag}_map"].numpy(),
+            data[f"{tag}_hits"].numpy(),
+        )
+
+    # all-resident reference
+    data_a = build_data()
+    from toast_tpu.ops.operator import Pipeline, single_obs_view
+
+    ops.SimNoise().apply(data_a)
+    Pipeline(operators=[pixels, weights]).apply(data_a)
+    _, map_a, hits_a = solve(data_a, "res")
+
+    # streaming: loaders regenerate (deterministic RNG) and free detdata
+    class SimLoader:
+        def __init__(self, data):
+            self.data = data
+
+        def load(self, ob):
+            view = single_obs_view(self.data, ob)
+            ops.SimNoise().apply(view)
+            Pipeline(operators=[pixels, weights]).apply(view)
+
+        def unload(self, ob):
+            for field in list(ob.detdata.keys()):
+                del ob.detdata[field]
+
+    data_b = build_data()
+    data_b["pixel_dist"] = PixelDistribution(
+        n_pix=12 * nside * nside, n_submap=12
+    )
+    loader = SimLoader(data_b)
+    for ob in data_b.obs:
+        ob.loader = loader
+    _, map_b, hits_b = solve(data_b, "strm")
+    for ob in data_b.obs:
+        assert len(list(ob.detdata.keys())) == 0  # never left resident
+
+    np.testing.assert_array_equal(hits_b, hits_a)
+    np.testing.assert_allclose(map_b, map_a, rtol=2e-5, atol=1e-6)
+
+
 def test_destriping_multiple_observations_mixed_lengths():
     """MapMaker over several observations of different lengths: amplitude
     blocks span observations and the destriped sky is still recovered

@@ -1012,6 +1012,64 @@ def fused_offset_solve_multi(
     )
 
 
+def pad_plan_for_stack(plan, runs_bucket, hit_bucket):
+    """Pad one observation's plan arrays to shared stacked buckets.
+
+    Streaming multi-obs solves build each plan at its natural bucket while
+    the observation's samples are resident, then pad to the fleet-wide
+    maximum afterwards — no second pass over (possibly unloaded) samples.
+    Padded rows carry zero statistics, so every solver contribution from
+    them vanishes; padded hit slots are invalid and route to the dropped
+    overflow row of the expansion scatter.
+    """
+    nb = plan["n_runs_b"]
+    nhb = plan["n_hit_b"]
+    if nb == runs_bucket and nhb == hit_bucket:
+        return plan
+    if runs_bucket < nb or hit_bucket < nhb:
+        raise ValueError("stack buckets smaller than a plan's buckets")
+    pr = runs_bucket - nb
+    ph = hit_bucket - nhb
+    out = dict(plan)
+    amp = jnp.pad(plan["amp_sorted"], (0, pr))
+    rank_tail = plan["rank_sorted"][-1:] if nb else jnp.zeros(1, jnp.int32)
+    rank = jnp.concatenate(
+        [plan["rank_sorted"], jnp.broadcast_to(rank_tail, (pr,))]
+    )
+    out["amp_sorted"] = amp
+    out["rank_sorted"] = rank
+    out["rank_block"] = rank[:: min(_STAT_BLOCK, runs_bucket)]
+    out["rank_block1k"] = (
+        rank[::1024] if runs_bucket % 1024 == 0 else None
+    )
+    out["hit_starts"] = jnp.concatenate(
+        [
+            jnp.where(
+                plan["hit_valid"], plan["hit_starts"], runs_bucket
+            ),
+            jnp.full((ph,), runs_bucket, jnp.int32),
+        ]
+    )
+    # bounds stay sorted and end at the padded run count
+    old_bounds = jnp.where(
+        jnp.concatenate([plan["hit_valid"], jnp.asarray([True])]),
+        plan["hit_bounds"],
+        nb,
+    )
+    out["hit_bounds"] = jnp.concatenate(
+        [
+            old_bounds[:-1],
+            jnp.full((ph,), nb, jnp.int32),
+            jnp.asarray([runs_bucket], jnp.int32),
+        ]
+    )
+    out["hit_pix"] = jnp.pad(plan["hit_pix"], (0, ph))
+    out["hit_valid"] = jnp.pad(plan["hit_valid"], (0, ph))
+    out["n_runs_b"] = runs_bucket
+    out["n_hit_b"] = hit_bucket
+    return out
+
+
 @partial(jax.jit, static_argnames=("nnz",))
 def accumulate_global_cov(pt_groups, hit_bounds, hit_valid, hit_pix,
                           invnpp_glob, hits_glob, nnz=3):

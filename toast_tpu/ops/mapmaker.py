@@ -92,26 +92,41 @@ class MapMaker(Operator):
             fused_state is not None
             and fused_state.get("multi")
             and map_binning is self.binning
-            and [
-                id(ob.detdata[map_binning.pixel_pointing.pixels].data)
-                for ob in data.obs
-            ] == fused_state["pixels_ids"]
-            and [
-                id(ob.detdata[map_binning.stokes_weights.weights].data)
-                for ob in data.obs
-            ] == fused_state["weights_ids"]
+            and (
+                fused_state.get("stream")
+                or (
+                    [
+                        id(ob.detdata[map_binning.pixel_pointing.pixels].data)
+                        for ob in data.obs
+                    ] == fused_state["pixels_ids"]
+                    and [
+                        id(
+                            ob.detdata[
+                                map_binning.stokes_weights.weights
+                            ].data
+                        )
+                        for ob in data.obs
+                    ] == fused_state["weights_ids"]
+                )
+            )
         ):
-            cleaned = f"{self.name}_cleaned" if self.save_cleaned else self.det_data
-            if self.save_cleaned and self.overwrite_cleaned:
-                cleaned = self.det_data
-            ApplyAmplitudes(
-                name=f"{self.name}_apply",
-                op="subtract",
-                det_data=self.det_data,
-                amplitudes=amplitudes_key,
-                template_matrix=self.template_matrix,
-                output=cleaned if cleaned != self.det_data else None,
-            ).apply(data, detectors=detectors)
+            if not fused_state.get("stream"):
+                # streaming observations have no resident TOD to subtract
+                # the template from; all map products come from the solve
+                cleaned = (
+                    f"{self.name}_cleaned" if self.save_cleaned
+                    else self.det_data
+                )
+                if self.save_cleaned and self.overwrite_cleaned:
+                    cleaned = self.det_data
+                ApplyAmplitudes(
+                    name=f"{self.name}_apply",
+                    op="subtract",
+                    det_data=self.det_data,
+                    amplitudes=amplitudes_key,
+                    template_matrix=self.template_matrix,
+                    output=cleaned if cleaned != self.det_data else None,
+                ).apply(data, detectors=detectors)
             self._fused_finish_multi(data, fused_state)
             del data._internal[f"{self.name}_solve_fused_state"]
             log.info_rank(

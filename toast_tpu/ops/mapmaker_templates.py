@@ -446,7 +446,11 @@ class SolveAmplitudes(Operator):
         pixels_name = binning.pixel_pointing.pixels
         weights_name = binning.stokes_weights.weights
         if any(
-            pixels_name not in ob.detdata or weights_name not in ob.detdata
+            getattr(ob, "loader", None) is None
+            and (
+                pixels_name not in ob.detdata
+                or weights_name not in ob.detdata
+            )
             for ob in data.obs
         ):
             from .operator import Pipeline
@@ -511,42 +515,44 @@ class SolveAmplitudes(Operator):
             wg = good * jnp.asarray(dw)[:, None]
             return pix, wts, tod, good, wg, flag_arrays, flag_masks, dw
 
+        # SINGLE streaming pass over observations: load (if the obs carries
+        # a loader), build the plan at its natural bucket, sweep the
+        # statistics, scatter the covariance triangle into the GLOBAL dense
+        # accumulators, keep only ~9 slim f32 columns per run, and unload.
+        # Plans are padded to the fleet-wide bucket afterwards — never a
+        # second pass over (possibly unloaded) samples.  This is what lets
+        # >=1e9 samples of observations stream through one chip: HBM holds
+        # run statistics, not samples (reference out-of-core loop:
+        # ops/operator.py:138 load_exec; multi-obs orchestration:
+        # ops/mapmaker.py:719).
+        from .kernels.fused_solver import (
+            accumulate_global_cov,
+            pad_plan_for_stack,
+        )
+
+        nnz = None
+        n_tri = None
+        invnpp_glob = None
+        hits_glob = None
         plans = []
-        per_obs = []
-        for ob, info in zip(data.obs, infos):
-            arrays = obs_arrays(ob, info)
-            plan = prepare_fused_plan(arrays[0], n_samp, step, n_base, n_det)
-            plans.append(plan)
-            per_obs.append(arrays)
-        runs_bucket = max(p["n_runs_b"] for p in plans)
-        hit_bucket = min(max(p["n_hit_b"] for p in plans), runs_bucket)
-        # pass 2: rebuild any plan whose buckets differ (content-cached)
-        for i, (plan, arrays) in enumerate(zip(plans, per_obs)):
-            if plan["n_runs_b"] != runs_bucket or plan["n_hit_b"] != hit_bucket:
-                plans[i] = prepare_fused_plan(
-                    arrays[0], n_samp, step, n_base, n_det,
-                    runs_bucket=runs_bucket, hit_bucket=hit_bucket,
-                )
-
-        # per-obs statistics: compute the 12-column pointing sweep one obs
-        # at a time, keep only the slim per-run solver operands (W, n,
-        # hits) plus the tod columns (y, z), and scatter the 6-column
-        # covariance triangle into the GLOBAL dense accumulators right
-        # away — the stacked HBM footprint stays ~9 f32 columns per run,
-        # which is what lets >=1e9 samples of observations stream through
-        # one chip.  pt-stat caching across realizations only for small K
-        # (the cache would pin ~0.3 GB per observation).
-        from .kernels.fused_solver import accumulate_global_cov
-
-        nnz = int(per_obs[0][1].shape[-1])
-        n_tri = nnz * (nnz + 1) // 2
-        invnpp_glob = jnp.zeros((n_pix, n_tri), jnp.float32)
-        hits_glob = jnp.zeros((n_pix,), jnp.float32)
         W_rows, n_rows, h_rows, y_rows, z_rows = [], [], [], [], []
-        cache_ok = len(data.obs) <= 4
-        for plan, (pix, wts, tod, good, wg, flag_arrays, flag_masks, dw) in zip(
-            plans, per_obs
-        ):
+        streaming = any(
+            getattr(ob, "loader", None) is not None for ob in data.obs
+        )
+        cache_ok = (not streaming) and len(data.obs) <= 4
+        for ob, info in zip(data.obs, infos):
+            loader = getattr(ob, "loader", None)
+            if loader is not None:
+                loader.load(ob)
+            (
+                pix, wts, tod, good, wg, flag_arrays, flag_masks, dw
+            ) = obs_arrays(ob, info)
+            if nnz is None:
+                nnz = int(wts.shape[-1])
+                n_tri = nnz * (nnz + 1) // 2
+                invnpp_glob = jnp.zeros((n_pix, n_tri), jnp.float32)
+                hits_glob = jnp.zeros((n_pix,), jnp.float32)
+            plan = prepare_fused_plan(pix, n_samp, step, n_base, n_det)
             pt = None
             pt_key = None
             if cache_ok:
@@ -584,6 +590,30 @@ class SolveAmplitudes(Operator):
                 jnp.stack([_col(td, i) for i in range(nnz)], axis=-1)
             )
             z_rows.append(_col(td, nnz))
+            plans.append(plan)
+            if loader is not None:
+                loader.unload(ob)
+
+        runs_bucket = max(p["n_runs_b"] for p in plans)
+        hit_bucket = min(max(p["n_hit_b"] for p in plans), runs_bucket)
+        plans = [
+            pad_plan_for_stack(p, runs_bucket, hit_bucket) for p in plans
+        ]
+
+        def _pad_rows(rows):
+            return [
+                jnp.pad(
+                    r,
+                    ((0, runs_bucket - r.shape[0]),) + ((0, 0),) * (r.ndim - 1),
+                )
+                for r in rows
+            ]
+
+        W_rows = _pad_rows(W_rows)
+        n_rows = _pad_rows(n_rows)
+        h_rows = _pad_rows(h_rows)
+        y_rows = _pad_rows(y_rows)
+        z_rows = _pad_rows(z_rows)
 
         def stack(key):
             return jnp.stack([p[key] for p in plans])
@@ -633,15 +663,16 @@ class SolveAmplitudes(Operator):
         amps[tmpl.name] = zero
         data._internal[f"{prefix}_fused_state"] = {
             "multi": True,
+            "stream": streaming,
             "nnz": nnz,
             "invnpp_glob": invnpp_glob,
             "hits_glob": hits_glob,
             "zmap_raw": zmap_raw,
             "zmap_clean": zmap_clean,
-            "pixels_ids": [
+            "pixels_ids": None if streaming else [
                 id(ob.detdata[pixels_name].data) for ob in data.obs
             ],
-            "weights_ids": [
+            "weights_ids": None if streaming else [
                 id(ob.detdata[weights_name].data) for ob in data.obs
             ],
         }
