@@ -81,3 +81,37 @@ def test_merge_timings(tmp_path):
     assert st.toast_merge_timings(["--root", str(tmp_path), "--out", out]) == 0
     body = open(out).read()
     assert "op_a" in body and "op_b" in body
+
+
+def test_run_scheduler_cli_options(tmp_path):
+    """The scheduler CLI accepts the reference option set (operational
+    days, elevation grid, avoidance altitudes, boresight rotation)."""
+    from toast_tpu.models.schedule import GroundSchedule
+    from toast_tpu.schedule_sim_ground import run_scheduler
+
+    out = str(tmp_path / "sched.txt")
+    sched = run_scheduler(
+        [
+            "--start", "2023-01-10 00:00:00",
+            "--stop", "2023-01-20 00:00:00",
+            "--patch", "p1,1.0,30,-30,50,-45",
+            "--patch", "p2,1.0,120,-30,140,-45",
+            "--operational-days", "2",
+            "--timezone", "-4",
+            "--elevations", "30,40,50,60",
+            "--boresight-angle-step", "30 deg",
+            "--sun-avoidance-altitude", "-10 deg",
+            "--moon-avoidance-angle", "5 deg",
+            "--partial-visibility",
+            "--elevation-balance",
+            "--out", out,
+        ]
+    )
+    assert len(sched.scans) > 0
+    days = {
+        int((s.start_timestamp - 4 * 3600.0) // 86400) for s in sched.scans
+    }
+    assert len(days) <= 2
+    # schedule round-trips through the text format
+    loaded = GroundSchedule.read(out)
+    assert len(loaded.scans) == len(sched.scans)
