@@ -114,6 +114,116 @@ def test_run_stats_match_numpy_oracle(seed):
     assert np.all(cols[~got_valid] == 0.0)
 
 
+def test_pad_plan_for_stack_solve_equivalence():
+    """Solving with plans padded to a shared bucket equals solving each at
+    its natural bucket (multi-obs stacking correctness)."""
+    from toast_tpu.ops.kernels.fused_solver import (
+        accumulate_global_cov,
+        fused_offset_solve_multi,
+        pad_plan_for_stack,
+        run_stats_pointing as rsp,
+        run_stats_tod as rst,
+    )
+
+    rng = np.random.default_rng(7)
+    n_det, n_samp = 2, 2048
+    step, nnz = 512, 3
+    n_base = -(-n_samp // step)
+    N = n_det * n_samp
+    n_pix = 1024
+
+    def make_obs(run_len):
+        reps = rng.integers(1, run_len + 1, size=N)
+        vals = rng.integers(0, n_pix, size=N)
+        pix = np.repeat(vals, reps)[:N].astype(np.int32).reshape(
+            n_det, n_samp
+        )
+        tod = rng.normal(size=(n_det, n_samp)).astype(np.float32)
+        wts = rng.normal(size=(N, nnz)).astype(np.float32)
+        return pix, tod, wts
+
+    # one rapidly-changing obs (runs ~ samples), one slow (long runs):
+    # different natural buckets force the padding path
+    obs = [make_obs(1), make_obs(16)]
+    good = np.ones(N, np.float32)
+    wg = np.ones(N, np.float32)
+
+    def stats_for(pix, tod, wts, runs_bucket=None, hit_bucket=None):
+        plan = prepare_fused_plan(
+            jnp.asarray(pix), n_samp, step, n_base, n_det,
+            runs_bucket=runs_bucket, hit_bucket=hit_bucket,
+        )
+        pt = rsp(
+            jnp.asarray(wts), jnp.asarray(wg), jnp.asarray(good),
+            plan["bounds1"], plan["order"], plan["good_sorted"],
+        )
+        td = rst(
+            jnp.asarray(tod.reshape(-1)), jnp.asarray(wts), jnp.asarray(wg),
+            plan["bounds1"], plan["order"], plan["good_sorted"],
+        )
+        return plan, pt, td
+
+    def solve(plans, pts, tds, pad):
+        n_tri = nnz * (nnz + 1) // 2
+        invnpp = jnp.zeros((n_pix, n_tri), jnp.float32)
+        hits = jnp.zeros((n_pix,), jnp.float32)
+        W_r, n_r, h_r, y_r, z_r = [], [], [], [], []
+        for plan, pt, td in zip(plans, pts, tds):
+            invnpp, hits = accumulate_global_cov(
+                pt, plan["hit_bounds"], plan["hit_valid"], plan["hit_pix"],
+                invnpp, hits, nnz=nnz,
+            )
+
+            def col(groups, i):
+                return groups[i // 4][:, i % 4]
+
+            W_r.append(jnp.stack([col(pt, i) for i in range(nnz)], -1))
+            n_r.append(col(pt, nnz))
+            h_r.append(col(pt, nnz + 1 + n_tri))
+            y_r.append(jnp.stack([col(td, i) for i in range(nnz)], -1))
+            z_r.append(col(td, nnz))
+        NB = max(p["n_runs_b"] for p in plans)
+        NHB = min(max(p["n_hit_b"] for p in plans), NB)
+        if pad:
+            plans = [pad_plan_for_stack(p, NB, NHB) for p in plans]
+            W_r = [jnp.pad(w, ((0, NB - w.shape[0]), (0, 0))) for w in W_r]
+            n_r = [jnp.pad(v, (0, NB - v.shape[0])) for v in n_r]
+            h_r = [jnp.pad(v, (0, NB - v.shape[0])) for v in h_r]
+            y_r = [jnp.pad(w, ((0, NB - w.shape[0]), (0, 0))) for w in y_r]
+            z_r = [jnp.pad(v, (0, NB - v.shape[0])) for v in z_r]
+
+        def stack(key):
+            return jnp.stack([p[key] for p in plans])
+
+        out = fused_offset_solve_multi(
+            jnp.stack(W_r), jnp.stack(n_r), jnp.stack(h_r),
+            jnp.stack(y_r), jnp.stack(z_r),
+            invnpp, hits,
+            stack("amp_sorted"), stack("hit_bounds"), stack("hit_valid"),
+            stack("hit_pix"), stack("hit_starts"), stack("rank_block"),
+            stack("rank_sorted"), stack("rank_block"),
+            jnp.float32(1e-3), jnp.float32(0.5), jnp.float32(step),
+            n_pix, plans[0]["n_hi"], n_det * n_base, 40, jnp.float32(1e-12),
+            nnz=nnz, use_pallas_expand=False,
+        )
+        return np.asarray(out[0]), np.asarray(out[6]), np.asarray(out[7])
+
+    # natural buckets differ -> the reference result uses explicit shared
+    # buckets built by prepare_fused_plan itself
+    plans_a, pts_a, tds_a = zip(*(stats_for(*o) for o in obs))
+    NB = max(p["n_runs_b"] for p in plans_a)
+    NHB = min(max(p["n_hit_b"] for p in plans_a), NB)
+    assert len({p["n_runs_b"] for p in plans_a}) > 1  # buckets really differ
+    plans_b, pts_b, tds_b = zip(
+        *(stats_for(*o, runs_bucket=NB, hit_bucket=NHB) for o in obs)
+    )
+    amps_pad, zr_pad, zc_pad = solve(list(plans_a), list(pts_a), list(tds_a), pad=True)
+    amps_ref, zr_ref, zc_ref = solve(list(plans_b), list(pts_b), list(tds_b), pad=False)
+    np.testing.assert_allclose(amps_pad, amps_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(zr_pad, zr_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(zc_pad, zc_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_run_stats_pointing_split_pass_equivalence():
     """The memory-capped 4-column split sweep equals the single sweep."""
     rng = np.random.default_rng(1)
