@@ -130,8 +130,23 @@ def _fp_count_and_hashes(pix_flat, extra_arrays, n_samp, step):
     return jnp.concatenate([fp, n_runs[None], extra]), change
 
 
-@partial(jax.jit, static_argnames=("n_runs_b", "n_samp", "step", "n_base"))
-def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
+@jax.jit
+def _compact_runs(pix_flat, change):
+    """Compact run starts AND their pixels in one 2-operand sample sort:
+    key = position where a run starts else n.  jnp.nonzero lowers ~9x
+    slower than lax.sort here (335 ms vs 38 ms at 33.5M on v5e), and the
+    payload operand replaces a 138 ms pix[starts] gather.  A separate
+    program keyed only by the sample count, so changing run buckets never
+    recompiles the large sample sort.
+    """
+    n = pix_flat.shape[0]
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    poskey = jnp.where(change, iota_n, jnp.int32(n))
+    return jax.lax.sort((poskey, pix_flat), num_keys=1)
+
+
+@partial(jax.jit, static_argnames=("n", "n_runs_b", "n_samp", "step", "n_base"))
+def _plan_runs(starts_all, pix_at, n, n_runs_b, n_samp, step, n_base):
     """One multi-operand sort builds the whole pixel-sorted run order.
 
     ``lax.sort`` with (key, iota, starts) carries the permutation AND the
@@ -141,14 +156,6 @@ def _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base):
     TPU.  Everything downstream (amplitude index, hit segmentation) is
     arithmetic on the sorted starts.
     """
-    n = pix_flat.shape[0]
-    # Compaction of run starts AND their pixels in one 2-operand sample
-    # sort: key = position where a run starts else n.  jnp.nonzero lowers
-    # ~9x slower than lax.sort here (335 ms vs 38 ms at 33.5M on v5e), and
-    # the payload operand replaces a 138 ms pix[starts] gather.
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    poskey = jnp.where(change, iota_n, jnp.int32(n))
-    starts_all, pix_at = jax.lax.sort((poskey, pix_flat), num_keys=1)
     # n_runs_b may exceed n on tiny inputs (buckets stay block-divisible
     # for the stats/expand kernels); pad the compaction with fill entries
     if n_runs_b > n:
@@ -305,10 +312,13 @@ def prepare_fused_plan(
         if runs_bucket < n_runs:
             raise ValueError("runs_bucket smaller than the run count")
         n_runs_b = runs_bucket
+    starts_all, pix_at = _compact_runs(pix_flat, change)
     (
         starts, order, amp_sorted, rank_sorted, good_sorted, hit_first,
         sorted_pix, n_hit_dev,
-    ) = _plan_runs(pix_flat, change, n_runs_b, n_samp, step, n_base)
+    ) = _plan_runs(
+        starts_all, pix_at, pix_flat.shape[0], n_runs_b, n_samp, step, n_base
+    )
     n_hit = int(n_hit_dev)
     n_hit_b = min(_bucket(n_hit), n_runs_b)
     if hit_bucket is not None:
