@@ -209,7 +209,9 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
                 plan["rank_block1k"] if plan["rank_block1k"] is not None
                 else plan["rank_block"],
                 cov_hit, rcond_hit,
-                jnp.float32(0.5), jnp.float32(step), zero_f, zero_f,
+                jnp.float32(0.5),
+                jnp.asarray(np.tile(info["amp_len"], n_det).astype(np.float32)),
+                zero_f, zero_f,
                 plan["n_hi"], plan["n_amp"], n_det, n_base,
                 n_iter, jnp.float32(1e-30), use_prior=False, nnz=nnz,
                 use_pallas_expand=use_pallas,

@@ -641,7 +641,8 @@ def fused_offset_solve(
     cov_hit,            # (n_hit_b, n_tri) solver covariance (inverted, cut)
     rcond_hit,          # (n_hit_b,)
     good_fraction,
-    step_len,           # nominal samples per baseline (for good_fraction)
+    amp_len,            # (n_amp,) ACTUAL samples per baseline (trailing
+                        # baselines are short; reference offset.py:328)
     prior_filter,       # (n_det, n_freq) rfft filters (zeros if unused)
     precond_filter,
     n_hi,
@@ -713,7 +714,7 @@ def fused_offset_solve(
     diag_n = reduce1(nc)
     n_good = reduce1(hc)
     amp_mask = (
-        (n_good / step_len >= good_fraction) & (diag_n > 0)
+        (n_good / amp_len > good_fraction) & (diag_n > 0)
     ).astype(jnp.float32)
     precond_diag = jnp.where(diag_n > 0, 1.0 / jnp.where(diag_n > 0, diag_n, 1.0), 0.0)
 
@@ -803,7 +804,7 @@ def fused_offset_solve_multi(
     rank_block1k,       # (K, n_runs_b / 1024) or rank_block when unusable
     rcond_threshold,    # scalar f32
     good_fraction,
-    step_len,
+    amp_len,            # (n_amp_obs,) ACTUAL samples per baseline
     n_pix,
     n_hi,
     n_amp_obs,
@@ -899,7 +900,7 @@ def fused_offset_solve_multi(
     diag_n = diag_rows.reshape(-1)
     n_good = ngood_rows.reshape(-1)
     amp_mask = (
-        (n_good / step_len >= good_fraction) & (diag_n > 0)
+        (n_good / jnp.tile(amp_len, K) > good_fraction) & (diag_n > 0)
     ).astype(jnp.float32)
     precond_diag = jnp.where(
         diag_n > 0, 1.0 / jnp.where(diag_n > 0, diag_n, 1.0), 0.0

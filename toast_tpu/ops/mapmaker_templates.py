@@ -365,7 +365,9 @@ class SolveAmplitudes(Operator):
             cov_hit,
             rcond_hit,
             jnp.float32(tmpl.good_fraction),
-            jnp.float32(step),
+            jnp.asarray(
+                np.tile(info["amp_len"], n_det).astype(np.float32)
+            ),
             info.get("prior_filter", zero_f),
             info.get("precond_filter", zero_f),
             plan["n_hi"],
@@ -648,7 +650,9 @@ class SolveAmplitudes(Operator):
             rb1k,
             jnp.float32(float(self.solve_rcond_threshold)),
             jnp.float32(tmpl.good_fraction),
-            jnp.float32(step),
+            jnp.asarray(
+                np.tile(infos[0]["amp_len"], n_det).astype(np.float32)
+            ),
             n_pix,
             plans[0]["n_hi"],
             n_amp_obs,

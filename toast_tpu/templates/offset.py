@@ -131,9 +131,16 @@ class Offset(Template):
                 n_good = np.full((len(dets), n_base), step, dtype=np.float64)
                 n_good[:, -1] = n_samp - (n_base - 1) * step
 
-            # per-baseline flags and preconditioner
-            frac = n_good / step
-            amp_flags = (frac < self.good_fraction).astype(np.uint8)
+            # per-baseline flags and preconditioner.  The good fraction is
+            # relative to each baseline's ACTUAL length — the trailing
+            # baseline is legitimately short (reference offset.py:328-334
+            # divides by amplen, not the nominal step; dividing by the
+            # nominal step cuts every amplitude of an observation shorter
+            # than one step, silently turning the solve into a no-op)
+            amp_len = np.full(n_base, step, dtype=np.float64)
+            amp_len[-1] = n_samp - (n_base - 1) * step
+            frac = n_good / amp_len[None, :]
+            amp_flags = (frac <= self.good_fraction).astype(np.uint8)
             with np.errstate(divide="ignore"):
                 precond = 1.0 / (det_weights[:, None] * n_good)
             precond[n_good == 0] = 0.0
@@ -145,6 +152,7 @@ class Offset(Template):
                 "det_idx": didx,
                 "offset": offset,
                 "step": step,
+                "amp_len": amp_len,
                 "n_base": n_base,
                 "n_amp": n_amp,
                 "good": good_dev,
