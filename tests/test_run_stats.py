@@ -202,7 +202,16 @@ def test_pad_plan_for_stack_solve_equivalence():
             stack("amp_sorted"), stack("hit_bounds"), stack("hit_valid"),
             stack("hit_pix"), stack("hit_starts"), stack("rank_block"),
             stack("rank_sorted"), stack("rank_block"),
-            jnp.float32(1e-3), jnp.float32(0.5), jnp.float32(step),
+            jnp.float32(1e-3), jnp.float32(0.5),
+            jnp.asarray(
+                np.tile(
+                    np.r_[
+                        np.full(n_base - 1, step),
+                        [n_samp - (n_base - 1) * step],
+                    ],
+                    n_det,
+                ).astype(np.float32)
+            ),
             n_pix, plans[0]["n_hi"], n_det * n_base, 40, jnp.float32(1e-12),
             nnz=nnz, use_pallas_expand=False,
         )

@@ -738,8 +738,13 @@ def fused_offset_solve(
         zmap = bin_runs(Wc * a_run[:, None])
         binned = _apply_tri(cov_hit, zmap, nnz)
         val_run = expand(binned)
-        v = jnp.sum(Wc * val_run, axis=1)
-        out = diag_n * a - reduce1(v)
+        # diagonal and coupling folded into ONE per-run difference: the
+        # two terms cancel to the noise scale PER RUN (~step/run_length
+        # smaller magnitudes), where diag_n * a - reduce(v) subtracts two
+        # full-baseline-scale float32 numbers and loses the near-null
+        # long-baseline eigenvalues to roundoff (dq <= 0 PCG stalls)
+        v = nc * a_run - jnp.sum(Wc * val_run, axis=1)
+        out = reduce1(v)
         if use_prior:
             out = out + apply_prior(a)
         return out * amp_mask
@@ -768,7 +773,9 @@ def fused_offset_solve(
         x = x + alpha * d
         r = r - alpha * q
         s = apply_precond(r)
-        delta_new = jnp.sum(r * s)
+        # numerical breakdown (indefinite curvature from roundoff on
+        # near-null directions): terminate instead of stalling
+        delta_new = jnp.where(dq > 0, jnp.sum(r * s), 0.0)
         beta = jnp.where(delta > 0, delta_new / jnp.where(delta > 0, delta, 1.0), 0.0)
         d = s + beta * d
         return (x, r, d, delta_new, it + 1)
@@ -888,13 +895,17 @@ def fused_offset_solve_multi(
             (rcond_glob[pk["hit_pix"]] > 0) & pk["hit_valid"]
         ).astype(jnp.float32)
 
-    # ---- diagonal / baseline flags (one good-run expansion per obs) ----
+    # ---- diagonal / baseline flags (one good-run expansion per obs).
+    # The masked per-run counts are kept stacked: the matvec folds the
+    # diagonal into the per-run difference so the two near-cancelling
+    # terms meet at run magnitudes, not full-baseline magnitudes ----
     def scan_diag(carry, xs):
         n_k, h_k, pk = xs
         g_run = expand(good_hit_of(pk)[:, None], pk)[:, 0]
-        return carry, (reduce1(n_k * g_run, pk), reduce1(h_k * g_run, pk))
+        nc_k = n_k * g_run
+        return carry, (nc_k, reduce1(nc_k, pk), reduce1(h_k * g_run, pk))
 
-    _, (diag_rows, ngood_rows) = jax.lax.scan(
+    _, (nc_all, diag_rows, ngood_rows) = jax.lax.scan(
         scan_diag, None, (n_all, hits_all, plans)
     )
     diag_n = diag_rows.reshape(-1)
@@ -929,14 +940,17 @@ def fused_offset_solve_multi(
         binned = _apply_tri(cov_glob, zmap, nnz)
 
         def scan_out(carry, xs):
-            a_k, d_k, W_k, pk = xs
+            a_k, nc_k, W_k, pk = xs
             b_loc = binned[pk["hit_pix"]] * good_hit_of(pk)[:, None]
             val_run = expand(b_loc, pk)
-            v = jnp.sum(W_k * val_run, axis=1)
-            return carry, d_k * a_k - reduce1(v, pk)
+            a_run = amp_expand(
+                a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
+            )
+            v = nc_k * a_run - jnp.sum(W_k * val_run, axis=1)
+            return carry, reduce1(v, pk)
 
         _, out_rows = jax.lax.scan(
-            scan_out, None, (a2, diag_n.reshape(K, n_amp_obs), W_all, plans)
+            scan_out, None, (a2, nc_all, W_all, plans)
         )
         return out_rows.reshape(-1) * amp_mask
 
@@ -982,7 +996,9 @@ def fused_offset_solve_multi(
         x = x + alpha * d
         r = r - alpha * q
         s = apply_precond(r)
-        delta_new = jnp.sum(r * s)
+        # numerical breakdown (indefinite curvature from roundoff on
+        # near-null directions): terminate instead of stalling
+        delta_new = jnp.where(dq > 0, jnp.sum(r * s), 0.0)
         beta = jnp.where(
             delta > 0, delta_new / jnp.where(delta > 0, delta, 1.0), 0.0
         )
