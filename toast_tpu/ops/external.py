@@ -7,12 +7,17 @@ Rebuilds of the reference's optional external-library operators:
 and the
 SPT3G interop operators (``ops/save_spt3g.py``, ``load_spt3g.py``).
 
-None of these third-party packages exist in this environment; each class
-reports availability and raises a clear error when used, mirroring the
-reference's pattern of gating on import (``ops/conviqt.py:31``).  ``Madam``
-additionally offers a compatibility path that translates its parameters to
-the native :class:`~toast_tpu.ops.mapmaker.MapMaker`, so workflows written
-against the Madam API still produce maps.
+Unlike the reference, most of these no longer need the third-party
+package at all:
+
+* ``SimConviqt`` runs the NATIVE asymmetric 4-pi convolution from FITS
+  a_lm files (``math/beam_convolve.py``);
+* ``SaveSpt3g`` / ``LoadSpt3g`` / ``RunSpt3g`` use the full native frame
+  conversion (``toast_tpu/spt3g/``) — the real ``spt3g.core`` objects
+  when installed, a faithful shim otherwise;
+* ``Madam`` translates its parameters to the native
+  :class:`~toast_tpu.ops.mapmaker.MapMaker`, so workflows written against
+  the Madam API still produce maps (libmadam itself is MPI/CPU-only).
 """
 
 from __future__ import annotations
