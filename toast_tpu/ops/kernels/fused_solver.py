@@ -63,7 +63,7 @@ import jax.numpy as jnp
 
 from ...math.fft import irfft_batched as _irfft_b
 from ...pixels.covariance import _apply_tri, _invert_tri
-from .mapkernels import pixel_fingerprint, segment_sum_sorted
+from .mapkernels import segment_sum_sorted
 
 _LOW = 128          # lane width of the two-level amplitude decomposition
 _FILL = np.int32(2147483647)

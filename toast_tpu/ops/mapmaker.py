@@ -337,7 +337,7 @@ class MapMaker(Operator):
             )
 
     def _write_products(self, data):
-        from ..pixels.io_healpix import write_healpix_fits, write_healpix_hdf5
+        from ..pixels.io_healpix import write_healpix_hdf5
 
         os.makedirs(self.output_dir, exist_ok=True)
         products = []

@@ -25,7 +25,7 @@ import json
 import numpy as np
 
 from ..utils.logging import Logger
-from .g3shim import from_g3_time, get_g3, to_g3_time
+from .g3shim import get_g3, to_g3_time
 
 
 def _object_fullname(obj_cls):

@@ -21,7 +21,6 @@ from datetime import datetime, timezone
 
 import numpy as np
 
-from ..utils.logging import Logger
 from .g3shim import from_g3_time, get_g3
 
 
