@@ -276,3 +276,59 @@ def test_cosmic_rays_glitch_library(tmp_path):
     assert len(peaks) > 0
     # glitch peaks near the library amplitude
     assert abs(np.max(sig) - 7.0) < 0.5
+
+
+def test_mitigate_crosstalk_inverts():
+    """MitigateCrossTalk undoes CrossTalk (same matrix sources/seeds)."""
+    data = create_satellite_data(n_pix=3, obs_time=Quantity(1.0, u.minute))
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ob = data.obs[0]
+    sig0 = ob.detdata["signal"].numpy().copy()
+    ops.CrossTalk(level=0.01, realization=5).apply(data)
+    assert np.abs(ob.detdata["signal"].numpy() - sig0).max() > 1e-5
+    ops.MitigateCrossTalk(level=0.01, realization=5).apply(data)
+    np.testing.assert_allclose(
+        ob.detdata["signal"].numpy(), sig0, rtol=5e-4, atol=5e-5
+    )
+    # imperfect knowledge leaves a residual
+    ops.CrossTalk(level=0.01, realization=5).apply(data)
+    ops.MitigateCrossTalk(
+        level=0.01, realization=5, error_coefficients=0.2
+    ).apply(data)
+    resid = np.abs(ob.detdata["signal"].numpy() - sig0).max()
+    assert resid > 1e-5
+
+
+def test_decimate_focalplane():
+    """DecimateFocalplane flags all but every n-th pixel."""
+    data = create_satellite_data(n_pix=7, obs_time=Quantity(0.5, u.minute))
+    ob = data.obs[0]
+    n_all = len(ob.all_detectors)
+    before = len(ob.select_local_detectors(flagmask=255))
+    assert before == n_all
+    ops.DecimateFocalplane(nskip=2, detectors_per_pixel=2).apply(data)
+    kept = ob.select_local_detectors(flagmask=255)
+    # every other 2-detector pixel survives
+    assert 0 < len(kept) < n_all
+    assert abs(len(kept) - n_all / 2) <= 2
+    # surviving detectors come in whole pixels (A/B pairs)
+    names = set(kept)
+    for d in kept:
+        pair = d[:-1] + ("B" if d.endswith("A") else "A")
+        assert pair in names
+
+
+def test_azimuth_ranges():
+    """AzimuthRanges records the scan azimuth span."""
+    import numpy as _np
+
+    data = create_satellite_data(n_pix=1, obs_time=Quantity(0.5, u.minute))
+    ob = data.obs[0]
+    n = ob.n_local_samples
+    az = _np.linspace(0.3, 1.2, n)
+    ob.shared.create_column("azimuth", (n,))
+    ob.shared.set("azimuth", az)
+    ops.AzimuthRanges().apply(data)
+    assert abs(ob["scan_min_az"].to_value(u.rad) - 0.3) < 1e-9
+    assert abs(ob["scan_max_az"].to_value(u.rad) - 1.2) < 1e-9

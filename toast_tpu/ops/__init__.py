@@ -21,6 +21,8 @@ from .demodulation import Demodulate, StokesWeightsDemod
 from .elevation_noise import ElevationNoise
 from .external import (
     LoadSpt3g,
+    SimTEBConviqt,
+    SimWeightedConviqt,
     Madam,
     RunSpt3g,
     SaveSpt3g,
@@ -31,6 +33,7 @@ from .scan_alm import ScanAlm, SimTotalconvolve
 from .filterbin import FilterBin, ObsMat
 from .flag_ops import (
     AzimuthIntervals,
+    AzimuthRanges,
     ExtendFlags,
     FlagIntervals,
     FlagNaNs,
@@ -52,6 +55,8 @@ from .sim_sky import SimCatalog, SimDipole, SimScanSynchronousSignal
 from .sim_systematics import (
     CommonModeNoise,
     CrossTalk,
+    DecimateFocalplane,
+    MitigateCrossTalk,
     GainDrifter,
     GainScrambler,
     InjectCosmicRays,

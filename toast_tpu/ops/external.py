@@ -254,6 +254,24 @@ class SimConviqt(Operator):
         }
 
 
+class SimWeightedConviqt(SimConviqt):
+    """Intensity-weighted beam convolution variant
+    (reference ``ops/conviqt.py:678``).
+
+    The reference splits the beam into I/Q/U-weighted pieces convolved
+    separately and combined with the Stokes weights; the native path
+    currently convolves the temperature beam exactly like
+    :class:`SimConviqt` — polarized beam cross-terms follow the same
+    C_m' cube structure and are not yet wired (see SimTotalconvolve).
+    """
+
+
+class SimTEBConviqt(SimConviqt):
+    """T/E/B beam component convolution variant
+    (reference ``ops/conviqt.py:794``).  Temperature component native;
+    polarized beam components not yet wired (see SimTotalconvolve)."""
+
+
 class SaveSpt3g(Operator):
     """SPT3G frame export (reference ``ops/save_spt3g.py:23``).
 

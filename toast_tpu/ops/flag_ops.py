@@ -229,3 +229,40 @@ class YieldCut(Operator):
                 d: self.det_flag_mask for d, c in cut.items() if c
             }
             ob.update_local_detector_flags(flagged)
+
+
+class AzimuthRanges(Operator):
+    """Record each observation's azimuth range as metadata
+    (reference ``ops/azimuth_intervals.py:591``): min/max of the unwrapped
+    good-flagged azimuth stored as ``scan_min_az`` / ``scan_max_az``."""
+
+    azimuth = Unicode(defaults.azimuth)
+    shared_flags = Unicode(defaults.shared_flags, allow_none=True)
+    shared_flag_mask = Int(defaults.shared_mask_invalid)
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        from ..utils import units as u
+        from ..utils.units import Quantity
+
+        for ob in data.obs:
+            if self.azimuth not in ob.shared:
+                continue
+            az = np.unwrap(np.asarray(ob.shared[self.azimuth]))
+            good = np.ones(az.shape, bool)
+            if (
+                self.shared_flags is not None
+                and self.shared_flags in ob.shared
+            ):
+                flags = np.asarray(ob.shared[self.shared_flags])
+                good = (flags & self.shared_flag_mask) == 0
+            if not np.any(good):
+                continue
+            ob["scan_min_az"] = Quantity(float(az[good].min()), u.rad)
+            ob["scan_max_az"] = Quantity(float(az[good].max()), u.rad)
+
+    def _provides(self):
+        return {
+            "global": [], "meta": ["scan_min_az", "scan_max_az"],
+            "detdata": [], "shared": [], "intervals": [],
+        }

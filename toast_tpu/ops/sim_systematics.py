@@ -140,6 +140,38 @@ class CrossTalk(Operator):
     realization = Int(0)
     level = Float(1.0e-3, help="RMS crosstalk coupling if generated")
 
+    def _xtalk_matrix(self, ob, dets, file_mat):
+        """The off-diagonal coupling X for this observation's detectors."""
+        n_det = len(dets)
+        if file_mat is not None:
+            alldets = ob.telescope.focalplane.detectors
+            if len(alldets) > file_mat.shape[0]:
+                raise ValueError(
+                    f"crosstalk matrix {file_mat.shape} smaller than "
+                    f"the {len(alldets)}-detector focalplane"
+                )
+            order = {d: i for i, d in enumerate(alldets)}
+            sel = np.array([order[d] for d in dets])
+            X = file_mat[np.ix_(sel, sel)].astype(np.float32)
+            np.fill_diagonal(X, 0.0)
+        elif self.xtalk_mat_key is not None and self.xtalk_mat_key in ob:
+            matdict = ob[self.xtalk_mat_key]
+            X = np.zeros((n_det, n_det), dtype=np.float32)
+            for i, d1 in enumerate(dets):
+                for j, d2 in enumerate(dets):
+                    if d1 in matdict and d2 in matdict[d1]:
+                        X[i, j] = matdict[d1][d2]
+        else:
+            sindx = int(ob.session.uid if ob.session else 0) & 0xFFFFFFFF
+            g = toast_rng.random(
+                n_det * n_det,
+                key=((self.realization << 16) | 3, sindx),
+                sampler="gaussian",
+            ).reshape(n_det, n_det)
+            X = (self.level * g).astype(np.float32)
+            np.fill_diagonal(X, 0.0)
+        return X
+
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         file_mat = None
@@ -150,37 +182,100 @@ class CrossTalk(Operator):
             n_det = len(dets)
             if n_det == 0:
                 continue
-            if file_mat is not None:
-                alldets = ob.telescope.focalplane.detectors
-                if len(alldets) > file_mat.shape[0]:
-                    raise ValueError(
-                        f"crosstalk matrix {file_mat.shape} smaller than "
-                        f"the {len(alldets)}-detector focalplane"
-                    )
-                order = {d: i for i, d in enumerate(alldets)}
-                sel = np.array([order[d] for d in dets])
-                X = file_mat[np.ix_(sel, sel)].astype(np.float32)
-                np.fill_diagonal(X, 0.0)
-            elif self.xtalk_mat_key is not None and self.xtalk_mat_key in ob:
-                matdict = ob[self.xtalk_mat_key]
-                X = np.zeros((n_det, n_det), dtype=np.float32)
-                for i, d1 in enumerate(dets):
-                    for j, d2 in enumerate(dets):
-                        if d1 in matdict and d2 in matdict[d1]:
-                            X[i, j] = matdict[d1][d2]
-            else:
-                sindx = int(ob.session.uid if ob.session else 0) & 0xFFFFFFFF
-                g = toast_rng.random(
-                    n_det * n_det,
-                    key=((self.realization << 16) | 3, sindx),
-                    sampler="gaussian",
-                ).reshape(n_det, n_det)
-                X = (self.level * g).astype(np.float32)
-                np.fill_diagonal(X, 0.0)
+            X = self._xtalk_matrix(ob, dets, file_mat)
             mix = jnp.asarray(np.eye(n_det, dtype=np.float32) + X)
             didx = ob.detector_indices(dets)
             field = ob.detdata[self.det_data]
             field.data = field.data.at[didx].set(mix @ field.data[didx])
+
+
+class MitigateCrossTalk(CrossTalk):
+    """Invert readout crosstalk (reference ``ops/sim_crosstalk.py:351``).
+
+    Applies ``(I + X)^-1`` built from the same matrix sources as
+    :class:`CrossTalk`; ``error_coefficients`` perturbs the inverse's
+    entries by a relative gaussian error to model imperfect knowledge of
+    the coupling (reference trait of the same name).
+    """
+
+    error_coefficients = Float(
+        0.0, help="Relative rms error on the inverse matrix coefficients"
+    )
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        file_mat = None
+        if self.xtalk_mat_file is not None:
+            file_mat = np.load(self.xtalk_mat_file)["matrix"]
+        for ob in data.obs:
+            dets = ob.select_local_detectors(detectors)
+            n_det = len(dets)
+            if n_det == 0:
+                continue
+            X = self._xtalk_matrix(ob, dets, file_mat)
+            inv = np.linalg.inv(
+                np.eye(n_det, dtype=np.float64) + X.astype(np.float64)
+            )
+            if self.error_coefficients > 0:
+                sindx = int(ob.session.uid if ob.session else 0) & 0xFFFFFFFF
+                g = toast_rng.random(
+                    n_det * n_det,
+                    key=((self.realization << 16) | 7, sindx),
+                    sampler="gaussian",
+                ).reshape(n_det, n_det)
+                inv = inv * (1.0 + self.error_coefficients * np.asarray(g))
+            didx = ob.detector_indices(dets)
+            field = ob.detdata[self.det_data]
+            field.data = field.data.at[didx].set(
+                jnp.asarray(inv.astype(np.float32)) @ field.data[didx]
+            )
+
+
+class DecimateFocalplane(Operator):
+    """Disable all but every n-th pixel (reference
+    ``ops/decimate_focalplane.py:17``): flags the skipped detectors in the
+    observations' local detector flags so downstream selections drop them.
+    """
+
+    nskip = Int(10, help="Keep every nskip-th pixel")
+    detectors_per_pixel = Int(
+        1, help="Consecutive detectors sharing a pixel (2 typical, 3/6 demod)"
+    )
+    pixel_property = Unicode(
+        None, allow_none=True,
+        help="Focalplane column identifying pixels (overrides "
+        "detectors_per_pixel)",
+    )
+    det_mask = Int(defaults.det_mask_invalid)
+
+    @function_timer
+    def _exec(self, data, detectors=None, **kwargs):
+        if self.nskip == 1:
+            return
+        for ob in data.obs:
+            fp = ob.telescope.focalplane
+            alldets = list(ob.all_detectors)
+            if self.pixel_property is not None:
+                pix_of = {
+                    d: fp.detector_data[self.pixel_property][i]
+                    for i, d in enumerate(fp.detector_data["name"])
+                }
+                pixels = []
+                for d in alldets:
+                    if pix_of[d] not in pixels:
+                        pixels.append(pix_of[d])
+                keep_pix = set(pixels[:: self.nskip])
+                cut = [d for d in alldets if pix_of[d] not in keep_pix]
+            else:
+                dpp = max(1, self.detectors_per_pixel)
+                cut = [
+                    d
+                    for i, d in enumerate(alldets)
+                    if (i // dpp) % self.nskip != 0
+                ]
+            ob.update_local_detector_flags(
+                {d: self.det_mask for d in cut}
+            )
 
 
 class TimeConstant(Operator):
