@@ -15,7 +15,7 @@ from ..models.defaults import default_values as defaults
 from ..templates.amplitudes import AmplitudesMap
 from ..utils import units as u
 from ..utils.logging import Logger
-from ..utils.timing import Timer, function_timer
+from ..utils.timing import function_timer
 from .operator import Operator
 
 
