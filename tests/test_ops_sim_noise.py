@@ -100,3 +100,20 @@ def test_sim_noise_accumulates():
     ops.SimNoise().apply(data)
     second = ob.detdata["signal"].numpy()
     np.testing.assert_allclose(second, 2 * first, rtol=1e-4, atol=1e-8)
+
+
+def test_deferred_finite_guard():
+    """Queued non-finite counts raise at the next drain point, batched."""
+    import jax.numpy as jnp
+    import pytest
+
+    from toast_tpu.utils import guards
+
+    guards.drain_checks()  # settle anything pending from other tests
+    guards.defer_check("clean", jnp.asarray(0, jnp.int32))
+    guards.drain_checks()  # zero count: no error
+    guards.defer_check("dirty stream", jnp.asarray(3, jnp.int32))
+    guards.defer_check("clean2", jnp.asarray(0, jnp.int32))
+    with pytest.raises(RuntimeError, match="dirty stream: 3"):
+        guards.drain_checks()
+    guards.drain_checks()  # queue was cleared by the raising drain

@@ -44,6 +44,10 @@ def save_hdf5(
     """Write one observation to ``<dir>/<name>_<uid>.h5``; returns the path."""
     import h5py
 
+    from ..utils.guards import drain_checks
+
+    drain_checks()
+
     os.makedirs(dir, exist_ok=True)
     fname = os.path.join(dir, f"{ob.name}_{ob.uid}.h5")
     comp = dict(compression="gzip", compression_opts=4) if compress else {}

@@ -21,7 +21,7 @@ loader ``ref:src/toast/io/observation_hdf_load.py:844``):
 * ``shared/``: datasets with a ``comm_type`` attr
 * ``detdata/``: uncompressed ``(n_det, n_samp, ...)`` datasets with a
   ``units`` attr; FLAC-compressed fields are *groups* (flacarray layout)
-  and are rejected with a clear error (no FLAC decoder in this env)
+  decoded via the native codec (``toast_tpu/native/flac.py``)
 * ``intervals/``: group attr ``times`` naming the timestamp field,
   ``(2, n)`` float64 start/stop datasets
 

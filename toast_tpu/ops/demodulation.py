@@ -193,7 +193,6 @@ class Demodulate(Operator):
             new_cols["name"] = np.array(demod_dets, dtype=object)
             from ..models.instrument import Focalplane, Telescope
 
-            demod_rate = u.Quantity(rate / self.nskip, u.Hz) if False else None
             from ..utils.units import Quantity as Qty
 
             demod_fp = Focalplane(

@@ -235,9 +235,14 @@ class SimConviqt(Operator):
             quats = ob.detdata[self.quats].data
             ob.detdata.ensure(self.det_data, units=u.K)
             field = ob.detdata[self.det_data]
-            out = (
-                jnp.zeros_like(field.data) if self.zero else field.data
-            )
+            out = field.data
+            if self.zero:
+                # zero only the detectors being processed (the reference
+                # conviqt zeroes per-detector, ref:ops/conviqt.py exec loop)
+                sel = jnp.asarray(
+                    np.array([field.index(d) for d in dets], dtype=np.int32)
+                )
+                out = out.at[sel].set(0.0)
             for det in dets:
                 di = field.index(det)
                 qi = ob.detdata[self.quats].index(det)

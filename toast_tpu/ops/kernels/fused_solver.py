@@ -272,9 +272,13 @@ def _fingerprint_nd(x):
         idx = idx * jnp.int32(xi.shape[ax]) + jax.lax.broadcasted_iota(
             jnp.int32, xi.shape, ax
         )
-    mixed = xi * (idx * jnp.int32(-1640531527) | jnp.int32(1))
-    h1 = jnp.sum(xi, dtype=jnp.int32)
-    h2 = jnp.sum(mixed ^ (xi >> 7), dtype=jnp.int32)
+    # two independent positional multiplicative mixes — matches
+    # mapkernels._fingerprint_jit on the flattened linear order
+    m1 = idx * jnp.int32(-1640531527) | jnp.int32(1)
+    m2 = idx * jnp.int32(-862048943) | jnp.int32(1)
+    h1 = jnp.sum((xi ^ (xi >> 15)) * m1, dtype=jnp.int32)
+    h2 = jnp.sum((xi * jnp.int32(461845907) ^ (xi >> 7)) * m2,
+                 dtype=jnp.int32)
     return jnp.stack([h1, h2])
 
 
@@ -297,7 +301,9 @@ def prepare_fused_plan(
         fpc = np.asarray(fpc)
     else:
         fpc, change = precomputed
-    fp_key = (int(fpc[0]), int(fpc[1]), pix_flat.shape[0]) + (
+    # the run count rides along as a cheap secondary invariant: a hash
+    # collision between different pixel arrays almost surely disagrees on it
+    fp_key = (int(fpc[0]), int(fpc[1]), int(fpc[2]), pix_flat.shape[0]) + (
         int(n_samp), int(step), int(n_base), int(n_det),
         runs_bucket, hit_bucket,
     )

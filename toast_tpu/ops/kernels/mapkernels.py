@@ -374,12 +374,16 @@ def plan_segment_sum(vals_flat, plan):
 
 @jax.jit
 def _fingerprint_jit(flat):
-    # 64-bit content hash: plain sum + position-mixed sum (int32 wrapping
-    # arithmetic is deterministic on all backends)
+    # 64-bit content hash: two INDEPENDENT positional multiplicative mixes
+    # (int32 wrapping arithmetic is deterministic on all backends).  Both
+    # lanes are order- and value-sensitive — a plain sum lane collides on
+    # any permutation, which silently reuses the wrong cached plan
     idx = jax.lax.iota(jnp.int32, flat.shape[0])
-    mixed = flat * (idx * jnp.int32(-1640531527) | jnp.int32(1))
-    h1 = jnp.sum(flat, dtype=jnp.int32)
-    h2 = jnp.sum(mixed ^ (flat >> 7), dtype=jnp.int32)
+    m1 = idx * jnp.int32(-1640531527) | jnp.int32(1)
+    m2 = idx * jnp.int32(-862048943) | jnp.int32(1)
+    h1 = jnp.sum((flat ^ (flat >> 15)) * m1, dtype=jnp.int32)
+    h2 = jnp.sum((flat * jnp.int32(461845907) ^ (flat >> 7)) * m2,
+                 dtype=jnp.int32)
     return jnp.stack([h1, h2])
 
 

@@ -78,6 +78,7 @@ class PixelsHealpix(Operator):
         if self.nside_submap > self.nside:
             self.nside_submap = self.nside
         hit_submaps = None
+        existing_dist = None
         if self.create_dist is not None:
             existing = (
                 data[self.create_dist] if self.create_dist in data else None
@@ -87,14 +88,14 @@ class PixelsHealpix(Operator):
                 and existing.n_pix == self.n_pix
                 and existing.n_submap == self.n_submap
             ):
-                # distribution already built for this geometry: keep it.
-                # The reference builds it once (BuildPixelDistribution);
-                # re-deriving it would force a device sync mid-pipeline on
-                # every Monte-Carlo realization.  Delete the data key to
-                # force a rebuild after a pointing change.
-                pass
-            else:
-                hit_submaps = np.zeros(self.n_submap, dtype=bool)
+                # distribution already built for this geometry: keep it IF
+                # the current pointing's hit submaps are covered by it (the
+                # marks below are cached per observation by pixel content,
+                # so repeated execs over unchanged pointing cost nothing).
+                # A pointing change that hits new submaps rebuilds the
+                # distribution instead of silently misassigning submaps.
+                existing_dist = existing
+            hit_submaps = np.zeros(self.n_submap, dtype=bool)
 
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
@@ -152,12 +153,20 @@ class PixelsHealpix(Operator):
                 hit_submaps |= ob_hits
 
         if hit_submaps is not None:
-            data[self.create_dist] = PixelDistribution(
-                n_pix=self.n_pix,
-                n_submap=self.n_submap,
-                local_submaps=np.nonzero(hit_submaps)[0],
-                comm=data.comm,
-            )
+            hit_ids = np.nonzero(hit_submaps)[0]
+            if existing_dist is not None and np.all(
+                np.isin(hit_ids, existing_dist.local_submaps)
+            ):
+                # every hit submap is already owned locally: reuse, keeping
+                # PixelData objects pinned to the existing distribution valid
+                pass
+            else:
+                data[self.create_dist] = PixelDistribution(
+                    n_pix=self.n_pix,
+                    n_submap=self.n_submap,
+                    local_submaps=hit_ids,
+                    comm=data.comm,
+                )
 
     def _requires(self):
         return {

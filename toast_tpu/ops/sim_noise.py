@@ -37,6 +37,11 @@ class SimNoise(Operator):
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
+        from ..utils.guards import defer_check, drain_checks
+
+        # settle any previously queued integrity checks (one round trip for
+        # scalars that finished long ago) before producing new data
+        drain_checks()
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
@@ -107,21 +112,19 @@ class SimNoise(Operator):
                     )
                 noise = jnp.concatenate(parts, axis=0)
 
-            # guard against backend FFT faults emitting NaN rows.  The
-            # batch padding in kernels/simnoise.py removes the known
-            # trigger (non-8-aligned batches), so the eager full-array
-            # check — which stalls the async pipeline on a device sync —
-            # is opt-in via TOAST_CHECK_FINITE; a NaN would still surface
-            # loudly in the solver's fetched residual
-            import os
-
-            if os.environ.get("TOAST_CHECK_FINITE", ""):
-                n_bad = int(jnp.sum(~jnp.isfinite(noise)))
-                if n_bad:
-                    raise RuntimeError(
-                        f"SimNoise generated {n_bad} non-finite samples in "
-                        f"observation '{ob.name}' — backend FFT fault"
-                    )
+            # guard against backend FFT faults emitting NaN rows (a fault
+            # mode observed on this backend for non-8-aligned batches; the
+            # padding in kernels/simnoise.py removes that trigger, but the
+            # check stays always-on because BinMap/FilterBin-only and export
+            # pipelines would otherwise propagate NaN silently into maps and
+            # files).  The count stays a device scalar queued with the rest
+            # of the program; it is fetched — batched, one round trip — at
+            # the next drain point (next SimNoise, any file write, exit),
+            # always before data leaves the process.
+            defer_check(
+                f"SimNoise obs '{ob.name}'",
+                jnp.sum(~jnp.isfinite(noise), dtype=jnp.int32),
+            )
 
             # mixing matrix: detector tod += sum_k weight(det,k) * stream_k
             if nse.mixing_is_identity(dets, keys):

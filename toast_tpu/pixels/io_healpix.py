@@ -19,6 +19,10 @@ def write_healpix_hdf5(pixel_data, path, nest=True, comm=None, single_precision=
     """Write a PixelData to an HDF5 file (dataset 'map', shape (nnz, npix))."""
     import h5py
 
+    from ..utils.guards import drain_checks
+
+    drain_checks()
+
     arr = pixel_data.numpy().T  # (n_value, n_pix)
     if single_precision:
         arr = arr.astype(np.float32)
@@ -90,6 +94,9 @@ def _fits_end_block(lines):
 
 def write_healpix_fits(pixel_data, path, nest=True, comm=None, report_memory=False):
     """Write a PixelData as a HEALPix FITS binary table."""
+    from ..utils.guards import drain_checks
+
+    drain_checks()
     arr = pixel_data.numpy().T.astype(">f4")  # (n_value, n_pix) big-endian
     n_value, n_pix = arr.shape
     nside = healpix.npix2nside(n_pix)

@@ -1,0 +1,57 @@
+"""Deferred device-side data-integrity checks.
+
+A host fetch through the remote-TPU tunnel costs a full round trip
+(~25 ms measured), so always-on sanity checks must not fetch eagerly.
+Producers queue a device scalar (e.g. a non-finite count) with
+:func:`defer_check`; the pending scalars are fetched in ONE batched round
+trip at natural synchronization points — the next producer call, any
+file write, or process exit — via :func:`drain_checks`.  A fault is
+therefore always raised before (or instead of) data leaving the process,
+without ever stalling the async device pipeline mid-loop.
+
+Set ``TOAST_CHECK_FINITE=0`` to disable the checks entirely.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+
+_PENDING: list = []
+
+
+def checks_enabled() -> bool:
+    return os.environ.get("TOAST_CHECK_FINITE", "1") != "0"
+
+
+def defer_check(label: str, count_scalar) -> None:
+    """Queue a device int scalar that must be zero.
+
+    ``label`` names the producer/observation for the error message.  The
+    scalar stays on device until the next :func:`drain_checks`.
+    """
+    if not checks_enabled():
+        return
+    _PENDING.append((label, count_scalar))
+
+
+def drain_checks() -> None:
+    """Fetch all pending check scalars (one round trip) and raise on any
+    nonzero count."""
+    if not _PENDING:
+        return
+    import jax.numpy as jnp
+    import numpy as np
+
+    items = list(_PENDING)
+    _PENDING.clear()
+    vals = np.asarray(jnp.stack([c for _, c in items]))
+    bad = [
+        (label, int(v)) for (label, _), v in zip(items, vals) if int(v) != 0
+    ]
+    if bad:
+        details = "; ".join(f"{label}: {n} samples" for label, n in bad)
+        raise RuntimeError(f"non-finite data detected — {details}")
+
+
+atexit.register(drain_checks)

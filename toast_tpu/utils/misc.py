@@ -41,9 +41,13 @@ def rate_from_times(timestamps):
     cacheable = ts is timestamps or (
         isinstance(timestamps, np.ndarray) and ts.base is timestamps
     )
+    # cheap content guard: in-place fills of shared columns do occur
+    # (e.g. spt3g_import writes into np.asarray(obs.shared[key])), so the
+    # identity key alone would return stale rates after a mutation
+    content = (len(ts), float(ts[0]), float(ts[-1]))
     if cacheable:
         hit = _RATE_CACHE.get(id(timestamps))
-        if hit is not None and hit[0]() is timestamps:
+        if hit is not None and hit[0]() is timestamps and hit[2] == content:
             return hit[1]
     diffs = np.diff(ts)
     dt = float(np.median(diffs))
@@ -58,7 +62,9 @@ def rate_from_times(timestamps):
         if len(_RATE_CACHE) > 64:
             _RATE_CACHE.clear()
         try:
-            _RATE_CACHE[id(timestamps)] = (weakref.ref(timestamps), result)
+            _RATE_CACHE[id(timestamps)] = (
+                weakref.ref(timestamps), result, content,
+            )
         except TypeError:
             pass
     return result
