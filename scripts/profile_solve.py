@@ -192,29 +192,21 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
 
     zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
 
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and plan["rank_block1k"] is not None
-        and plan["n_hit_b"] <= (1 << 22)
-        and plan["n_hi"] <= 2048
-    )
-    print(f"    use_pallas_expand={use_pallas}", flush=True)
+    use_pallas = jax.default_backend() == "tpu" and plan["n_hi"] <= 2048
+    print(f"    use_pallas_reduce={use_pallas}", flush=True)
 
     def solve(n_iter):
         def f():
             return fused_offset_solve(
                 pt_g, td_g, plan["amp_sorted"], plan["hit_starts"],
                 plan["hit_bounds"], plan["hit_valid"], plan["rank_block"],
-                plan["rank_sorted"],
-                plan["rank_block1k"] if plan["rank_block1k"] is not None
-                else plan["rank_block"],
                 cov_hit, rcond_hit,
                 jnp.float32(0.5),
                 jnp.asarray(np.tile(info["amp_len"], n_det).astype(np.float32)),
                 zero_f, zero_f,
                 plan["n_hi"], plan["n_amp"], n_det, n_base,
                 n_iter, jnp.float32(1e-30), use_prior=False, nnz=nnz,
-                use_pallas_expand=use_pallas,
+                use_pallas_reduce=use_pallas,
             )
         return f
     _, dt1 = t("fused_solve 1 iter", solve(1))

@@ -201,7 +201,6 @@ def test_pad_plan_for_stack_solve_equivalence():
             invnpp, hits,
             stack("amp_sorted"), stack("hit_bounds"), stack("hit_valid"),
             stack("hit_pix"), stack("hit_starts"), stack("rank_block"),
-            stack("rank_sorted"), stack("rank_block"),
             jnp.float32(1e-3), jnp.float32(0.5),
             jnp.asarray(
                 np.tile(
@@ -213,7 +212,7 @@ def test_pad_plan_for_stack_solve_equivalence():
                 ).astype(np.float32)
             ),
             n_pix, plans[0]["n_hi"], n_det * n_base, 40, jnp.float32(1e-12),
-            nnz=nnz, use_pallas_expand=False,
+            nnz=nnz, use_pallas_reduce=False,
         )
         return np.asarray(out[0]), np.asarray(out[6]), np.asarray(out[7])
 

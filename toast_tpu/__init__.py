@@ -9,6 +9,16 @@ Public API mirrors the reference top level (``src/toast/__init__.py:62-79``).
 
 from ._version import __version__
 
+# Scientific default: exact float32 matmuls.  On TPU, XLA lowers f32
+# dots/convs to a SINGLE bfloat16 MXU pass by default (measured 2.3e-3
+# relative error on v5e) — fine for neural nets, wrong for regression,
+# covariance accumulation, and PCG solves.  HIGHEST selects the exact
+# multi-pass decomposition; hot kernels that have a measured-exact fast
+# path (e.g. ops/kernels/pallas_reduce.py) opt in explicitly.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 # utils
 from .utils import Environment, GlobalTimers, Logger, Timer
 from .utils.units import Quantity, Unit

@@ -53,7 +53,6 @@ BASELINE.json requirement).
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import numpy as np
@@ -341,7 +340,6 @@ def prepare_fused_plan(
         "starts": starts,
         "rank_block": rank_sorted[::blk],
         "rank_sorted": rank_sorted,
-        "rank_block1k": rank_sorted[::1024] if n_runs_b % 1024 == 0 else None,
         "bounds1": jnp.concatenate(
             [starts, jnp.asarray([pix_flat.shape[0]], dtype=jnp.int32)]
         ),
@@ -587,6 +585,13 @@ def amp_reduce(vals, amp_hi, amp_lo, n_hi, n_amp):
     """sum per amplitude of per-run values — as two MXU contractions.
 
     vals: (n_runs_b, k).  Returns (n_amp, k).
+
+    precision=HIGHEST is load-bearing: the TPU default lowers f32 matmuls
+    to ONE bf16 pass (measured 2.3e-3 relative error), which would inject
+    ~1e-3 noise into every PCG matvec.  HIGHEST runs the exact 3-pass
+    f32 decomposition.  The Pallas block reduce (pallas_reduce.py) is both
+    exact and faster — callers prefer it on TPU; this is the portable
+    fallback.
     """
     oh_hi = _onehot_hi(amp_hi, n_hi)
     oh_lo = _onehot_lo(amp_lo)
@@ -598,6 +603,7 @@ def amp_reduce(vals, amp_hi, amp_lo, n_hi, n_amp):
             oh_hi,
             oh_lo * vals[:, c : c + 1],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         outs.append(m.reshape(-1)[:n_amp])
     return jnp.stack(outs, axis=-1)
@@ -605,11 +611,18 @@ def amp_reduce(vals, amp_hi, amp_lo, n_hi, n_amp):
 
 @partial(jax.jit, static_argnames=("n_hi",))
 def amp_expand(a, amp_hi, amp_lo, n_hi):
-    """a[g_r] for every run — one-hot matmul + masked lane reduction."""
+    """a[g_r] for every run — one-hot matmul + masked lane reduction.
+
+    precision=HIGHEST: see amp_reduce — the TPU bf16 default would round
+    every expanded amplitude to ~8 mantissa bits inside the matvec.
+    """
     a2 = jnp.zeros((n_hi * _LOW,), dtype=a.dtype).at[: a.shape[0]].set(a)
     a2 = a2.reshape(n_hi, _LOW)
     oh_hi = _onehot_hi(amp_hi, n_hi)
-    m1 = jnp.dot(oh_hi, a2, preferred_element_type=jnp.float32)
+    m1 = jnp.dot(
+        oh_hi, a2, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     oh_lo = _onehot_lo(amp_lo)
     return jnp.sum(m1 * oh_lo, axis=1)
 
@@ -631,7 +644,7 @@ def _stats_block(groups, lo, hi):
     jax.jit,
     static_argnames=(
         "n_hi", "n_amp", "n_det", "n_base", "n_iter_max", "use_prior", "nnz",
-        "use_pallas_expand",
+        "use_pallas_reduce",
     ),
 )
 def fused_offset_solve(
@@ -642,8 +655,6 @@ def fused_offset_solve(
     hit_bounds,
     hit_valid,
     rank_block,         # (n_runs_b / block,) segment rank at block starts
-    rank_sorted,        # (n_runs_b,) segment rank of every sorted run
-    rank_block1k,       # (n_runs_b / 1024,) rank at 1024-block starts (TPU)
     cov_hit,            # (n_hit_b, n_tri) solver covariance (inverted, cut)
     rcond_hit,          # (n_hit_b,)
     good_fraction,
@@ -659,9 +670,15 @@ def fused_offset_solve(
     convergence,
     use_prior=False,
     nnz=3,
-    use_pallas_expand=False,
+    use_pallas_reduce=False,
 ):
     """Run-compressed PCG with matmul-formulated index algebra.
+
+    The hit->run expansion is always the XLA scatter+cumsum fill
+    (measured faster than the Pallas window-matmul variant on v5e: 3.5 ms
+    vs 9.2 ms at 6.3M runs, k=3); the run->amplitude reduction prefers
+    the Pallas block accumulator on TPU (7.2 ms vs 15.1 ms, and exact
+    where the XLA default bf16 matmul path was not).
 
     Returns (amplitudes, iterations, rel_delta, diag_n, amp_mask).
     """
@@ -673,29 +690,13 @@ def fused_offset_solve(
     n_tri = nnz * (nnz + 1) // 2
     hits_run = _stats_col(pt_groups, nnz + 1 + n_tri)
 
-    if use_pallas_expand:
-        from .pallas_expand import expand_rows_pallas
-        from .pallas_reduce import _BLOCK as _RBLOCK, amp_reduce_pallas
+    def expand(vals_hit):
+        return expand_hit_to_runs(
+            vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
+        )
 
-        def expand(vals_hit):
-            return expand_rows_pallas(
-                vals_hit, rank_block1k, rank_sorted, n_runs_b
-            )
-    else:
-
-        def expand(vals_hit):
-            return expand_hit_to_runs(
-                vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
-            )
-
-    if (
-        use_pallas_expand
-        and n_runs_b % min(_RBLOCK, n_runs_b) == 0
-        # measured-win gate: the block-accumulate reduce beat the XLA
-        # one-hot einsum at 1024-run blocks only in setup, not in the
-        # iteration; enable after verifying the 4096-block variant wins
-        and os.environ.get("TOAST_PALLAS_REDUCE", "") == "1"
-    ):
+    if use_pallas_reduce:
+        from .pallas_reduce import amp_reduce_pallas
 
         def reduce1(v):
             return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
@@ -796,7 +797,7 @@ def fused_offset_solve(
 @partial(
     jax.jit,
     static_argnames=(
-        "n_pix", "n_hi", "n_amp_obs", "n_iter_max", "nnz", "use_pallas_expand",
+        "n_pix", "n_hi", "n_amp_obs", "n_iter_max", "nnz", "use_pallas_reduce",
     ),
 )
 def fused_offset_solve_multi(
@@ -813,8 +814,6 @@ def fused_offset_solve_multi(
     hit_pix,            # (K, n_hit_b) GLOBAL pixel ids (0 where invalid)
     hit_starts,         # (K, n_hit_b)
     rank_block,         # (K, n_runs_b / stat block)
-    rank_sorted,        # (K, n_runs_b)
-    rank_block1k,       # (K, n_runs_b / 1024) or rank_block when unusable
     rcond_threshold,    # scalar f32
     good_fraction,
     amp_len,            # (n_amp_obs,) ACTUAL samples per baseline
@@ -824,7 +823,7 @@ def fused_offset_solve_multi(
     n_iter_max,
     convergence,
     nnz=3,
-    use_pallas_expand=False,
+    use_pallas_reduce=False,
 ):
     """Run-compressed PCG over MULTIPLE observations of equal shape.
 
@@ -848,30 +847,14 @@ def fused_offset_solve_multi(
     """
     K, n_runs_b = amp_sorted.shape
 
-    if use_pallas_expand:
-        from .pallas_expand import expand_rows_pallas
-        from .pallas_reduce import _BLOCK as _RBLOCK, amp_reduce_pallas
+    def expand(vals_hit, pk):
+        return expand_hit_to_runs(
+            vals_hit, pk["hit_starts"], pk["hit_valid"],
+            pk["rank_block"], n_runs_b,
+        )
 
-        def expand(vals_hit, pk):
-            return expand_rows_pallas(
-                vals_hit, pk["rank_block1k"], pk["rank_sorted"], n_runs_b
-            )
-    else:
-
-        def expand(vals_hit, pk):
-            return expand_hit_to_runs(
-                vals_hit, pk["hit_starts"], pk["hit_valid"],
-                pk["rank_block"], n_runs_b,
-            )
-
-    if (
-        use_pallas_expand
-        and n_runs_b % min(_RBLOCK, n_runs_b) == 0
-        # measured-win gate: the block-accumulate reduce beat the XLA
-        # one-hot einsum at 1024-run blocks only in setup, not in the
-        # iteration; enable after verifying the 4096-block variant wins
-        and os.environ.get("TOAST_PALLAS_REDUCE", "") == "1"
-    ):
+    if use_pallas_reduce:
+        from .pallas_reduce import amp_reduce_pallas
 
         def reduce1(v, pk):
             return amp_reduce_pallas(v, pk["amp_sorted"], n_hi, n_amp_obs)
@@ -890,8 +873,6 @@ def fused_offset_solve_multi(
         "hit_pix": hit_pix,
         "hit_starts": hit_starts,
         "rank_block": rank_block,
-        "rank_sorted": rank_sorted,
-        "rank_block1k": rank_block1k,
     }
 
     cov_glob, rcond_glob = _invert_tri(invnpp_glob, rcond_threshold, nnz)
@@ -1072,9 +1053,6 @@ def pad_plan_for_stack(plan, runs_bucket, hit_bucket):
     out["amp_sorted"] = amp
     out["rank_sorted"] = rank
     out["rank_block"] = rank[:: min(_STAT_BLOCK, runs_bucket)]
-    out["rank_block1k"] = (
-        rank[::1024] if runs_bucket % 1024 == 0 else None
-    )
     out["hit_starts"] = jnp.concatenate(
         [
             jnp.where(

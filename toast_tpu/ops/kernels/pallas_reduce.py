@@ -56,7 +56,14 @@ def _reduce_kernel(amp_ref, val_ref, out_ref):
     oh_hi = (
         jax.lax.broadcasted_iota(jnp.int32, (n_hi, block), 0) == hi[None, :]
     ).astype(jnp.bfloat16)
-    out_ref[:] += jnp.dot(oh_hi, m, preferred_element_type=jnp.float32)
+    # precision must be DEFAULT: the package-wide HIGHEST default would
+    # request an fp32 contract on bf16 operands, which Mosaic rejects
+    # ("Bad lhs type").  One bf16 pass here is exact by construction —
+    # one-hot factors and the 3-way split components are bf16 values.
+    out_ref[:] += jnp.dot(
+        oh_hi, m, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
 
 
 @partial(jax.jit, static_argnames=("n_hi", "n_amp", "interpret"))
@@ -73,7 +80,12 @@ def amp_reduce_pallas(vals, amp_sorted, n_hi, n_amp, interpret=False):
         (n_amp,) float32 per-amplitude sums.
     """
     n_runs_b = vals.shape[0]
+    # largest power-of-two-divided block <= _BLOCK that divides the bucket
+    # (buckets are multiples of 512, so this terminates at >= 512 for all
+    # production sizes; tiny power-of-two buckets use one whole block)
     block = min(_BLOCK, n_runs_b)
+    while n_runs_b % block:
+        block //= 2
     n_blocks = n_runs_b // block
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -236,9 +236,20 @@ class SolveAmplitudes(Operator):
             ).apply(data, detectors=detectors)
             binning.pixel_pointing.create_dist = saved_cd
 
-        pix = ob.detdata[pixels_name].data[didx]
-        wts = ob.detdata[weights_name].data[didx]
-        tod = ob.detdata[self.det_data].data[didx]
+        def _rows(field):
+            # full in-order detector set: use the array directly — an
+            # identity [didx] gather would duplicate the largest HBM
+            # buffers (pixels/weights/signal) for nothing
+            arr = ob.detdata[field].data
+            if len(didx) == arr.shape[0] and np.array_equal(
+                np.asarray(didx), np.arange(arr.shape[0])
+            ):
+                return arr
+            return arr[didx]
+
+        pix = _rows(pixels_name)
+        wts = _rows(weights_name)
+        tod = _rows(self.det_data)
         nnz = int(wts.shape[-1])
 
         # good mask from the binning flags (the same mask the generic
@@ -338,17 +349,13 @@ class SolveAmplitudes(Operator):
 
         use_prior = "prior_filter" in info
         zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
-        # the Pallas monotone-expand kernel needs 1024-divisible run blocks
-        # and a hit table that fits VMEM; elsewhere use the XLA fill
+        # the Pallas block reduce is exact and ~2x faster than the XLA
+        # one-hot einsum (measured v5e, 6.3M runs); its VMEM residents are
+        # the (n_hi, 3*128) f32 accumulator + a (n_hi, block) bf16 one-hot
         import jax as _jax
 
         use_pallas = (
-            _jax.default_backend() == "tpu"
-            and plan["rank_block1k"] is not None
-            and plan["n_hit_b"] <= (1 << 22)
-            # reduce kernel holds a (n_hi, 3*128) f32 accumulator plus a
-            # (n_hi, 1024) bf16 one-hot in VMEM
-            and plan["n_hi"] <= 2048
+            _jax.default_backend() == "tpu" and plan["n_hi"] <= 2048
         )
         with _seg("solve_dispatch"):
             amps_flat, iters, rel, diag_n, amp_mask = fused_offset_solve(
@@ -359,9 +366,6 @@ class SolveAmplitudes(Operator):
             plan["hit_bounds"],
             plan["hit_valid"],
             plan["rank_block"],
-            plan["rank_sorted"],
-            plan["rank_block1k"] if plan["rank_block1k"] is not None
-            else plan["rank_block"],
             cov_hit,
             rcond_hit,
             jnp.float32(tmpl.good_fraction),
@@ -378,7 +382,7 @@ class SolveAmplitudes(Operator):
             jnp.float32(float(self.convergence)),
             use_prior=use_prior,
             nnz=nnz,
-            use_pallas_expand=use_pallas,
+            use_pallas_reduce=use_pallas,
         )
         amps = AmplitudesMap()
         zero = tmpl.zeros()
@@ -484,9 +488,18 @@ class SolveAmplitudes(Operator):
         # shared stacked shape
         def obs_arrays(ob, info):
             didx = info["det_idx"]
-            pix = ob.detdata[pixels_name].data[didx]
-            wts = ob.detdata[weights_name].data[didx]
-            tod = ob.detdata[self.det_data].data[didx]
+
+            def _rows(field):
+                arr = ob.detdata[field].data
+                if len(didx) == arr.shape[0] and np.array_equal(
+                    np.asarray(didx), np.arange(arr.shape[0])
+                ):
+                    return arr
+                return arr[didx]
+
+            pix = _rows(pixels_name)
+            wts = _rows(weights_name)
+            tod = _rows(self.det_data)
             good = jnp.ones(pix.shape, dtype=jnp.float32)
             flag_arrays = []
             flag_masks = []
@@ -621,13 +634,7 @@ class SolveAmplitudes(Operator):
             return jnp.stack([p[key] for p in plans])
 
         use_pallas = (
-            _jax.default_backend() == "tpu"
-            and all(p["rank_block1k"] is not None for p in plans)
-            and hit_bucket <= (1 << 22)
-            and plans[0]["n_hi"] <= 2048
-        )
-        rb1k = (
-            stack("rank_block1k") if use_pallas else stack("rank_block")
+            _jax.default_backend() == "tpu" and plans[0]["n_hi"] <= 2048
         )
         (
             amps_flat, iters, rel, amp_mask,
@@ -646,8 +653,6 @@ class SolveAmplitudes(Operator):
             stack("hit_pix"),
             stack("hit_starts"),
             stack("rank_block"),
-            stack("rank_sorted"),
-            rb1k,
             jnp.float32(float(self.solve_rcond_threshold)),
             jnp.float32(tmpl.good_fraction),
             jnp.asarray(
@@ -659,7 +664,7 @@ class SolveAmplitudes(Operator):
             self.iter_max,
             jnp.float32(float(self.convergence)),
             nnz=nnz,
-            use_pallas_expand=use_pallas,
+            use_pallas_reduce=use_pallas,
         )
         amps = AmplitudesMap()
         zero = tmpl.zeros()

@@ -88,14 +88,15 @@ class PixelsHealpix(Operator):
                 and existing.n_pix == self.n_pix
                 and existing.n_submap == self.n_submap
             ):
-                # distribution already built for this geometry: keep it IF
-                # the current pointing's hit submaps are covered by it (the
-                # marks below are cached per observation by pixel content,
-                # so repeated execs over unchanged pointing cost nothing).
-                # A pointing change that hits new submaps rebuilds the
-                # distribution instead of silently misassigning submaps.
+                # distribution already built for this geometry: reuse it,
+                # but guard the reuse — a pointing change that hits submaps
+                # outside the distribution would silently misassign them.
+                # The coverage count stays a DEVICE scalar queued through
+                # the guards registry (one batched fetch at the next drain
+                # point) so Monte-Carlo realizations never pay a sync here.
                 existing_dist = existing
-            hit_submaps = np.zeros(self.n_submap, dtype=bool)
+            else:
+                hit_submaps = np.zeros(self.n_submap, dtype=bool)
 
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
@@ -131,16 +132,15 @@ class PixelsHealpix(Operator):
                 )
                 ob.detdata[self.pixels].data = pix
                 ob._internal[cache_tag] = cache_key
-            if hit_submaps is not None:
+            if hit_submaps is not None or existing_dist is not None:
                 # submap hit tracking (dense maps keep every submap on TPU,
-                # so this is bookkeeping only): mark on device, move the
-                # small n_submap vector to host.  Cached per observation by
-                # the pixel-array identity — repeated execs (solver, final
-                # binning) skip the 16M-element scatter and the host fetch.
+                # so this is bookkeeping only): mark on device.  Cached per
+                # observation by the pixel-array identity — repeated execs
+                # (solver, final binning) skip the compare sweep.
                 marks_tag = f"_cache_{self.pixels}_submaps"
                 cached = ob._internal.get(marks_tag)
                 if cached is not None and cached[0] == cache_key:
-                    ob_hits = cached[1]
+                    marks = cached[1]
                 else:
                     # one-hot any-reduce instead of a scatter: XLA scatter
                     # costs ~9-16 ns/sample (scalar-issue bound on TPU),
@@ -148,25 +148,33 @@ class PixelsHealpix(Operator):
                     # + or-reduce streams on the VPU in a few ms
                     sub = pix.reshape(-1) // (self.n_pix // self.n_submap)
                     marks = _submap_marks(sub, self.n_submap)
-                    ob_hits = np.asarray(marks)
-                    ob._internal[marks_tag] = (cache_key, ob_hits)
-                hit_submaps |= ob_hits
+                    ob._internal[marks_tag] = (cache_key, marks)
+                if hit_submaps is not None:
+                    # building a new distribution: the host needs the marks
+                    hit_submaps |= np.asarray(marks)
+                else:
+                    # reusing the existing distribution: queue a deferred
+                    # coverage check (count of hit-but-unowned submaps)
+                    from ..utils.guards import defer_check
+
+                    covered = jnp.zeros(self.n_submap, bool).at[
+                        jnp.asarray(existing_dist.local_submaps)
+                    ].set(True)
+                    defer_check(
+                        f"PixelsHealpix obs '{ob.name}': pointing hits "
+                        f"submaps outside the reused distribution "
+                        f"'{self.create_dist}' (delete the data key to "
+                        f"rebuild it); uncovered submaps",
+                        jnp.sum(marks & ~covered, dtype=jnp.int32),
+                    )
 
         if hit_submaps is not None:
-            hit_ids = np.nonzero(hit_submaps)[0]
-            if existing_dist is not None and np.all(
-                np.isin(hit_ids, existing_dist.local_submaps)
-            ):
-                # every hit submap is already owned locally: reuse, keeping
-                # PixelData objects pinned to the existing distribution valid
-                pass
-            else:
-                data[self.create_dist] = PixelDistribution(
-                    n_pix=self.n_pix,
-                    n_submap=self.n_submap,
-                    local_submaps=hit_ids,
-                    comm=data.comm,
-                )
+            data[self.create_dist] = PixelDistribution(
+                n_pix=self.n_pix,
+                n_submap=self.n_submap,
+                local_submaps=np.nonzero(hit_submaps)[0],
+                comm=data.comm,
+            )
 
     def _requires(self):
         return {
