@@ -22,6 +22,17 @@ from functools import partial
 import jax
 
 
+@jax.jit
+def _uncovered_count(marks, uncovered):
+    """Count of submaps hit by the pointing but absent from a reused
+    distribution.  One fixed-shape program: the ``uncovered`` mask is
+    built on the HOST (a handful of bytes) so the check never compiles
+    shape-dependent eager ops in the middle of a production pass — each
+    first-time tiny-program compile costs ~1 s through the remote-TPU
+    tunnel."""
+    return jnp.sum(marks & uncovered, dtype=jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("n_submap",))
 def _submap_marks(sub_flat, n_submap):
     """Boolean hit mask per submap via blocked one-hot any-reduce."""
@@ -150,22 +161,29 @@ class PixelsHealpix(Operator):
                     marks = _submap_marks(sub, self.n_submap)
                     ob._internal[marks_tag] = (cache_key, marks)
                 if hit_submaps is not None:
-                    # building a new distribution: the host needs the marks
+                    # building a new distribution: the host needs the marks.
+                    # Also pre-warm the coverage-check program (below) with
+                    # an all-covered mask, so reuse passes in the same
+                    # process never hit a first-time compile mid-pipeline.
                     hit_submaps |= np.asarray(marks)
+                    _uncovered_count(
+                        marks, jnp.asarray(np.zeros(self.n_submap, bool))
+                    )
                 else:
                     # reusing the existing distribution: queue a deferred
-                    # coverage check (count of hit-but-unowned submaps)
+                    # coverage check (count of hit-but-unowned submaps).
+                    # The uncovered mask is host-built: no eager device
+                    # scatter / logical ops, hence no fresh compiles.
                     from ..utils.guards import defer_check
 
-                    covered = jnp.zeros(self.n_submap, bool).at[
-                        jnp.asarray(existing_dist.local_submaps)
-                    ].set(True)
+                    uncov = np.ones(self.n_submap, dtype=bool)
+                    uncov[np.asarray(existing_dist.local_submaps)] = False
                     defer_check(
                         f"PixelsHealpix obs '{ob.name}': pointing hits "
                         f"submaps outside the reused distribution "
                         f"'{self.create_dist}' (delete the data key to "
                         f"rebuild it); uncovered submaps",
-                        jnp.sum(marks & ~covered, dtype=jnp.int32),
+                        _uncovered_count(marks, jnp.asarray(uncov)),
                     )
 
         if hit_submaps is not None:

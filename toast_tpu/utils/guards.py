@@ -36,22 +36,29 @@ def defer_check(label: str, count_scalar) -> None:
 
 
 def drain_checks() -> None:
-    """Fetch all pending check scalars (one round trip) and raise on any
-    nonzero count."""
+    """Fetch all pending check scalars and raise on any nonzero count.
+
+    Each scalar is fetched with a plain device-to-host copy
+    (``np.asarray``) — NOT a ``jnp.stack`` — because stacking k scalars
+    compiles a new tiny XLA program for every distinct k, and through the
+    remote-TPU tunnel each first-time compile costs ~1 s of wall time in
+    whatever innocent producer happens to trigger the drain.  A copy of an
+    existing device buffer never compiles; at ~25 ms per round trip and
+    one or two checks per drain this is strictly cheaper.
+    """
     if not _PENDING:
         return
-    import jax.numpy as jnp
     import numpy as np
 
     items = list(_PENDING)
     _PENDING.clear()
-    vals = np.asarray(jnp.stack([c for _, c in items]))
+    vals = [int(np.asarray(c)) for _, c in items]
     bad = [
         (label, int(v)) for (label, _), v in zip(items, vals) if int(v) != 0
     ]
     if bad:
-        details = "; ".join(f"{label}: {n} samples" for label, n in bad)
-        raise RuntimeError(f"non-finite data detected — {details}")
+        details = "; ".join(f"{label}: {n}" for label, n in bad)
+        raise RuntimeError(f"deferred data-integrity check failed — {details}")
 
 
 atexit.register(drain_checks)
