@@ -1,0 +1,199 @@
+"""Reference-format v2 WRITER round trip: toast_tpu save_hdf5_reference ->
+observation_hdf_ref load -> identical observation (VERDICT r3 item 6).
+
+Also validates the hand-generated astropy-table YAML sidecar against the
+grammar astropy's ``get_header_from_yaml`` parses (datatype entries for
+every column, ``!!omap`` meta with tagged Quantities) so reference TOAST
+can reconstruct the focalplane table."""
+
+import os
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+from helpers import create_satellite_data
+
+from toast_tpu.io import load_hdf5, save_hdf5_reference
+from toast_tpu.models.noise import AnalyticNoise
+from toast_tpu.utils import units as u
+from toast_tpu.utils.units import Quantity
+
+
+@pytest.fixture(scope="module")
+def obs():
+    from toast_tpu import ops
+
+    data = create_satellite_data(n_pix=2, obs_time=Quantity(2.0, u.minute))
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ob = data.obs[0]
+    ob["scan_speed"] = Quantity(1.25, u.deg / u.second)
+    ob["comment"] = "round trip fixture"
+    ob["cal_table"] = {"gain": 1.5, "offsets": np.arange(3.0)}
+    ob["stages"] = ["sim", "noise"]
+    ob.set_local_detector_flags({ob.all_detectors[0]: 2})
+    return ob
+
+
+def test_reference_v2_roundtrip(obs, tmp_path):
+    path = save_hdf5_reference(obs, str(tmp_path))
+    assert path.endswith(f"{obs.name}.h5")
+
+    # file is recognized as reference v2 by the generic loader and routed
+    # through observation_hdf_ref.load_hdf5_reference
+    with h5py.File(path, "r") as f:
+        assert int(f.attrs["toast_format_version"]) == 2
+
+    back = load_hdf5(path)
+
+    assert back.name == obs.name
+    assert back.uid == obs.uid
+    assert back.n_local_samples == obs.n_local_samples
+    assert back.all_detectors == obs.all_detectors
+    assert back.local_detector_flags == obs.local_detector_flags
+
+    # instrument
+    assert back.telescope.name == obs.telescope.name
+    assert back.telescope.uid == obs.telescope.uid
+    fp, fp0 = back.telescope.focalplane, obs.telescope.focalplane
+    assert fp.detectors == fp0.detectors
+    assert np.isclose(
+        fp.sample_rate.to_value(u.Hz), fp0.sample_rate.to_value(u.Hz)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fp.detector_data["quat"], dtype=np.float64),
+        np.asarray(fp0.detector_data["quat"], dtype=np.float64),
+    )
+    assert back.session is not None
+    assert back.session.name == obs.session.name
+
+    # noise model (reference base-Noise layout)
+    noise, noise0 = back["noise_model"], obs["noise_model"]
+    assert noise.detectors == noise0.detectors
+    for key in noise0.keys:
+        np.testing.assert_allclose(
+            np.asarray(noise.freq(key)), np.asarray(noise0.freq(key)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(noise.psd(key)), np.asarray(noise0.psd(key)),
+            rtol=1e-6,
+        )
+        assert noise.index(key) == noise0.index(key)
+    det = noise0.detectors[0]
+    assert np.isclose(
+        noise.detector_weight(det).to_value(u.K**-2),
+        noise0.detector_weight(det).to_value(u.K**-2),
+        rtol=1e-5,
+    )
+
+    # save_meta_object tree
+    assert back["comment"] == "round trip fixture"
+    assert np.isclose(back["scan_speed"].to_value(u.deg / u.second), 1.25)
+    assert back["cal_table"]["gain"] == 1.5
+    np.testing.assert_allclose(
+        np.asarray(back["cal_table"]["offsets"]), np.arange(3.0)
+    )
+    assert list(back["stages"]) == ["sim", "noise"]
+
+    # shared / detdata / intervals
+    for key in obs.shared:
+        np.testing.assert_allclose(
+            np.asarray(back.shared[key]), np.asarray(obs.shared[key])
+        )
+        assert back.shared.comm_type(key) == obs.shared.comm_type(key)
+    for key in obs.detdata:
+        np.testing.assert_allclose(
+            back.detdata[key].numpy(), obs.detdata[key].numpy(), rtol=1e-6
+        )
+        assert back.detdata[key].units == obs.detdata[key].units
+    for key in obs.intervals:
+        il, il0 = back.intervals[key], obs.intervals[key]
+        assert len(il) == len(il0)
+        np.testing.assert_array_equal(il.data["first"], il0.data["first"])
+        np.testing.assert_array_equal(il.data["last"], il0.data["last"])
+
+
+def test_reference_v2_flac_roundtrip(obs, tmp_path):
+    from toast_tpu.io.flacarray_io import have_flac
+
+    if not have_flac():
+        pytest.skip("native FLAC codec unavailable")
+    path = save_hdf5_reference(
+        obs, str(tmp_path), codec_flac={"signal": 1e-7}
+    )
+    with h5py.File(path, "r") as f:
+        node = f["detdata"]["signal"]
+        # compressed fields are GROUPS in the flacarray layout with the
+        # attrs the reference loader sniffs (observation_hdf_load.py:293)
+        assert isinstance(node, h5py.Group)
+        assert "stream_starts" in node
+        assert "compressed" in node
+        assert node.attrs["dtype"] in ("f", "d")
+    back = load_hdf5(path)
+    sig, sig0 = back.detdata["signal"].numpy(), obs.detdata["signal"].numpy()
+    bound = 0.5e-7 + 2.0 ** -22 * np.max(np.abs(sig0))
+    assert np.max(np.abs(sig - sig0)) < bound
+
+
+def test_focalplane_yaml_sidecar_grammar(obs, tmp_path):
+    """The sidecar parses as YAML and covers every table column, and the
+    meta omap holds tagged Quantities (astropy.io.misc.yaml grammar)."""
+    import yaml
+
+    path = save_hdf5_reference(obs, str(tmp_path / "yamlcheck"))
+    with h5py.File(path, "r") as f:
+        inst = f["instrument"]
+        table = np.asarray(inst["focalplane"])
+        lines = [
+            x.decode("utf-8")
+            for x in np.asarray(inst["focalplane.__table_column_meta__"])
+        ]
+        assert inst.attrs["focalplane_class"] == "toast.instrument.Focalplane"
+
+    class _Loader(yaml.SafeLoader):
+        pass
+
+    tags = []
+
+    def _any(loader, tag_suffix, node):
+        tags.append(tag_suffix)
+        if isinstance(node, yaml.MappingNode):
+            return loader.construct_mapping(node, deep=True)
+        return loader.construct_scalar(node)
+
+    _Loader.add_multi_constructor("!", _any)
+    header = yaml.load("\n".join(lines), Loader=_Loader)
+
+    names = {entry["name"] for entry in header["datatype"]}
+    assert names == set(table.dtype.names)
+    for entry in header["datatype"]:
+        assert "datatype" in entry
+
+    meta = dict(
+        kv for item in header["meta"]
+        for kv in (item.items() if isinstance(item, dict) else [item])
+    )
+    sr = meta["sample_rate"]
+    assert sr["unit"]["unit"] == "Hz"
+    assert np.isclose(float(sr["value"]), 10.0)
+    # the astropy tags were present on the Quantity nodes
+    assert any("astropy.units.Quantity" in t for t in tags)
+    assert any("astropy.units.Unit" in t for t in tags)
+
+
+def test_save_hdf5_operator_reference_format(obs, tmp_path):
+    from toast_tpu import ops
+    from toast_tpu.models import Data
+    from toast_tpu.parallel import Comm
+
+    data = Data(Comm())
+    data.obs.append(obs)
+    out = str(tmp_path / "vol")
+    ops.SaveHDF5(volume=out, reference_format=True).apply(data)
+    files = [x for x in os.listdir(out) if x.endswith(".h5")]
+    assert files == [f"{obs.name}.h5"]
+    back = load_hdf5(os.path.join(out, files[0]))
+    assert back.all_detectors == obs.all_detectors

@@ -47,7 +47,10 @@ def index_volume(dir, db_path=None):
                 if "instrument" in f:
                     grp = f["instrument"]
                     fpgrp = grp["focalplane"] if "focalplane" in grp else grp
-                    if "name" in fpgrp:
+                    if isinstance(fpgrp, h5py.Dataset):
+                        # reference v2: focalplane is one structured table
+                        n_det = fpgrp.shape[0]
+                    elif "name" in fpgrp:
                         n_det = len(fpgrp["name"])
                 times = (None, None)
                 if "shared" in f and "times" in f["shared"]:

@@ -26,6 +26,11 @@ class SaveHDF5(Operator):
     intervals = List(None, allow_none=True)
     detdata_float32 = Bool(False)
     compress_detdata = Bool(True)
+    reference_format = Bool(
+        False,
+        help="Write reference-TOAST v2 files (readable by hpc4cmb/toast) "
+        "instead of the native toast_tpu format",
+    )
     verify = Bool(False, help="Re-load and compare after writing")
 
     @function_timer
@@ -37,16 +42,28 @@ class SaveHDF5(Operator):
             return None if not x else x
 
         for ob in data.obs:
-            path = save_hdf5(
-                ob,
-                self.volume,
-                meta=sel(self.meta),
-                detdata=sel(self.detdata),
-                shared=sel(self.shared),
-                intervals=sel(self.intervals),
-                detdata_float32=self.detdata_float32,
-                compress=self.compress_detdata,
-            )
+            if self.reference_format:
+                from ..io.observation_hdf_ref_save import save_hdf5_reference
+
+                path = save_hdf5_reference(
+                    ob,
+                    self.volume,
+                    meta=sel(self.meta),
+                    detdata=sel(self.detdata),
+                    shared=sel(self.shared),
+                    intervals=sel(self.intervals),
+                )
+            else:
+                path = save_hdf5(
+                    ob,
+                    self.volume,
+                    meta=sel(self.meta),
+                    detdata=sel(self.detdata),
+                    shared=sel(self.shared),
+                    intervals=sel(self.intervals),
+                    detdata_float32=self.detdata_float32,
+                    compress=self.compress_detdata,
+                )
             if self.verify:
                 check = load_hdf5(path, comm=data.comm)
                 for key in ob.detdata:

@@ -202,10 +202,46 @@ _TOKEN_RE = re.compile(
     r"\s*(sqrt\(\s*(?P<sq>[A-Za-z]+)\s*\)|(?P<nm>[A-Za-z]+)(\*\*|\^)?"
     r"(?P<pw>\(?-?\d+(\s*/\s*\d+)?\)?)?)\s*(?P<op>[*/])?"
 )
+_SCALE_RE = re.compile(r"\s*(?P<sc>[0-9]+\.?[0-9]*([eE][+-]?[0-9]+)?)\s*")
+
+
+def unit_to_string(unit):
+    """Serialize a Unit to a string both :func:`unit_from_string` and
+    astropy's generic-format parser accept.
+
+    Canonical registered names are used directly ("deg", "K sqrt(s)" →
+    "K s(1/2)" spelled the astropy way by callers that need it); anything
+    else becomes ``<scale> <base units with ** powers>`` — astropy's
+    generic format accepts a leading numeric factor (e.g.
+    ``0.017453292519943295 rad / s`` for deg/s).
+    """
+    name = _canonical_name(unit)
+    if name is not None:
+        return name
+    num, den = [], []
+    base = ["K", "s", "rad", "m", "kg", "A"]
+    for b, d in zip(base, unit.dims):
+        if d == 0:
+            continue
+        mag = abs(d)
+        if mag == 1:
+            part = b
+        elif mag.denominator == 1:
+            part = f"{b}**{mag.numerator}"
+        else:
+            part = f"{b}**({mag.numerator}/{mag.denominator})"
+        (num if d > 0 else den).append(part)
+    text = " ".join(num) if num else "1"
+    if den:
+        text += " / " + " / ".join(den) if len(den) > 1 else f" / {den[0]}"
+    if unit.scale != 1.0:
+        text = f"{unit.scale!r} {text}"
+    return text
 
 
 def unit_from_string(text):
-    """Parse a unit expression: names, powers, sqrt(), '*' and '/'."""
+    """Parse a unit expression: optional leading numeric scale, names,
+    powers, sqrt(), '*' and '/'."""
     if text is None:
         return dimensionless
     text = text.strip()
@@ -216,6 +252,15 @@ def unit_from_string(text):
     result = Unit(1.0, _DIMLESS)
     pos = 0
     next_op = "*"
+    mobj = _SCALE_RE.match(text)
+    if mobj is not None and mobj.group("sc") not in (None, ""):
+        # leading numeric factor (our own serializer and astropy both
+        # emit these for non-canonical scales)
+        result = Unit(float(mobj.group("sc")), _DIMLESS)
+        pos = mobj.end()
+        if pos < len(text) and text[pos] in "*/":
+            next_op = text[pos]
+            pos += 1
     while pos < len(text):
         mobj = _TOKEN_RE.match(text, pos)
         if mobj is None or mobj.end() == pos:
