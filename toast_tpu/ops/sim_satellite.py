@@ -8,7 +8,9 @@ process groups.
 
 Boresight composition (relative rotations, matching the reference):
 ``satrot * Rz(prec_phase) * Rx(prec_angle) * Rz(spin_phase) * Rx(spin_angle)
-* Rz(pi/2)`` with the default precession axis along the ecliptic X axis
+* Rz(pi/2)``; ``SimSatellite`` slews the precession axis along the
+anti-sun direction per sample (``q_prec``), while bare
+``satellite_scanning`` defaults to a fixed ecliptic X axis
 (``satrot = Ry(pi/2)``).  Generation runs vectorized in float64 on the host
 (it is per-observation, detector-independent, and precision-sensitive);
 the per-detector expansion happens on device in the pointing operators.
@@ -157,10 +159,23 @@ class SimSatellite(Operator):
             ob.shared.set(self.times, times)
             ob.shared.create_column(self.shared_flags, (n_samp,), dtype=np.uint8)
 
+            site = self.telescope.site
+            pos = site.position(times)
+            # precession axis = anti-sun direction: the normalized site
+            # position, continuously slewed (~1 deg/day) as the satellite
+            # orbits (reference ``ops/sim_satellite.py:538-546``).  The
+            # scan frame is ecliptic, the ephemeris equatorial.
+            pos_ecl = qa.rotate(qa.equ2ecl()[None, :], pos)
+            prec_axis = pos_ecl / np.linalg.norm(pos_ecl, axis=1, keepdims=True)
+            q_prec = qa.from_vectors(
+                np.broadcast_to(ZAXIS, prec_axis.shape), prec_axis
+            )
+
             bore = satellite_scanning(
                 n_samp,
                 rate_hz,
                 sample_offset=scan_offsets[idx],
+                q_prec=q_prec,
                 spin_period_s=scan.spin_period.to_value(u.second),
                 spin_angle_rad=self.spin_angle.to_value(u.rad),
                 prec_period_s=scan.prec_period.to_value(u.second),
@@ -181,10 +196,9 @@ class SimSatellite(Operator):
                 ob.shared.create_column(self.hwp_angle, (n_samp,), dtype=np.float64)
                 ob.shared.set(self.hwp_angle, ang)
 
-            site = self.telescope.site
             ob.shared.create_column(self.position, (n_samp, 3), dtype=np.float64)
             ob.shared.create_column(self.velocity, (n_samp, 3), dtype=np.float64)
-            ob.shared.set(self.position, site.position(times))
+            ob.shared.set(self.position, pos)
             ob.shared.set(self.velocity, site.velocity(times))
 
             data.obs.append(ob)
