@@ -617,3 +617,122 @@ def test_weather_seasonal_cycle():
         )
 
     assert med(1) > 1.5 * med(7)
+
+
+def test_ground_scheduler_sidereal_patch():
+    """SiderealPatch schedules only inside its local-sidereal-time window
+    (reference schedule_sim_ground.py:745)."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.math import coordinates as coords
+    from toast_tpu.models.instrument import GroundSite
+    from toast_tpu.schedule_sim_ground import SiderealPatch, build_schedule
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    patch = SiderealPatch(
+        "sid", 1.0,
+        Quantity(100.0, u.deg), Quantity(140.0, u.deg), Quantity(50.0, u.deg),
+        Quantity(30.0, u.deg), Quantity(90.0, u.deg),  # LST window 30..90 deg
+        Quantity(15.0, u.minute),
+    )
+    sch = build_schedule(
+        start=datetime(2023, 1, 10, tzinfo=timezone.utc),
+        stop=datetime(2023, 1, 12, tzinfo=timezone.utc),
+        patches=[patch],
+        el_min=Quantity(20.0, u.deg),
+        el_max=Quantity(85.0, u.deg),
+    )
+    assert len(sch.scans) > 0
+    site = GroundSite(
+        "s", Quantity(-22.96, u.deg), Quantity(-67.79, u.deg),
+        Quantity(5200.0, u.meter),
+    )
+    lon = site.lon.to_value(u.rad)
+    for s in sch.scans:
+        lst = np.degrees(
+            (coords.gmst_rad(np.array([s.start_timestamp]))[0] + lon)
+            % (2 * np.pi)
+        )
+        assert 30.0 - 1e-6 <= lst <= 90.0 + 1e-6, f"scan at LST {lst}"
+
+
+def test_ground_scheduler_weighted_patch(tmp_path):
+    """WeightedHorizontalPatch follows its weight map: zero-weight sky is
+    never scheduled (reference schedule_sim_ground.py:660)."""
+    from datetime import datetime, timezone
+
+    import h5py
+
+    from toast_tpu.schedule_sim_ground import (
+        WeightedHorizontalPatch,
+        build_schedule,
+    )
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    nside = 16
+    npix = 12 * nside * nside
+
+    def write_map(path, values):
+        with h5py.File(path, "w") as f:
+            d = f.create_dataset("map", data=values.reshape(1, npix))
+            d.attrs["ORDERING"] = "RING"
+            d.attrs["UNITS"] = ""
+
+    ones = tmp_path / "w_ones.h5"
+    zeros = tmp_path / "w_zeros.h5"
+    write_map(ones, np.ones(npix))
+    write_map(zeros, np.zeros(npix))
+
+    def patch_for(wfile):
+        return WeightedHorizontalPatch(
+            "wpatch", 1.0,
+            Quantity(100.0, u.deg), Quantity(140.0, u.deg),
+            Quantity(50.0, u.deg), Quantity(15.0, u.minute),
+            str(wfile), Quantity(3.0, u.deg),
+        )
+
+    kw = dict(
+        start=datetime(2023, 1, 10, tzinfo=timezone.utc),
+        stop=datetime(2023, 1, 11, tzinfo=timezone.utc),
+        el_min=Quantity(20.0, u.deg),
+        el_max=Quantity(85.0, u.deg),
+    )
+    sch_ones = build_schedule(patches=[patch_for(ones)], **kw)
+    sch_zeros = build_schedule(patches=[patch_for(zeros)], **kw)
+    assert len(sch_ones.scans) > 0
+    assert len(sch_zeros.scans) == 0
+
+
+def test_ground_scheduler_north_south_avoidance():
+    """north_south_avoidance rejects scans entering the meridian sectors
+    (reference schedule_sim_ground.py:1581)."""
+    from datetime import datetime, timezone
+
+    from toast_tpu.schedule_sim_ground import HorizontalPatch, build_schedule
+    from toast_tpu.utils import units as u
+    from toast_tpu.utils.units import Quantity
+
+    # one scan window straddling due South (170..190 deg), one clear of it
+    south = HorizontalPatch(
+        "south", 5.0,
+        Quantity(170.0, u.deg), Quantity(190.0, u.deg),
+        Quantity(50.0, u.deg), Quantity(15.0, u.minute),
+    )
+    clear = HorizontalPatch(
+        "clear", 1.0,
+        Quantity(100.0, u.deg), Quantity(140.0, u.deg),
+        Quantity(50.0, u.deg), Quantity(15.0, u.minute),
+    )
+    sch = build_schedule(
+        start=datetime(2023, 1, 10, tzinfo=timezone.utc),
+        stop=datetime(2023, 1, 11, tzinfo=timezone.utc),
+        patches=[south, clear],
+        el_min=Quantity(20.0, u.deg),
+        el_max=Quantity(85.0, u.deg),
+        north_south_avoidance=Quantity(30.0, u.deg),
+    )
+    names = {s.name for s in sch.scans}
+    assert "clear" in names
+    assert "south" not in names

@@ -185,6 +185,115 @@ class HorizontalPatch(Patch):
         return self.az_min, self.az_max, self.el, self.scantime_s
 
 
+class WeightedHorizontalPatch(HorizontalPatch):
+    """Horizontal patch whose priority follows a HEALPix weight map
+    (reference ``schedule_sim_ground.py:660``): before each candidate
+    scan, the sky the scan would sweep is hit-counted against the weight
+    map (5-minute time steps x 10 azimuth points, a disc of ``fov/2``
+    per pointing — the reference's fixed grid so total hits depend only
+    on scan time), and the patch weight becomes
+    ``weight0 / sum(hits * weightmap) * scantime``: zero-weight sky is
+    never scheduled, and already-deep sky deprioritizes itself when the
+    weight map encodes inverse depth."""
+
+    _weightmaps = {}
+
+    def __init__(self, name, weight, azmin, azmax, el, scantime, weightfile, fov):
+        super().__init__(name, weight, azmin, azmax, el, scantime)
+        self.weight0 = float(weight)
+        self.fov_rad = fov.to_value(u.rad)
+        self.weightfile = weightfile
+        if weightfile not in self._weightmaps:
+            self._weightmaps[weightfile] = self._load_weightmap(weightfile)
+        wmap, nside, vecs = self._weightmaps[weightfile]
+        self._wmap = wmap
+        self._wm_nside = nside
+        self._wm_vecs = vecs
+
+    @staticmethod
+    def _load_weightmap(path):
+        from .math import healpix as hpx
+        from .pixels.io_healpix import read_healpix_fits, read_healpix_hdf5
+
+        if path.endswith((".h5", ".hdf5")):
+            m = read_healpix_hdf5(path, nest=False).numpy()
+        else:
+            m = read_healpix_fits(path, nest=False).numpy()
+        if m.ndim > 1:  # PixelData layout is (n_pix, n_value)
+            m = m[:, 0]
+        nside = hpx.npix2nside(m.shape[0])
+        vecs = hpx.ring2vec(nside, np.arange(m.shape[0]))
+        return m.astype(np.float64), nside, vecs
+
+    def update_weight(self, site, t):
+        """Hit-count the proposed scan against the weight map."""
+        lat = site.lat.to_value(u.rad)
+        lon = site.lon.to_value(u.rad)
+        mats = None
+        hits = np.zeros(self._wmap.shape[0])
+        cos_fov = np.cos(self.fov_rad / 2.0)
+        tstep = 300.0
+        times = np.arange(t, t + self.scantime_s, tstep)
+        azs = np.linspace(self.az_min, self.az_max, 10)
+        mats = coords.hor_to_radec_rotmat(lat, lon, times)
+        ce, se = np.cos(self.el), np.sin(self.el)
+        # pointing unit vectors in the (North, West, Up) horizontal frame
+        hvec = np.stack(
+            [ce * np.cos(azs), -ce * np.sin(azs), np.full_like(azs, se)], -1
+        )
+        for m in mats:
+            eq = hvec @ m.T  # (naz, 3) equatorial pointings
+            # disc membership by dot product against the map pixel centers
+            inside = (self._wm_vecs @ eq.T) > cos_fov  # (npix, naz)
+            hits += inside.sum(axis=1)
+        nhit = float(np.sum(hits * self._wmap))
+        if nhit == 0:
+            self.weight = 0.0
+        else:
+            # modulate by scan time so longer observations don't
+            # automatically win (reference ``update_weight``)
+            self.weight = self.weight0 / nhit * (self.scantime_s / 60.0)
+
+    def priority(self, t):
+        if self.weight == 0.0:
+            return -np.inf
+        return self.weight / (1.0 + self.time_observed / 3600.0)
+
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad, **kw):
+        self.update_weight(site, t)
+        if self.weight == 0.0:
+            return None
+        return super().visible(site, t, el_min, el_max, sun_rad, moon_rad, **kw)
+
+
+class SiderealPatch(HorizontalPatch):
+    """Horizontal patch observable only inside a local-sidereal-time
+    window (reference ``schedule_sim_ground.py:745``): sidereal time
+    equals the RA on the meridian, so the window selects what sky drifts
+    through the fixed horizontal scan."""
+
+    def __init__(
+        self, name, weight, azmin, azmax, el,
+        siderealtime_start, siderealtime_stop, scantime,
+    ):
+        super().__init__(name, weight, azmin, azmax, el, scantime)
+        self.lst_start = siderealtime_start.to_value(u.rad) % (2 * np.pi)
+        self.lst_stop = siderealtime_stop.to_value(u.rad) % (2 * np.pi)
+
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad, **kw):
+        lst = float(
+            (coords.gmst_rad(np.array([t]))[0] + site.lon.to_value(u.rad))
+            % (2 * np.pi)
+        )
+        if self.lst_start < self.lst_stop:
+            inside = self.lst_start <= lst <= self.lst_stop
+        else:  # window wraps the zero meridian
+            inside = lst >= self.lst_start or lst <= self.lst_stop
+        if not inside:
+            return None
+        return super().visible(site, t, el_min, el_max, sun_rad, moon_rad, **kw)
+
+
 class SSOPatch(Patch):
     """Solar-system-object patch (reference ``schedule_sim_ground.py:394``):
     tracks a moving body (sun or moon via the built-in low-precision
@@ -305,6 +414,7 @@ def build_schedule(
     boresight_angle_step=Quantity(0.0, u.deg),
     boresight_angle_time=None,
     ces_min_time=Quantity(1.0, u.second),
+    north_south_avoidance=Quantity(0.0, u.deg),
 ):
     """Plan constant-elevation scans of the given patches.
 
@@ -365,6 +475,7 @@ def build_schedule(
         if not elevations
         else np.sort(np.asarray([e.to_value(u.rad) for e in elevations]))
     )
+    ns_avoid_rad = north_south_avoidance.to_value(u.rad)
     bore_step_rad = boresight_angle_step.to_value(u.rad)
     bore_time_s = (
         None
@@ -405,6 +516,19 @@ def build_schedule(
 
         chosen = None
         for score, _, patch, (az_min, az_max, el_scan, patch_ces) in candidates:
+            if ns_avoid_rad > 0.0:
+                # reject scans whose azimuth range enters the sector of
+                # half-width avoid/2 around due North or due South
+                # (reference ``north_south_avoidance_deg``, ``:1581``)
+                a0 = az_min % (2 * np.pi)
+                a1 = a0 + (az_max - az_min)
+                half = ns_avoid_rad / 2.0
+                if a0 < np.pi:
+                    if a0 < half or a1 > np.pi - half:
+                        continue
+                else:
+                    if a0 < np.pi + half or a1 > 2 * np.pi - half:
+                        continue
             if el_grid is not None and not isinstance(
                 patch, (HorizontalPatch, SSOPatch, CoolerCyclePatch)
             ):
@@ -561,6 +685,10 @@ def run_scheduler(opts=None):
     parser.add_argument("--partial-visibility", action="store_true")
     parser.add_argument("--elevation-balance", action="store_true")
     parser.add_argument(
+        "--north-south-avoidance", default="0 deg",
+        help="Reject scans entering this sector around due North/South",
+    )
+    parser.add_argument(
         "--patch",
         action="append",
         required=True,
@@ -588,6 +716,34 @@ def run_scheduler(opts=None):
                     Quantity(float(parts[6]), u.minute),
                 )
             )
+        elif kind == "WEIGHTED":
+            # name,WEIGHTED,weight,azmin_deg,azmax_deg,el_deg,scantime_min,weightfile,fov_deg
+            patches.append(
+                WeightedHorizontalPatch(
+                    name,
+                    float(parts[2]),
+                    Quantity(float(parts[3]), u.deg),
+                    Quantity(float(parts[4]), u.deg),
+                    Quantity(float(parts[5]), u.deg),
+                    Quantity(float(parts[6]), u.minute),
+                    parts[7],
+                    Quantity(float(parts[8]), u.deg),
+                )
+            )
+        elif kind == "SIDEREAL":
+            # name,SIDEREAL,weight,azmin_deg,azmax_deg,el_deg,lst_start_deg,lst_stop_deg,scantime_min
+            patches.append(
+                SiderealPatch(
+                    name,
+                    float(parts[2]),
+                    Quantity(float(parts[3]), u.deg),
+                    Quantity(float(parts[4]), u.deg),
+                    Quantity(float(parts[5]), u.deg),
+                    Quantity(float(parts[6]), u.deg),
+                    Quantity(float(parts[7]), u.deg),
+                    Quantity(float(parts[8]), u.minute),
+                )
+            )
         elif kind == "SSO":
             # name,SSO,weight,radius_deg   (name = sun or moon)
             patches.append(
@@ -612,7 +768,8 @@ def run_scheduler(opts=None):
         elif kind != "RECT":
             raise ValueError(
                 f"Unknown patch type '{parts[1]}' in '{pstr}' — expected a "
-                "numeric weight (rectangle) or HORIZONTAL / SSO / COOLER"
+                "numeric weight (rectangle) or HORIZONTAL / WEIGHTED / "
+                "SIDEREAL / SSO / COOLER"
             )
         else:
             weight = float(parts[1])
@@ -664,6 +821,7 @@ def run_scheduler(opts=None):
         ),
         partial_visibility=args.partial_visibility,
         elevation_balance=args.elevation_balance,
+        north_south_avoidance=qs(args.north_south_avoidance),
     )
     schedule.write(args.out)
     return schedule
