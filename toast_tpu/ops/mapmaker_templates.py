@@ -99,6 +99,28 @@ class TemplateMatrix(Operator):
         return prov
 
 
+class _seg:
+    """Nested fused-solve wall-clock segments under TOAST_FUNCTIME."""
+
+    __slots__ = ("key",)
+
+    def __init__(self, key):
+        self.key = f"fused_solve.{key}"
+
+    def __enter__(self):
+        from ..utils.timing import GlobalTimers, function_timing_enabled
+
+        if function_timing_enabled():
+            GlobalTimers.get().start(self.key)
+        return self
+
+    def __exit__(self, *exc):
+        from ..utils.timing import GlobalTimers, function_timing_enabled
+
+        if function_timing_enabled():
+            GlobalTimers.get().stop(self.key)
+
+
 class SolveAmplitudes(Operator):
     """Solve the destriping normal equations for template amplitudes.
 
@@ -160,51 +182,22 @@ class SolveAmplitudes(Operator):
         }
         return len(shapes) == 1
 
-    def _solve_fused(self, data, detectors, binning, prefix):
-        """Run-compressed MXU-formulated on-device PCG
-        (kernels/fused_solver.py).
+    def _fused_setup(self, data, detectors, binning, tmpl):
+        """Shared fused-solve setup (single observation).
 
-        No per-sample solver-flag array, no scratch signal copy, no
-        separate covariance pass: one statistics sweep over the samples
-        yields the solver covariance, the rcond cut (applied at run
-        granularity — exact, since a run has a single pixel) and every
-        per-iteration operand.  The hit-space statistics are stashed in
-        ``data`` so MapMaker can produce the final binned/destriped maps
-        without touching the samples again.
+        Template layout, pointing products, the run plan, content-cached
+        pointing statistics, per-realization TOD statistics, and the
+        run-granular solver covariance + rcond — everything both the
+        single-Offset and the stacked-template fused paths consume.
         """
-        from ..templates.amplitudes import AmplitudesMap
         from .kernels.fused_solver import (
-            fused_offset_solve,
             invert_hit_cov,
             prepare_fused_plan,
             run_stats_pointing,
             run_stats_tod,
         )
 
-        from ..utils.timing import GlobalTimers, function_timing_enabled
-
-        class _seg:
-            """Nested wall-clock segments under TOAST_FUNCTIME."""
-
-            __slots__ = ("key",)
-
-            def __init__(self, key):
-                self.key = f"fused_solve.{key}"
-
-            def __enter__(self):
-                if function_timing_enabled():
-                    GlobalTimers.get().start(self.key)
-
-            def __exit__(self, *exc):
-                if function_timing_enabled():
-                    GlobalTimers.get().stop(self.key)
-
-        log = Logger.get()
-        tmpl = self.template_matrix.templates[0]
         ob = data.obs[0]
-
-        # template structure (amplitude layout, optional prior filters);
-        # cheap — runs on the raw flags, not a scratch copy
         with _seg("template_init"):
             self.template_matrix.det_data = self.det_data
             self.template_matrix.reset()
@@ -346,6 +339,49 @@ class SolveAmplitudes(Operator):
             cov_hit, rcond_hit = invert_hit_cov(
                 acc, float(self.solve_rcond_threshold), nnz
             )
+        return dict(
+            info=info, dets=dets, didx=didx, n_det=n_det, n_base=n_base,
+            step=step, n_samp=n_samp, det_weights=det_weights, nnz=nnz,
+            pix=pix, wts=wts, tod=tod, good=good, wg=wg, plan=plan,
+            pt_key=pt_key, pt_stats=pt_stats, tod_stats=tod_stats, acc=acc,
+            cov_hit=cov_hit, rcond_hit=rcond_hit,
+            pixels_name=pixels_name, weights_name=weights_name,
+        )
+
+    def _solve_fused(self, data, detectors, binning, prefix):
+        """Run-compressed MXU-formulated on-device PCG
+        (kernels/fused_solver.py).
+
+        No per-sample solver-flag array, no scratch signal copy, no
+        separate covariance pass: one statistics sweep over the samples
+        yields the solver covariance, the rcond cut (applied at run
+        granularity — exact, since a run has a single pixel) and every
+        per-iteration operand.  The hit-space statistics are stashed in
+        ``data`` so MapMaker can produce the final binned/destriped maps
+        without touching the samples again.
+        """
+        from ..templates.amplitudes import AmplitudesMap
+        from .kernels.fused_solver import (
+            fused_offset_solve,
+            invert_hit_cov,
+            prepare_fused_plan,
+            run_stats_pointing,
+            run_stats_tod,
+        )
+
+        log = Logger.get()
+        tmpl = self.template_matrix.templates[0]
+        ob = data.obs[0]
+
+        # template structure (amplitude layout, optional prior filters);
+        # cheap — runs on the raw flags, not a scratch copy
+        s = self._fused_setup(data, detectors, binning, tmpl)
+        info = s["info"]; dets = s["dets"]; didx = s["didx"]
+        n_det = s["n_det"]; n_base = s["n_base"]; step = s["step"]
+        n_samp = s["n_samp"]; det_weights = s["det_weights"]; nnz = s["nnz"]
+        plan = s["plan"]; pt_stats = s["pt_stats"]; tod_stats = s["tod_stats"]
+        acc = s["acc"]; cov_hit = s["cov_hit"]; rcond_hit = s["rcond_hit"]
+        pixels_name = s["pixels_name"]; weights_name = s["weights_name"]
 
         use_prior = "prior_filter" in info
         zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
