@@ -463,7 +463,13 @@ def test_fused_multi_obs_matches_generic():
             template_matrix=tm,
             amplitudes=f"mamps{int(fused)}",
             solve_rcond_threshold="1e-3",
-            iter_max=100,
+            iter_max=200,
+            # iter_min=200 disables the reference 2x stall heuristic, which
+            # legitimately fires mid-convergence on this ill-conditioned
+            # system (1-sample trailing baselines couple globally through
+            # the sky); for an apples-to-apples comparison the generic
+            # chain must run to actual convergence like the fused solve
+            iter_min=200,
             convergence="1e-12",
             use_fused=fused,
         )
@@ -691,3 +697,146 @@ def test_destriping_multiple_observations_mixed_lengths():
     err = np.sqrt(np.mean((d[good, 0] - fake[good, 0]) ** 2))
     # destriping with 1/f noise: recovered sky well below the sky rms of 1
     assert err < 0.2
+
+
+def test_fused_stack_matches_dense_gls_oracle():
+    """Offset + SubHarmonic joint solve vs an exact float64 GLS oracle.
+
+    Extends test_fused_matches_dense_gls_oracle's dense normal equations
+    with the shared-basis template block (design matrix columns B_k per
+    detector), pinning the stacked fused solver's joint solution
+    (reference multi-template chain: src/toast/ops/mapmaker_solve.py:342).
+    """
+    from toast_tpu.templates import SubHarmonic
+
+    nside = 16
+    data = create_satellite_data(
+        n_pix=7, obs_time=Quantity(10.0, u.minute), hwp_rpm=6.0
+    )
+    fp = data.obs[0].telescope.focalplane
+    fp.detector_data["psd_fknee"][:] = 1.0
+    ops.DefaultNoiseModel().apply(data)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=nside, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
+    binner = ops.BinMap(
+        pixel_dist="pixel_dist", pixel_pointing=pixels, stokes_weights=weights
+    )
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+    ops.SimNoise().apply(data)
+    ob = data.obs[0]
+    tod = ob.detdata["signal"].numpy().astype(np.float64)
+    pix = ob.detdata["pixels"].numpy()
+    wts = ob.detdata["weights"].numpy().astype(np.float64)
+    n_det, n_samp = tod.shape
+    nse = ob["noise_model"]
+    dw = np.array([nse.detector_weight(d).value for d in ob.local_detectors])
+
+    pixf = pix.reshape(-1)
+    wtsf = wts.reshape(-1, 3)
+    w_samp = np.repeat(dw, n_samp)
+    upix, inv = np.unique(pixf, return_inverse=True)
+    npx = len(upix)
+    M = np.zeros((npx, 3, 3))
+    np.add.at(M, inv, w_samp[:, None, None] * wtsf[:, :, None] * wtsf[:, None, :])
+    Minv = np.zeros_like(M)
+    pixgood = np.zeros(npx, dtype=bool)
+    for p in range(npx):
+        ev = np.linalg.eigvalsh(M[p])
+        if ev[-1] > 0 and ev[0] / ev[-1] > 1e-3:
+            Minv[p] = np.linalg.inv(M[p])
+            pixgood[p] = True
+    w_samp = w_samp * pixgood[inv]
+
+    rate = ob.telescope.focalplane.sample_rate.to_value(u.Hz)
+    step_s = 10.0
+    spb = int(step_s * rate)
+    n_base = int(np.ceil(n_samp / spb))
+    n_amp = n_det * n_base
+    base_idx = np.arange(n_samp) // spb
+    amp_idx = (np.arange(n_det)[:, None] * n_base + base_idx[None, :]).reshape(-1)
+
+    # SubHarmonic order-2 basis, matching the template's construction
+    order = 2
+    K = order + 1
+    sub = SubHarmonic(order=order)
+    tmo = ops.TemplateMatrix(templates=[Offset(
+        step_time=Quantity(step_s, u.second), use_noise_prior=False
+    ), sub])
+    solver = ops.SolveAmplitudes(
+        name="soracle",
+        binning=binner,
+        template_matrix=tmo,
+        amplitudes="soracle_amps",
+        solve_rcond_threshold="1e-3",
+        iter_max=400,
+        convergence="1e-14",
+        use_fused=True,
+    )
+    solver.apply(data)
+    sinfo = data["soracle_amps_solve_info"]
+    assert sinfo.get("fused_stack"), sinfo
+    B = np.asarray(sub._obs_info[0]["basis"], dtype=np.float64)  # (n_samp, K)
+    n_tot = n_amp + n_det * K
+
+    def expand_full(x):
+        v = x[:n_amp][amp_idx]
+        ab = x[n_amp:].reshape(n_det, K)
+        return v + (B @ ab.T).T.reshape(-1)
+
+    def project_full(v):
+        out = np.zeros(n_tot)
+        np.add.at(out, amp_idx, w_samp * v)
+        wv = (w_samp * v).reshape(n_det, n_samp)
+        out[n_amp:] = (wv @ B).reshape(-1)
+        return out
+
+    def bin_map(v):
+        z = np.zeros((npx, 3))
+        np.add.at(z, inv, (w_samp * v)[:, None] * wtsf)
+        return np.einsum("pij,pj->pi", Minv, z)
+
+    def Zv(v):
+        return v - np.einsum("ki,ki->k", bin_map(v)[inv], wtsf)
+
+    A = np.zeros((n_tot, n_tot))
+    for j in range(n_tot):
+        e = np.zeros(n_tot)
+        e[j] = 1.0
+        A[:, j] = project_full(Zv(expand_full(e)))
+    b = project_full(Zv(tod.reshape(-1)))
+
+    amp_len_o = np.full(n_base, spb, dtype=np.float64)
+    amp_len_o[-1] = n_samp - (n_base - 1) * spb
+    cut = np.zeros(n_tot, dtype=bool)
+    cut[:n_amp] = np.tile(amp_len_o / amp_len_o <= 0.5, n_det)
+    A[cut, :] = 0.0
+    A[:, cut] = 0.0
+    A[cut, cut] = 1.0
+    b[cut] = 0.0
+    a_exact = np.linalg.lstsq(A, b, rcond=1e-10)[0]
+
+    a_off = np.asarray(data["soracle_amps"]["Offset"].local, dtype=np.float64)
+    a_bas = np.asarray(
+        data["soracle_amps"][sub.name].local, dtype=np.float64
+    )
+    got = np.concatenate([a_off, a_bas])
+    assert got.shape == a_exact.shape
+
+    # compare the predicted TEMPLATE SIGNAL per sample: the joint system
+    # has a larger null space (global offset + any basis combination that
+    # the baselines can absorb), so individual amplitudes are not unique,
+    # but M a — the physical destriping correction — is (modulo the
+    # global offset direction per detector)
+    sig_got = expand_full(got).reshape(n_det, n_samp)
+    sig_exact = expand_full(a_exact).reshape(n_det, n_samp)
+    d = sig_got - sig_exact
+    d = d - d.mean(axis=1, keepdims=True)
+    rms = np.sqrt(np.mean(sig_exact**2))
+    assert np.sqrt(np.mean(d**2)) < 2e-3 * max(rms, 1e-12), (
+        np.abs(d).max(), rms,
+    )

@@ -494,7 +494,13 @@ def run_stats_pointing(
 def run_stats_tod(tod, weights, wg, bounds1, order, good_sorted):
     """TOD-dependent per-run statistics: one (n_runs_b, 4) group
     ``[y (nnz), z]``.  The per-realization hot path: 4 columns instead of
-    16 keeps both gather sweeps ~3x cheaper than a combined pass."""
+    16 keeps both gather sweeps ~3x cheaper than a combined pass.
+
+    (A 2-columns-at-a-time variant was measured WORSE on memory — 7.8 GB
+    vs 5.2 GB AOT temp at 1.3e8 samples — because the (n_blocks, k, B)
+    transient pads k to 8 sublanes either way; single-chip observations
+    beyond ~6e7 samples should stream as multiple observations instead.)
+    """
     nnz = weights.shape[-1]
     wgt = wg * tod
     flat_cols = [wgt * weights[:, i] for i in range(nnz)]
@@ -1153,3 +1159,330 @@ def invert_hit_cov(invnpp_hit, threshold, nnz):
             rc.astype(np.float32)
         )
     return _invert_tri(invnpp_hit, jnp.float32(threshold), nnz)
+
+
+# ---------------------------------------------------------------------------
+# stacked-template fused solve: Offset + shared-basis templates
+# ---------------------------------------------------------------------------
+
+
+def run_stats_basis(weights, wg, basis, n_det, bounds1, order, good_sorted):
+    """Per-run basis-weighted pointing statistics for the stacked solve.
+
+    ``basis`` is the per-observation shared template basis (n_samp, K) —
+    the concatenated columns of every basis template in the stack
+    (SubHarmonic / Periodic / Fourier2D / GainTemplate all expand as
+    ``tod += B @ a_det``, ref:src/toast/templates/subharmonic.py:20 et
+    al.).  Everything the stacked PCG needs from the samples reduces to
+    three pixel-sorted per-run sum families:
+
+      RB  (n_runs_b, nnz, K):      sum_t wg_t W_{t,i} B_{t,k}
+      Sb  (n_runs_b, K):           sum_t wg_t B_{t,k}
+      GBQ (n_runs_b, K*(K+1)/2):   sum_t wg_t B_{t,k} B_{t,l}  (k <= l)
+
+    RB couples basis amplitudes to the map domain, Sb couples them to the
+    offset baselines, and GBQ carries the basis Gram restricted to
+    whatever runs survive the rcond cut (decided later, inside the jit).
+    All are TOD-independent — cacheable per (pointing, basis) content.
+    Columns sweep 4 at a time through the same blocked prefix pass as the
+    pointing statistics to bound the HBM transient.
+    """
+    nnz = weights.shape[-1]
+    K = basis.shape[-1]
+    N = wg.shape[0]
+    n_samp = basis.shape[0]
+    wg2 = wg.reshape(n_det, n_samp)
+
+    def bcol(k):
+        return (wg2 * basis[:, k][None, :]).reshape(-1)
+
+    cols = []
+    for k in range(K):
+        bk = bcol(k)
+        for i in range(nnz):
+            cols.append(bk * weights[:, i])
+    for k in range(K):
+        cols.append(bcol(k))
+    for k in range(K):
+        for l in range(k, K):
+            cols.append(bcol(k) * jnp.tile(basis[:, l], n_det))
+    out_cols = []
+    for s in range(0, len(cols), 4):
+        for g in _run_sums_sorted(cols[s : s + 4], bounds1, order, good_sorted):
+            for i in range(g.shape[1]):
+                out_cols.append(g[:, i])
+    out_cols = out_cols[: len(cols)]
+    n_runs_b = out_cols[0].shape[0]
+    RB = jnp.stack(out_cols[: K * nnz], axis=-1).reshape(n_runs_b, K, nnz)
+    RB = jnp.swapaxes(RB, 1, 2)  # (n_runs_b, nnz, K)
+    Sb = jnp.stack(out_cols[K * nnz : K * nnz + K], axis=-1)
+    GBQ = jnp.stack(out_cols[K * nnz + K :], axis=-1)
+    return RB, Sb, GBQ
+
+
+@jax.jit
+def run_stats_basis_tod(tod, wg, basis, bounds1, order, good_sorted):
+    """TOD-dependent per-run basis sums: bd[r, k] = sum_t wg_t B_{t,k} d_t.
+
+    The per-realization piece of the stacked RHS (the pointing families
+    above are cached)."""
+    K = basis.shape[-1]
+    wgt = wg.reshape(tod.shape) * tod  # (n_det, n_samp)
+    cols = [
+        (wgt * basis[:, k][None, :]).reshape(-1) for k in range(K)
+    ]
+    out_cols = []
+    for s in range(0, len(cols), 4):
+        for g in _run_sums_sorted(cols[s : s + 4], bounds1, order, good_sorted):
+            for i in range(g.shape[1]):
+                out_cols.append(g[:, i])
+    return jnp.stack(out_cols[:K], axis=-1)
+
+
+def _tri_matvec_K(GBQ, v, K):
+    """(n, K(K+1)/2) upper-tri rows times (n, K) vectors -> (n, K)."""
+    idx = {}
+    c = 0
+    for k in range(K):
+        for l in range(k, K):
+            idx[(k, l)] = c
+            c += 1
+    outs = []
+    for k in range(K):
+        acc = 0.0
+        for l in range(K):
+            key = (k, l) if k <= l else (l, k)
+            acc = acc + GBQ[:, idx[key]] * v[:, l]
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_hi", "n_amp", "n_det", "n_base", "K", "n_iter_max", "use_prior",
+        "nnz", "use_pallas_reduce",
+    ),
+)
+def fused_stacked_solve(
+    pt_groups,
+    tod_groups,
+    RB,                 # (n_runs_b, nnz, K) basis pointing stats
+    Sb,                 # (n_runs_b, K)
+    GBQ,                # (n_runs_b, K*(K+1)/2)
+    bd,                 # (n_runs_b, K) TOD-dependent basis sums
+    amp_sorted,
+    hit_starts,
+    hit_bounds,
+    hit_valid,
+    rank_block,
+    cov_hit,
+    rcond_hit,
+    good_fraction,
+    amp_len,
+    prior_filter,
+    precond_filter,
+    n_hi,
+    n_amp,
+    n_det,
+    n_base,
+    K,
+    n_iter_max,
+    convergence,
+    use_prior=False,
+    nnz=3,
+    use_pallas_reduce=False,
+):
+    """Run-compressed PCG over a template STACK: Offset + shared-basis
+    templates, solved jointly in one on-device program.
+
+    The state vector concatenates [a_offset (n_amp), a_basis (n_det*K)].
+    The offset block reuses the exact machinery of
+    :func:`fused_offset_solve`; the basis block enters through three
+    per-run statistic families (see :func:`run_stats_basis`), turning
+    every coupling — basis->map, basis->offset, basis Gram — into
+    streaming math plus small MXU contractions.  The joint normal
+    equations match the reference's multi-template ``SolverLHS`` chain
+    (``ref:src/toast/ops/mapmaker_solve.py:342-520``) with the rcond cut
+    at run granularity.
+
+    Returns (a_offset, a_basis (n_det, K), iterations, rel_delta,
+    diag_n, amp_mask).
+    """
+    n_runs_b = pt_groups[0].shape[0]
+    W = _stats_block(pt_groups, 0, nnz)
+    n_run = _stats_col(pt_groups, nnz)
+    y = _stats_block(tod_groups, 0, nnz)
+    z = _stats_col(tod_groups, nnz)
+    n_tri = nnz * (nnz + 1) // 2
+    hits_run = _stats_col(pt_groups, nnz + 1 + n_tri)
+
+    def expand(vals_hit):
+        return expand_hit_to_runs(
+            vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
+        )
+
+    amp_hi = amp_sorted // _LOW
+    amp_lo = amp_sorted % _LOW
+
+    if use_pallas_reduce:
+        from .pallas_reduce import amp_reduce_pallas
+
+        def reduce1(v):
+            return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
+    else:
+
+        def reduce1(v):
+            return amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
+
+    # rcond cut at run granularity
+    good_hit = (rcond_hit > 0).astype(jnp.float32)
+    good_run = expand(good_hit[:, None] * hit_valid[:, None])[:, 0]
+    Wc = W * good_run[:, None]
+    nc = n_run * good_run
+    yc = y * good_run[:, None]
+    zc = z * good_run
+    hc = hits_run * good_run
+    RBc = RB * good_run[:, None, None]
+    Sbc = Sb * good_run[:, None]
+    GBQc = GBQ * good_run[:, None]
+    bdc = bd * good_run[:, None]
+
+    # per-run detector index from the det-major amplitude index; padded
+    # rows carry out-of-range values and vanish in the one-hot contraction
+    det_ids = amp_sorted // jnp.int32(n_base)
+    det_oh = (
+        det_ids[:, None] == jnp.arange(n_det, dtype=det_ids.dtype)[None, :]
+    ).astype(jnp.float32)
+
+    def det_reduce(v):  # (n_runs_b, k) -> (n_det, k)
+        return jnp.einsum(
+            "rd,rk->dk", det_oh, v,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def det_expand(m):  # (n_det, k) -> (n_runs_b, k)
+        return jnp.einsum(
+            "rd,dk->rk", det_oh, m,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    # offset diagnostics / flags / preconditioner (as fused_offset_solve)
+    diag_n = reduce1(nc)
+    n_good = reduce1(hc)
+    amp_mask = (
+        (n_good / amp_len > good_fraction) & (diag_n > 0)
+    ).astype(jnp.float32)
+    precond_diag = jnp.where(diag_n > 0, 1.0 / jnp.where(diag_n > 0, diag_n, 1.0), 0.0)
+
+    # basis Gram restricted to surviving runs -> (n_det, K, K) SPD blocks;
+    # inverted ONCE as the basis-block preconditioner
+    GB_rows = det_reduce(GBQc)  # (n_det, K*(K+1)/2)
+    GB = jnp.zeros((n_det, K, K), dtype=jnp.float32)
+    c = 0
+    for k in range(K):
+        for l in range(k, K):
+            GB = GB.at[:, k, l].set(GB_rows[:, c])
+            if l != k:
+                GB = GB.at[:, l, k].set(GB_rows[:, c])
+            c += 1
+    gb_diag = jnp.diagonal(GB, axis1=1, axis2=2)
+    bas_mask = (gb_diag > 0).astype(jnp.float32)
+    eps = 1.0e-6 * jnp.maximum(jnp.max(gb_diag, axis=-1, keepdims=True), 1e-30)
+    GB_reg = GB + eps[..., None] * jnp.eye(K, dtype=jnp.float32)[None]
+    GB_inv = jnp.linalg.inv(GB_reg)
+
+    def bin_runs(vals):
+        return segment_sum_sorted(vals, hit_bounds)
+
+    def apply_prior(a):
+        a2d = a.reshape(n_det, n_base)
+        fd = jnp.fft.rfft(a2d, axis=-1) * prior_filter
+        return _irfft_b(fd, n_base, axis=-1).reshape(-1)
+
+    def apply_precond(r):
+        r_off = r[:n_amp]
+        r_bas = r[n_amp:].reshape(n_det, K)
+        if use_prior:
+            r2d = r_off.reshape(n_det, n_base)
+            fd = jnp.fft.rfft(r2d, axis=-1) * precond_filter
+            s_off = _irfft_b(fd, n_base, axis=-1).reshape(-1) * amp_mask
+        else:
+            s_off = r_off * precond_diag * amp_mask
+        s_bas = (
+            jnp.einsum("dkl,dl->dk", GB_inv, r_bas) * bas_mask
+        )
+        return jnp.concatenate([s_off, s_bas.reshape(-1)])
+
+    def matvec(x):
+        a = x[:n_amp]
+        ab = x[n_amp:].reshape(n_det, K)
+        a_run = amp_expand(a, amp_hi, amp_lo, n_hi)
+        ab_run = det_expand(ab)  # (n_runs_b, K)
+        zmap = bin_runs(
+            Wc * a_run[:, None]
+            + jnp.einsum("rik,rk->ri", RBc, ab_run)
+        )
+        binned = _apply_tri(cov_hit, zmap, nnz)
+        val_run = expand(binned)
+        # offset rows: diag + basis coupling folded into the per-run
+        # difference (see fused_offset_solve precision note)
+        v = (
+            nc * a_run
+            + jnp.sum(Sbc * ab_run, axis=1)
+            - jnp.sum(Wc * val_run, axis=1)
+        )
+        out_off = reduce1(v)
+        if use_prior:
+            out_off = out_off + apply_prior(a)
+        out_off = out_off * amp_mask
+        # basis rows: Gram + offset coupling - map projection, all per run
+        vb = (
+            _tri_matvec_K(GBQc, ab_run, K)
+            + Sbc * a_run[:, None]
+            - jnp.einsum("rik,ri->rk", RBc, val_run)
+        )
+        out_bas = det_reduce(vb) * bas_mask
+        return jnp.concatenate([out_off, out_bas.reshape(-1)])
+
+    # RHS on the cut statistics
+    zmap_b = bin_runs(yc)
+    binned_b = _apply_tri(cov_hit, zmap_b, nnz)
+    val_b = expand(binned_b)
+    vb_off = zc - jnp.sum(Wc * val_b, axis=1)
+    b_off = reduce1(vb_off) * amp_mask
+    vb_bas = bdc - jnp.einsum("rik,ri->rk", RBc, val_b)
+    b_bas = det_reduce(vb_bas) * bas_mask
+    b = jnp.concatenate([b_off, b_bas.reshape(-1)])
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    d0 = apply_precond(r0)
+    delta0 = jnp.sum(r0 * d0)
+
+    def cond(state):
+        x, r, d, delta, it = state
+        return (it < n_iter_max) & (delta > convergence * delta0) & (delta0 > 0)
+
+    def body(state):
+        x, r, d, delta, it = state
+        q = matvec(d)
+        dq = jnp.sum(d * q)
+        alpha = jnp.where(dq > 0, delta / jnp.where(dq > 0, dq, 1.0), 0.0)
+        x = x + alpha * d
+        r = r - alpha * q
+        s = apply_precond(r)
+        delta_new = jnp.where(dq > 0, jnp.sum(r * s), 0.0)
+        beta = jnp.where(delta > 0, delta_new / jnp.where(delta > 0, delta, 1.0), 0.0)
+        d = s + beta * d
+        return (x, r, d, delta_new, it + 1)
+
+    x, r, d, delta, it = jax.lax.while_loop(
+        cond, body, (x0, r0, d0, delta0, jnp.int32(0))
+    )
+    rel = jnp.where(delta0 > 0, delta / jnp.where(delta0 > 0, delta0, 1.0), 0.0)
+    return (
+        x[:n_amp], x[n_amp:].reshape(n_det, K), it, rel, diag_n, amp_mask
+    )

@@ -140,6 +140,32 @@ class SolverLHS(Operator):
         tm.det_data = saved_dd
 
 
+def _amap_fetch64(amap, masks):
+    """Fetch an AmplitudesMap to host float64 dicts, zeroing flagged slots."""
+    out = {}
+    for k, v in amap.items():
+        a = np.asarray(v.local, dtype=np.float64)
+        m = masks[k]
+        if m is not None:
+            a = a * m
+        out[k] = a
+    return out
+
+
+def _amap_push(amap, host):
+    """Write host float64 dicts into the device AmplitudesMap (float32)."""
+    for k, v in amap.items():
+        v.local = jnp.asarray(host[k], dtype=v.dtype)
+
+
+def _dot64(a, b, comm):
+    """Global float64 dot over host amplitude dicts (flags already zeroed)."""
+    local = sum(float(np.dot(a[k], b[k])) for k in a)
+    if comm is not None and getattr(comm, "world_size", 1) > 1:
+        local = float(comm.allreduce(np.asarray(local), op="sum"))
+    return local
+
+
 @function_timer
 def solve(
     data,
@@ -155,13 +181,22 @@ def solve(
     Returns (solved AmplitudesMap, info dict).  Follows the reference
     Shewchuk formulation (``mapmaker_solve.py:524-755``) with stall
     detection every 10 iterations.
+
+    Mixed precision: the TOD-space matvec (template project → bin →
+    scan-subtract → noise-weight → template adjoint) and the
+    preconditioner run on device in float32, but the PCG recurrences
+    (x, r, d, and every dot product) are kept on the host in float64.
+    Amplitude vectors are tiny next to the TOD, so this costs nothing —
+    and it removes the float32 recurrence drift that used to stall the
+    solver mid-convergence on ill-conditioned systems (the reference
+    gets the same property for free by running everything in float64).
     """
     log = Logger.get()
     timer = Timer()
     timer.start()
     tm = lhs_op.template_matrix
 
-    # state vectors
+    # device-side work vectors (float32)
     result = rhs.duplicate()
     result.zero()  # x0 = 0
     residual = rhs.duplicate()  # r = b - A x0 = b
@@ -172,8 +207,24 @@ def solve(
     tm.apply_precond(residual, proposal)  # d = M^-1 r
     proposal.apply_flags()
 
-    delta_new = residual.dot(proposal)
+    # host float64 shadows of the PCG state
+    masks = {
+        k: (
+            (v.local_flags == 0).astype(np.float64)
+            if np.any(v.local_flags)
+            else None
+        )
+        for k, v in rhs.items()
+    }
+    comm = next(iter(rhs.values()))._comm if len(rhs) else None
+    r_h = _amap_fetch64(residual, masks)
+    d_h = _amap_fetch64(proposal, masks)
+    x_h = {k: np.zeros_like(v) for k, v in r_h.items()}
+
+    delta_new = _dot64(r_h, d_h, comm)
     delta_init = delta_new
+    sqsum = _dot64(r_h, r_h, comm)
+    sqsum_init = sqsum
     if delta_init == 0:
         log.warning(
             "PCG initial residual is exactly zero — the RHS vanished (all "
@@ -187,41 +238,38 @@ def solve(
     lhs_out.zero()
     lhs_op.out = "lhs_out"
     data["lhs_out"] = lhs_out
+    precond_r = rhs.duplicate()
 
     residuals = []
     converged = False
-    best = delta_new
-    last_best = delta_new
+    best = sqsum
+    last_best = sqsum
     for it in range(n_iter_max):
-        # q = A d
+        # q = A d  (device, float32)
         lhs_op.exec(data, detectors=detectors, amplitudes_in_key="lhs_in")
-        q = data["lhs_out"]
-        q.apply_flags()
-        dq = data["lhs_in"].dot(q)
+        q_h = _amap_fetch64(data["lhs_out"], masks)
+        dq = _dot64(d_h, q_h, comm)
         if dq == 0:
             break
         alpha = delta_new / dq
-        result.accum_axpy(alpha, data["lhs_in"])
-        residual.accum_axpy(-alpha, q)
-        residual.apply_flags()
+        for k in x_h:
+            x_h[k] += alpha * d_h[k]
+            r_h[k] -= alpha * q_h[k]
 
-        # s = M^-1 r ; delta update
-        precond_r = rhs.duplicate()
-        precond_r.zero()
-        tm.apply_precond(residual, precond_r)
-        precond_r.apply_flags()
-        delta_old = delta_new
-        delta_new = residual.dot(precond_r)
-        rel = delta_new / delta_init
+        # convergence / stall metric is the PLAIN residual r.r, as in the
+        # reference (ref: ops/mapmaker_solve.py:698-727); the preconditioned
+        # delta below only drives alpha/beta
+        sqsum = _dot64(r_h, r_h, comm)
+        rel = sqsum / sqsum_init
         residuals.append(rel)
-        log.debug(f"  PCG iter {it:4d}: relative delta = {rel:0.6e}")
+        log.debug(f"  PCG iter {it:4d}: relative residual = {rel:0.6e}")
 
-        if it >= n_iter_min and rel < convergence:
+        if rel < convergence or sqsum < 1e-30:
             converged = True
             break
-        if delta_new < best:
-            best = delta_new
-        if it > 0 and it % 10 == 0:
+        if sqsum < best:
+            best = sqsum
+        if it % 10 == 0 and it >= n_iter_min:
             # reference 2x stall rule (ref: ops/mapmaker_solve.py:721): if
             # the best residual improved by less than 2x over 10 iterations,
             # the solve has stalled
@@ -230,13 +278,21 @@ def solve(
                 break
             last_best = best
 
+        # s = M^-1 r  (device, float32) ; delta update in float64
+        _amap_push(residual, r_h)
+        precond_r.zero()
+        tm.apply_precond(residual, precond_r)
+        s_h = _amap_fetch64(precond_r, masks)
+        delta_old = delta_new
+        delta_new = _dot64(r_h, s_h, comm)
+
         beta = delta_new / delta_old
         # d = s + beta d
-        din = data["lhs_in"]
-        for k in din.keys():
-            din[k].local = precond_r[k].local + beta * din[k].local
-        din.apply_flags()
+        for k in d_h:
+            d_h[k] = s_h[k] + beta * d_h[k]
+        _amap_push(data["lhs_in"], d_h)
 
+    _amap_push(result, x_h)
     timer.stop()
     for key in ("lhs_in", "lhs_out"):
         if key in data:

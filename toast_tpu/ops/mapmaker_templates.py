@@ -162,6 +162,37 @@ class SolveAmplitudes(Operator):
             and not getattr(self.binning, "sharded", False)
         )
 
+    def _fused_stack_applicable(self, data):
+        """Stacked fused solve: one observation, an Offset template plus
+        any number of shared-basis templates (SubHarmonic / Periodic —
+        ``tod += B @ a_det`` with a per-observation shared basis), no
+        views, unsharded map domain.  Fourier2D couples detectors through
+        shared amplitudes and GainTemplate scales by a reference TOD —
+        both fall back to the generic chain."""
+        from ..templates.more_templates import (
+            Fourier2D,
+            GainTemplate,
+            _BasisTemplate,
+        )
+        from ..templates.offset import Offset
+
+        tl = self.template_matrix.templates
+        if not (
+            self.use_fused
+            and len(data.obs) == 1
+            and len(tl) >= 2
+            and isinstance(tl[0], Offset)
+            and tl[0].view is None
+            and not getattr(self.binning, "sharded", False)
+        ):
+            return False
+        for t in tl[1:]:
+            if not isinstance(t, _BasisTemplate):
+                return False
+            if isinstance(t, (Fourier2D, GainTemplate)):
+                return False
+        return True
+
     def _fused_multi_applicable(self, data):
         """Stacked multi-observation fused solve: equal-shaped obs, one
         Offset template without a noise prior, unsharded map domain."""
@@ -454,6 +485,153 @@ class SolveAmplitudes(Operator):
             f"Fused PCG finished: {iters_i} iterations, "
             f"final rel delta = {rel_f:0.3e}, "
             f"run compression {info_dict['compression']:.1f}x"
+        )
+        return amps, info_dict
+
+    _BASIS_STATS_CACHE = {}
+
+    def _solve_fused_stack(self, data, detectors, binning, prefix):
+        """Joint fused PCG for an Offset + shared-basis template stack.
+
+        Reuses the single-Offset setup (:meth:`_fused_setup`), adds the
+        three per-run basis statistic families
+        (:func:`~toast_tpu.ops.kernels.fused_solver.run_stats_basis`,
+        cached per pointing + basis content) and the per-realization
+        basis RHS sums, then solves the joint normal equations in one
+        on-device program (:func:`fused_stacked_solve`) — the fused
+        equivalent of the reference multi-template ``SolverLHS`` chain
+        (``ref:src/toast/ops/mapmaker_solve.py:342-520``).
+
+        Returns ``(AmplitudesMap, info)`` or ``None`` when the stack
+        cannot be fused after initialization (detector-set mismatch
+        between templates, or the basis statistics would not fit) — the
+        caller then falls through to the generic chain.
+        """
+        import jax as _jax
+
+        from ..templates.amplitudes import AmplitudesMap
+        from .kernels.fused_solver import (
+            _fingerprints_jit,
+            fused_stacked_solve,
+            run_stats_basis,
+            run_stats_basis_tod,
+        )
+
+        log = Logger.get()
+        tl = self.template_matrix.templates
+        tmpl = tl[0]
+        s = self._fused_setup(data, detectors, binning, tmpl)
+        info = s["info"]
+        dets, n_det, n_base = s["dets"], s["n_det"], s["n_base"]
+        plan = s["plan"]
+
+        # basis templates must cover the same detectors in the same order
+        basis_parts = []
+        k_slices = []
+        k0 = 0
+        for t in tl[1:]:
+            if len(t._obs_info) != 1 or list(t._obs_info[0]["dets"]) != list(
+                dets
+            ):
+                return None
+            b = t._obs_info[0]["basis"]
+            basis_parts.append(b)
+            k_slices.append((t, k0, k0 + b.shape[1]))
+            k0 += b.shape[1]
+        B = jnp.concatenate(basis_parts, axis=1)
+        K = int(B.shape[1])
+        # the RB family is (n_runs_b, nnz, K) resident f32
+        if plan["n_runs_b"] * s["nnz"] * K * 4 > (1 << 31):
+            return None
+
+        wg_flat = s["wg"].reshape(-1)
+        with _seg("basis_stats"):
+            bkey = s["pt_key"]
+            if bkey:
+                bfp = tuple(np.asarray(_fingerprints_jit([B])).reshape(-1))
+                bkey = bkey + bfp
+            cached = self._BASIS_STATS_CACHE.get(bkey) if bkey else None
+            if cached is None:
+                basis_stats = run_stats_basis(
+                    s["wts"].reshape(-1, s["nnz"]),
+                    wg_flat,
+                    B,
+                    n_det,
+                    plan["bounds1"],
+                    plan["order"],
+                    plan["good_sorted"],
+                )
+                if bkey:
+                    if len(self._BASIS_STATS_CACHE) > 2:
+                        self._BASIS_STATS_CACHE.clear()
+                    self._BASIS_STATS_CACHE[bkey] = basis_stats
+            else:
+                basis_stats = cached
+        RB, Sb, GBQ = basis_stats
+        with _seg("basis_tod"):
+            bd = run_stats_basis_tod(
+                s["tod"], wg_flat, B,
+                plan["bounds1"], plan["order"], plan["good_sorted"],
+            )
+
+        use_prior = "prior_filter" in info
+        zero_f = jnp.zeros((n_det, n_base // 2 + 1), dtype=jnp.float32)
+        use_pallas = (
+            _jax.default_backend() == "tpu" and plan["n_hi"] <= 2048
+        )
+        with _seg("solve_dispatch"):
+            a_off, a_bas, iters, rel, diag_n, amp_mask = fused_stacked_solve(
+                s["pt_stats"],
+                s["tod_stats"],
+                RB, Sb, GBQ, bd,
+                plan["amp_sorted"],
+                plan["hit_starts"],
+                plan["hit_bounds"],
+                plan["hit_valid"],
+                plan["rank_block"],
+                s["cov_hit"],
+                s["rcond_hit"],
+                jnp.float32(tmpl.good_fraction),
+                jnp.asarray(
+                    np.tile(info["amp_len"], n_det).astype(np.float32)
+                ),
+                info.get("prior_filter", zero_f),
+                info.get("precond_filter", zero_f),
+                plan["n_hi"],
+                plan["n_amp"],
+                n_det,
+                n_base,
+                K,
+                self.iter_max,
+                jnp.float32(float(self.convergence)),
+                use_prior=use_prior,
+                nnz=s["nnz"],
+                use_pallas_reduce=use_pallas,
+            )
+
+        amps = AmplitudesMap()
+        zero = tmpl.zeros()
+        zero.local = a_off
+        amps[tmpl.name] = zero
+        for t, lo, hi in k_slices:
+            za = t.zeros()
+            za.local = a_bas[:, lo:hi].reshape(-1)
+            amps[t.name] = za
+        with _seg("fetch_wait"):
+            it_rel = np.asarray(jnp.stack([iters.astype(jnp.float32), rel]))
+        iters_i, rel_f = int(it_rel[0]), float(it_rel[1])
+        info_dict = {
+            "iterations": iters_i,
+            "converged": bool(rel_f <= float(self.convergence)),
+            "residuals": [rel_f],
+            "fused": True,
+            "fused_stack": True,
+            "n_templates": len(tl),
+            "n_runs": plan["n_runs"],
+        }
+        log.info(
+            f"Fused stacked PCG finished: {iters_i} iterations over "
+            f"{len(tl)} templates, final rel delta = {rel_f:0.3e}"
         )
         return amps, info_dict
 
@@ -759,6 +937,15 @@ class SolveAmplitudes(Operator):
             data[f"{self.amplitudes}_solve_info"] = info
             self.template_matrix.det_data = self.det_data
             return
+
+        if self._fused_stack_applicable(data):
+            res = self._solve_fused_stack(data, detectors, binning, prefix)
+            if res is not None:
+                amplitudes, info = res
+                data[self.amplitudes] = amplitudes
+                data[f"{self.amplitudes}_solve_info"] = info
+                self.template_matrix.det_data = self.det_data
+                return
 
         if self._fused_multi_applicable(data):
             amplitudes, info = self._solve_fused_multi(
