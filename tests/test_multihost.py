@@ -171,6 +171,59 @@ with open(os.environ["TOAST_MH_OUT"] + f".{rank}", "w") as f:
 """
 
 
+_A2A_WORKER = r"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.environ["TOAST_TPU_REPO"])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from toast_tpu.parallel import Comm, multihost
+from toast_tpu.pixels import PixelData, PixelDistribution
+
+nproc = int(os.environ["TOAST_NUM_PROCESSES"])
+rank = int(os.environ["TOAST_PROCESS_ID"])
+multihost.initialize()
+comm = Comm()
+
+n_submap, nps = 48, 64
+# overlapping hit sets: each process hits its own third plus a shared band
+mine = np.arange(rank * 12, rank * 12 + 16) % n_submap
+dist = PixelDistribution(
+    n_pix=n_submap * nps, n_submap=n_submap, local_submaps=np.unique(mine),
+    comm=comm,
+)
+
+rng = np.random.default_rng(100 + rank)
+vals = np.zeros((n_submap * nps, 3), dtype=np.float32)
+for s in np.unique(mine):
+    vals[s * nps : (s + 1) * nps] = rng.normal(
+        size=(nps, 3)
+    ).astype(np.float32)
+
+pd_a = PixelData(dist, n_value=3)
+pd_a.set_numpy(vals)
+pd_b = PixelData(dist, n_value=3)
+pd_b.set_numpy(vals)
+
+pd_a.sync_allreduce()
+pd_b.sync_alltoallv()
+
+np.testing.assert_allclose(pd_a.numpy(), pd_b.numpy(), rtol=0, atol=1e-6)
+vol = pd_b.last_sync_volume
+assert vol["alltoallv_bytes"] < vol["allreduce_bytes"] / 2, vol
+
+with open(os.environ["TOAST_MH_OUT"] + f".{rank}", "w") as f:
+    json.dump({"ok": True, "volume": vol}, f)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -265,3 +318,43 @@ def test_two_process_group_sim_and_binning(tmp_path, nproc):
     sums = [r["map_sum"] for r in results]
     assert all(s > 0 for s in sums)
     np.testing.assert_allclose(sums, sums[0], rtol=1e-6)
+
+
+@pytest.mark.parametrize("nproc", [2])
+def test_two_process_alltoallv_map_sync(tmp_path, nproc):
+    """Owner-based submap sync equals the dense allreduce with less
+    transferred volume (reference Alltoallv path, ``pixels.py:878-970``)."""
+    port = _free_port()
+    outbase = str(tmp_path / "a2a_out")
+    script = tmp_path / "a2a_worker.py"
+    script.write_text(_A2A_WORKER)
+    procs = []
+    for rank in range(nproc):
+        env = dict(os.environ)
+        env.update(
+            TOAST_TPU_REPO=_REPO,
+            TOAST_COORDINATOR=f"127.0.0.1:{port}",
+            TOAST_NUM_PROCESSES=str(nproc),
+            TOAST_PROCESS_ID=str(rank),
+            TOAST_MH_OUT=outbase,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        )
+        env.pop("JAX_PLATFORM_NAME", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    for rank in range(nproc):
+        with open(f"{outbase}.{rank}") as f:
+            res = json.load(f)
+            assert res["ok"]
+            assert res["volume"]["alltoallv_bytes"] < res["volume"]["allreduce_bytes"]
