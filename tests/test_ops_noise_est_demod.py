@@ -203,3 +203,120 @@ def test_demodulate_2f_streams():
         ]
     )
     assert np.isfinite(sig2).all() and np.isfinite(sig4).all()
+
+
+def test_noise_estim_remove_common_mode():
+    """remove_common_mode subtracts the focalplane average before the
+    estimate (ref noise_estimation.py:340-355): an injected common
+    sinusoid dominates the naive PSD and vanishes from the cleaned one."""
+    data = create_satellite_data(n_pix=2, obs_time=Quantity(30.0, u.minute))
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ob = data.obs[0]
+    n = ob.n_local_samples
+    rate = 10.0
+    t = np.arange(n) / rate
+    f0 = 0.5
+    line = (0.05 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    sig = np.asarray(ob.detdata["signal"].data)
+    ob.detdata["signal"].data = sig + line[None, :]
+
+    ops.NoiseEstim(name="raw", out_model="raw_est").apply(data)
+    ops.NoiseEstim(
+        name="cm", out_model="cm_est", remove_common_mode=True
+    ).apply(data)
+    det = ob.local_detectors[0]
+
+    def line_power(model):
+        f = model.freq(det).to_value(u.Hz)
+        p = model.psd(det).to_value(u.K2_s)
+        sel = (f > 0.4) & (f < 0.62)
+        return np.max(p[sel])
+
+    raw = line_power(ob["raw_est"])
+    cleaned = line_power(ob["cm_est"])
+    # the log-binned line rides ~4x above the white floor in the raw
+    # estimate; after removal it must drop back to the floor (NET^2)
+    net2 = ob["noise_model"].NET(det).to_value(u.K_sqrt_s) ** 2
+    assert raw > 3.0 * net2, (raw, net2)
+    assert cleaned < 1.5 * net2, (cleaned, net2)
+
+
+def test_noise_estim_focalplane_key():
+    """focalplane_key mode estimates one representative stream per key
+    value, named by the key (ref noise_estimation.py:397-415)."""
+    data = create_satellite_data(n_pix=2, obs_time=Quantity(20.0, u.minute))
+    ops.DefaultNoiseModel().apply(data)
+    ops.SimNoise().apply(data)
+    ob = data.obs[0]
+    fp = ob.telescope.focalplane
+    import numpy as _np
+
+    fp.detector_data["band"] = _np.array(
+        ["f090" if i % 2 == 0 else "f150" for i in range(len(fp.detector_data["name"]))]
+    )
+    ops.NoiseEstim(
+        name="fk", out_model="fk_est", focalplane_key="band"
+    ).apply(data)
+    est = ob["fk_est"]
+    assert set(est.detectors) == {"f090", "f150"}
+    for k in ("f090", "f150"):
+        assert np.all(est.psd(k).to_value(u.K2_s) >= 0)
+
+
+def test_noise_estim_mapfile_subtraction(tmp_path):
+    """mapfile scan-subtraction removes sky signal from the estimate
+    (ref noise_estimation.py:358-372)."""
+    from toast_tpu.pixels.io_healpix import write_healpix_fits
+
+    data = create_satellite_data(
+        n_pix=2, obs_time=Quantity(30.0, u.minute), hwp_rpm=6.0
+    )
+    ops.DefaultNoiseModel().apply(data)
+    det_pointing = ops.PointingDetectorSimple()
+    pixels = ops.PixelsHealpix(
+        nside=16, detector_pointing=det_pointing, create_dist="pixel_dist"
+    )
+    weights = ops.StokesWeights(
+        mode="IQU", detector_pointing=det_pointing, hwp_angle="hwp_angle"
+    )
+    ops.Pipeline(operators=[pixels, weights]).apply(data)
+
+    # a bright sky: scan it into the signal
+    rng = np.random.default_rng(7)
+    dist = data["pixel_dist"]
+    sky = PixelData(dist, n_value=3)
+    vals = np.zeros((dist.n_pix, 3), dtype=np.float32)
+    vals[:, 0] = 5.0 * rng.standard_normal(dist.n_pix)
+    sky.set_numpy(vals)
+    path = str(tmp_path / "sky.fits")
+    write_healpix_fits(sky, path, nest=pixels.nest)
+    data["sky"] = sky
+    ops.SimNoise().apply(data)
+    ops.ScanMap(
+        det_data="signal", pixels="pixels", weights="weights", map_key="sky"
+    ).apply(data)
+
+    ob = data.obs[0]
+    det = ob.local_detectors[0]
+    ops.NoiseEstim(name="nraw", out_model="nraw_est").apply(data)
+    raw_est = ob["nraw_est"]
+    ops.NoiseEstim(
+        name="nsub",
+        out_model="nsub_est",
+        mapfile=path,
+        pixel_pointing=pixels,
+        stokes_weights=weights,
+    ).apply(data)
+    sub_est = ob["nsub_est"]
+    true = ob["noise_model"]
+    net2 = true.NET(det).to_value(u.K_sqrt_s) ** 2
+
+    def plateau(model):
+        f = model.freq(det).to_value(u.Hz)
+        p = model.psd(det).to_value(u.K2_s)
+        return np.median(p[f > 1.0])
+
+    # sky power inflates the raw estimate; subtraction restores the noise
+    assert plateau(raw_est) > 3.0 * net2
+    assert abs(plateau(sub_est) / net2 - 1.0) < 0.3

@@ -66,6 +66,81 @@ def _reduce_kernel(amp_ref, val_ref, out_ref):
     )
 
 
+def _expand_kernel(amp_ref, tab_ref, out_ref):
+    amp = amp_ref[:]                       # (block,) int32
+    block = amp.shape[0]
+    n_hi = tab_ref.shape[0]
+    hi = amp // _LOW
+    lo = amp - hi * _LOW
+    # (block, n_hi) bf16 one-hot of the high digit: one MXU pass against
+    # the VMEM-resident exact-split table gives rows (block, 3*128)
+    oh_hi = (
+        jax.lax.broadcasted_iota(jnp.int32, (block, n_hi), 1) == hi[:, None]
+    ).astype(jnp.bfloat16)
+    m = jnp.dot(
+        oh_hi, tab_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (block, _LOW), 1)
+    sel = lanes == lo[:, None]
+    pick = (
+        jnp.where(sel, m[:, :_LOW], 0.0)
+        + jnp.where(sel, m[:, _LOW : 2 * _LOW], 0.0)
+        + jnp.where(sel, m[:, 2 * _LOW :], 0.0)
+    )
+    out_ref[:] = jnp.sum(pick, axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_hi", "interpret"))
+def amp_expand_pallas(a, amp_sorted, n_hi, interpret=False):
+    """``a[amp_sorted]`` — Pallas VMEM-table gather via the MXU.
+
+    The expansion twin of :func:`amp_reduce_pallas`: the amplitude table
+    (tiny — n_amp <= tens of thousands) is padded to (n_hi, 128), split
+    into three exact bf16 components, and stays VMEM-resident while each
+    run block gathers its rows with one bf16 one-hot matmul + lane
+    select.  HBM traffic is just the ids in and values out (8 B/run),
+    versus the XLA one-hot einsum's materialized (n_runs, 128) operands.
+    Exact: one-hot factors and split components are bf16-representable,
+    so the recombined float32 equals ``a[amp_sorted]`` bitwise.
+
+    Args:
+        a: (n_amp,) float32 amplitudes.
+        amp_sorted: (n_runs_b,) int32 ids in [0, n_amp).
+        n_hi: static ceil(n_amp / 128).
+
+    Returns:
+        (n_runs_b,) float32 ``a[amp_sorted]``.
+    """
+    n_runs_b = amp_sorted.shape[0]
+    a2 = jnp.zeros((n_hi * _LOW,), dtype=a.dtype).at[: a.shape[0]].set(a)
+    a2 = a2.reshape(n_hi, _LOW)
+    a_1 = a2.astype(jnp.bfloat16)
+    r_1 = a2 - a_1.astype(jnp.float32)
+    a_2 = r_1.astype(jnp.bfloat16)
+    a_3 = (r_1 - a_2.astype(jnp.float32)).astype(jnp.bfloat16)
+    tab = jnp.concatenate([a_1, a_2, a_3], axis=1)  # (n_hi, 3*128) bf16
+    block = min(_BLOCK, n_runs_b)
+    while n_runs_b % block:
+        block //= 2
+    n_blocks = n_runs_b // block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block,), lambda b: (b,)),
+            pl.BlockSpec(tab.shape, lambda b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block,), lambda b: (b,)),
+    )
+    return pl.pallas_call(
+        _expand_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_runs_b,), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(amp_sorted, tab)
+
+
 @partial(jax.jit, static_argnames=("n_hi", "n_amp", "interpret"))
 def amp_reduce_pallas(vals, amp_sorted, n_hi, n_amp, interpret=False):
     """sum of ``vals`` per amplitude id — Pallas MXU block accumulation.

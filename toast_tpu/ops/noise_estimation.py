@@ -13,7 +13,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..config.traits import Bool, Int, Quantity, Unicode
+from ..config.traits import Bool, Instance, Int, Quantity, Unicode
 from ..models.defaults import default_values as defaults
 from ..models.noise import Noise
 from ..utils import units as u
@@ -199,18 +199,97 @@ class NoiseEstim(Operator):
         help="Cross-PSD pairs: 'detA:detB,detC:detD' or 'ALL' for every "
         "unordered detector pair",
     )
-    mapfile = Unicode(None, allow_none=True, help="Map to subtract (data key)")
-    pixel_pointing = Unicode(None, allow_none=True)
+    mapfile = Unicode(
+        None, allow_none=True, help="HEALPix map file to scan-subtract "
+        "from the signal before estimation (ref noise_estimation.py:358)"
+    )
+    maskfile = Unicode(
+        None, allow_none=True, help="HEALPix mask file raised into "
+        "det_flags before estimation (ref noise_estimation.py:374)"
+    )
+    mask_flag_mask = Int(defaults.det_mask_processing)
+    pol = Bool(True, help="Use Stokes weights when scanning mapfile")
+    pixel_dist = Unicode("pixel_dist")
+    pixel_pointing = Instance(
+        klass=object, allow_none=True, help="PixelsHealpix operator for "
+        "mapfile/maskfile scanning"
+    )
+    stokes_weights = Instance(klass=object, allow_none=True)
+    focalplane_key = Unicode(
+        None, allow_none=True, help="Estimate one PSD per focalplane key "
+        "value (a representative detector each) instead of per detector"
+    )
+    remove_common_mode = Bool(
+        False, help="Subtract the focalplane common mode (per "
+        "focalplane_key group) before estimating"
+    )
+
+    def _remove_signal(self, data, detectors):
+        """Optional signal-removal passes before estimation, mirroring the
+        reference (``ref:src/toast/ops/noise_estimation.py:336-383``):
+        common-mode subtraction, scanned-map subtraction, mask flagging."""
+        if self.remove_common_mode:
+            # Subtract the focalplane(-group) common mode in place.  (The
+            # reference composes Copy/CommonModeFilter/Combine here with
+            # operands that leave det_data equal to the common mode ITSELF
+            # — ref noise_estimation.py:340-356 vs the trait's documented
+            # "remove common mode signal before estimation"; this follows
+            # the documented intent.)
+            from .polyfilter import CommonModeFilter
+
+            CommonModeFilter(
+                det_data=self.det_data,
+                det_flags=self.det_flags,
+                det_flag_mask=self.det_flag_mask,
+                focalplane_key=self.focalplane_key,
+            ).apply(data)
+        if self.mapfile is not None:
+            from .scan_healpix import ScanHealpixMap
+
+            ScanHealpixMap(
+                file=self.mapfile,
+                det_data=self.det_data,
+                subtract=True,
+                pixel_dist=self.pixel_dist,
+                pixel_pointing=self.pixel_pointing,
+                stokes_weights=self.stokes_weights if self.pol else None,
+            ).apply(data, detectors=detectors)
+        if self.maskfile is not None:
+            from .scan_healpix import ScanHealpixMask
+
+            ScanHealpixMask(
+                file=self.maskfile,
+                det_flags=self.det_flags,
+                det_flags_value=self.mask_flag_mask,
+                pixel_dist=self.pixel_dist,
+                pixel_pointing=self.pixel_pointing,
+            ).apply(data, detectors=detectors)
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         import h5py
         import os
 
+        self._remove_signal(data, detectors)
+
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
                 continue
+            # focalplane_key mode: one representative detector per key
+            # value, output streams named by the key (ref :397-415)
+            det2key = None
+            if self.focalplane_key is not None:
+                fp = ob.telescope.focalplane
+                col = fp.column(self.focalplane_key)
+                det2key = {}
+                seen_keys = set()
+                for d in dets:
+                    k = str(col[fp.detector_index(d)])
+                    if k not in seen_keys:
+                        seen_keys.add(k)
+                        det2key[d] = k
+                dets = list(det2key.keys())
             (rate, _, _, _, _) = rate_from_times(np.asarray(ob.shared[self.times]))
             n = ob.n_local_samples
             didx = ob.detector_indices(dets)
@@ -261,7 +340,8 @@ class NoiseEstim(Operator):
             idx = np.digitize(freqs_full[1:], edges) - 1
             freqs = {}
             psds = {}
-            for i, det in enumerate(dets):
+            out_names = [det2key[d] if det2key else d for d in dets]
+            for i, det in enumerate(out_names):
                 bf = np.zeros(self.nbin_psd)
                 bp = np.zeros(self.nbin_psd)
                 cnt = np.zeros(self.nbin_psd)
@@ -320,7 +400,7 @@ class NoiseEstim(Operator):
                     freqs[key] = fb[hb > 0]
                     psds[key] = pb[hb > 0]
 
-            model = Noise(detectors=dets, freqs=freqs, psds=psds)
+            model = Noise(detectors=out_names, freqs=freqs, psds=psds)
             out_key = self.out_model if self.out_model is not None else f"{self.name}_noise"
             ob[out_key] = model
             if self.output_dir is not None:
