@@ -200,3 +200,113 @@ def test_atm_scales_with_pwv_and_airmass():
     ops.SimAtmosphere(gain=3e-4, add_loading=False).apply(data2)
     rms2 = ob2.detdata["signal"].numpy().std()
     assert abs(rms2 / rms1 - 2.0) < 0.2
+
+
+def test_atm_inner_scale_damps_high_k():
+    """A large inner (dissipation) scale suppresses high-frequency power
+    (Tatarskii cutoff — the role of the reference's lmin draw,
+    ref sim_tod_atm.py:116-123)."""
+    def hi_power(lmin_m):
+        data = create_ground_data(n_pix=1, duration_s=300.0)
+        ob = data.obs[0]
+        ob.detdata.create("signal", units=u.K)
+        ops.SimAtmosphere(
+            gain=3e-4,
+            add_loading=False,
+            lmin_center=Quantity(lmin_m, u.meter),
+            lmin_sigma=Quantity(0.0, u.meter),
+        ).apply(data)
+        tod = ob.detdata["signal"].numpy()[0].astype(np.float64)
+        tod -= tod.mean()
+        f = np.fft.rfftfreq(len(tod), 0.1)
+        p = np.abs(np.fft.rfft(tod)) ** 2
+        return p[(f > 1.0) & (f < 4.0)].mean()
+
+    assert hi_power(0.01) > 3.0 * hi_power(60.0)
+
+
+def test_atm_wind_dist_rerealizes_screens():
+    """Restricting the frozen-turbulence validity distance re-realizes the
+    screens mid-observation (ref wind_dist, sim_tod_atm.py:152): the
+    signal differs from the single-realization run after the first chunk
+    but matches it (exactly) before."""
+    def run(wind_dist_m):
+        data = create_ground_data(n_pix=1, duration_s=600.0)
+        ob = data.obs[0]
+        ob.detdata.create("signal", units=u.K)
+        ops.SimAtmosphere(
+            gain=3e-4,
+            add_loading=False,
+            wind_dist=Quantity(wind_dist_m, u.meter),
+            fade_time=Quantity(10.0, u.s),
+        ).apply(data)
+        return data, ob.detdata["signal"].numpy()[0].astype(np.float64)
+
+    _, frozen = run(1.0e8)           # one realization for the whole obs
+    _, chunked = run(500.0)          # several independent chunks
+    _, chunked2 = run(500.0)
+    # chunked realizations are reproducible ...
+    np.testing.assert_array_equal(chunked, chunked2)
+    # ... differ from the frozen run (new screens mid-observation) ...
+    assert np.abs(frozen - chunked).max() > 1e-7
+    # ... and the crossfade keeps the stream continuous: the largest
+    # sample-to-sample jump of the chunked run stays comparable to the
+    # frozen run's (no realization-switch discontinuity)
+    assert np.abs(np.diff(chunked)).max() < 5.0 * np.abs(np.diff(frozen)).max()
+
+
+def test_atm_coarse_sample_rate_interpolates():
+    """Simulating at a lower rate and interpolating preserves the
+    low-frequency structure (ref sample_rate, sim_tod_atm.py:162)."""
+    def run(rate):
+        data = create_ground_data(n_pix=1, duration_s=300.0)
+        ob = data.obs[0]
+        ob.detdata.create("signal", units=u.K)
+        kw = {}
+        if rate is not None:
+            kw["sample_rate"] = Quantity(rate, u.Hz)
+        ops.SimAtmosphere(gain=3e-4, add_loading=False, **kw).apply(data)
+        return ob.detdata["signal"].numpy()[0].astype(np.float64)
+
+    full = run(None)
+    coarse = run(2.0)  # data rate is 10 Hz -> stride 5
+    assert full.shape == coarse.shape
+    # low-pass both to the coarse Nyquist and compare
+    f = np.fft.rfftfreq(len(full), 0.1)
+    keep = f < 0.5
+    def lp(x):
+        X = np.fft.rfft(x - x.mean())
+        X[~keep] = 0
+        return np.fft.irfft(X, len(x))
+    a, b = lp(full), lp(coarse)
+    rho = np.corrcoef(a, b)[0, 1]
+    assert rho > 0.98, rho
+
+
+def test_atm_cache_only_and_reuse(tmp_path):
+    """cache_only generates screens without observing; a later run reuses
+    them bit-exactly (ref cache_dir/cache_only, sim_tod_atm.py:177-190)."""
+    cache = str(tmp_path / "atmcache")
+
+    data = create_ground_data(n_pix=1, duration_s=120.0)
+    ob = data.obs[0]
+    ob.detdata.create("signal", units=u.K)
+    ops.SimAtmosphere(
+        gain=3e-4, add_loading=False, cache_dir=cache, cache_only=True
+    ).apply(data)
+    assert np.all(ob.detdata["signal"].numpy() == 0)
+    import glob
+    assert glob.glob(cache + "/atm_*.npz")
+
+    ops.SimAtmosphere(
+        gain=3e-4, add_loading=False, cache_dir=cache
+    ).apply(data)
+    cached = ob.detdata["signal"].numpy().copy()
+
+    data2 = create_ground_data(n_pix=1, duration_s=120.0)
+    ob2 = data2.obs[0]
+    ob2.detdata.create("signal", units=u.K)
+    ops.SimAtmosphere(gain=3e-4, add_loading=False).apply(data2)
+    np.testing.assert_allclose(
+        cached, ob2.detdata["signal"].numpy(), rtol=0, atol=1e-6
+    )

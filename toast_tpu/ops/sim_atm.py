@@ -41,11 +41,15 @@ from ..utils.units import Quantity as Qty
 from .operator import Operator
 
 
-def kolmogorov_screen(n_grid, dtheta_rad, l0_rad, key, counter=0):
+def kolmogorov_screen(n_grid, dtheta_rad, l0_rad, key, counter=0, lmin_rad=0.0):
     """Realize a 2-D von Karman screen (unit variance) of size n_grid^2.
 
     The random phases come from the counter-based RNG so realizations are
-    reproducible for any (realization, site, session) key.
+    reproducible for any (realization, site, session) key.  ``l0_rad`` is
+    the angular outer scale (energy injection), ``lmin_rad`` the angular
+    inner (dissipation) scale — the spectrum rolls off as
+    ``exp(-k^2 lmin^2)`` above it (Tatarskii viscous cutoff, the role of
+    the reference's ``lmin_center`` draw, ref sim_tod_atm.py:116).
     """
     # gaussian white noise on the grid
     g = toast_rng.random(
@@ -55,6 +59,8 @@ def kolmogorov_screen(n_grid, dtheta_rad, l0_rad, key, counter=0):
     ky = np.fft.fftfreq(n_grid, dtheta_rad)
     k2 = kx[:, None] ** 2 + ky[None, :] ** 2
     power = (k2 + 1.0 / l0_rad**2) ** (-11.0 / 12.0)  # amplitude = sqrt(P)
+    if lmin_rad > 0.0:
+        power = power * np.exp(-0.5 * k2 * lmin_rad**2)
     power[0, 0] = 0.0
     spec = np.fft.fft2(g) * power
     screen = np.real(np.fft.ifft2(spec))
@@ -120,8 +126,45 @@ class SimAtmosphere(Operator):
         help="Dimensionless calibration from (unit screen x band absorption "
         "x airmass) to Kelvin",
     )
-    lmin_center = Quantity(Qty(0.01, u.meter), help="Unused (API compat)")
+    lmin_center = Quantity(
+        Qty(0.01, u.meter),
+        help="Inner (dissipation) turbulence scale: spectrum cutoff",
+    )
+    lmin_sigma = Quantity(
+        Qty(0.001, u.meter),
+        help="Width of the per-observation inner-scale draw (ref "
+        "sim_tod_atm.py:120)",
+    )
     lmax_center = Quantity(Qty(300.0, u.meter), help="Outer turbulence scale")
+    lmax_sigma = Quantity(
+        Qty(10.0, u.meter),
+        help="Width of the per-observation outer-scale draw",
+    )
+    z0_center = Quantity(
+        Qty(2000.0, u.meter),
+        help="Water vapor scale height: screens at altitude h carry "
+        "relative amplitude exp(-h / z0) (ref sim_tod_atm.py:146)",
+    )
+    z0_sigma = Quantity(
+        Qty(0.0, u.meter), help="Width of the per-observation z0 draw"
+    )
+    wind_dist = Quantity(
+        Qty(10000.0, u.meter),
+        help="Maximum frozen-turbulence wind travel before the screens "
+        "are re-realized (ref sim_tod_atm.py:152); the observation is "
+        "split into independent time chunks at that distance",
+    )
+    fade_time = Quantity(
+        Qty(60.0, u.s),
+        help="Crossfade window between consecutive screen realizations "
+        "(ref sim_tod_atm.py:157)",
+    )
+    sample_rate = Quantity(
+        None,
+        allow_none=True,
+        help="If set, simulate the atmosphere at this (lower) rate and "
+        "linearly interpolate to the data rate (ref sim_tod_atm.py:162)",
+    )
     n_screen = Int(3, help="Number of frozen screens (altitudes)")
     screen_res = Int(512, help="Screen grid size")
     wind_dispersion = Float(0.3, help="Fractional wind spread between screens")
@@ -132,6 +175,12 @@ class SimAtmosphere(Operator):
         allow_none=True,
         help="Directory for cached screen realizations (reference "
         "sim_tod_atm_generate.py:301 disk cache analog)",
+    )
+    overwrite_cache = Bool(
+        False, help="Re-realize and overwrite existing cache entries"
+    )
+    cache_only = Bool(
+        False, help="Generate/cache the screens but do not observe them"
     )
     polarization_fraction = Float(
         0.0,
@@ -204,7 +253,6 @@ class SimAtmosphere(Operator):
             sindx = int(ob.session.uid if ob.session else 0) & 0xFFFFFFFF
             telescope = int(ob.telescope.uid) & 0xFFFF
             key1 = (self.realization << 20) | (telescope << 4) | 1
-            screens = []
             rates = []
             n = self.screen_res
             # angular wind rate per screen: v / h (radians/s), reduced for
@@ -215,51 +263,165 @@ class SimAtmosphere(Operator):
                     len(heights), 1
                 )
                 rates.append(rate_ang)
-            drift = max(rates) * duration
-            az_span = (az_max - az_min) + drift + 0.05
+
+            # per-observation turbulence parameter draws
+            # (ref sim_tod_atm_generate.py draws lmin/lmax/z0 per slice)
+            draws = toast_rng.random(
+                4, key=(key1, sindx), counter=(1, 0), sampler="gaussian"
+            )
+            lmax_m = abs(
+                self.lmax_center.to_value(u.meter)
+                + draws[0] * self.lmax_sigma.to_value(u.meter)
+            )
+            lmin_m = abs(
+                self.lmin_center.to_value(u.meter)
+                + draws[1] * self.lmin_sigma.to_value(u.meter)
+            )
+            z0_m = abs(
+                self.z0_center.to_value(u.meter)
+                + draws[2] * self.z0_sigma.to_value(u.meter)
+            )
+            # water-vapor scale-height weighting of the screens, unit total
+            # variance (the overall amplitude is the gain's job)
+            w_scr = np.exp(
+                -np.asarray(heights, dtype=np.float64) / max(z0_m, 1.0)
+            )
+            w_scr /= np.sqrt(np.sum(w_scr**2))
+
+            # frozen-turbulence validity: re-realize the screens after the
+            # wind has traveled wind_dist, crossfading over fade_time
+            wind_dist_m = self.wind_dist.to_value(u.meter)
+            chunk_dur = (
+                wind_dist_m / wind_speed if wind_speed > 0.1 else duration + 1.0
+            )
+            n_chunk = max(1, min(64, int(np.ceil(duration / chunk_dur))))
+            rate_data = (
+                (len(tvec) - 1) / duration if duration > 0 and len(tvec) > 1
+                else 1.0
+            )
+            # optional coarse simulation grid (ref sim_tod_atm.py:162)
+            stride = 1
+            if self.sample_rate is not None:
+                want = self.sample_rate.to_value(u.Hz)
+                if want > 0:
+                    stride = max(1, int(round(rate_data / want)))
+            cs = slice(None, None, stride)
+            az_c = az_det[:, cs]
+            el_c = el_det[:, cs]
+            t_c = tvec[cs]
+            n_c = t_c.shape[0]
+
+            drift = max(rates) * min(duration, chunk_dur + self.fade_time.to_value(u.s))
+            az_span = (float(az_c.max()) - az_min) + drift + 0.05
             el_span = (el_max - el_min) + 0.05
             span = max(az_span, el_span)
             dtheta = span / (n - 2)
-            l0 = self.lmax_center.to_value(u.meter) / min(heights)  # angular L0
-            # screen realization cache (reference disk cache,
-            # sim_tod_atm_generate.py:301): keyed by RNG identity + geometry
-            cache_path = None
-            if self.cache_dir is not None:
+            l0 = lmax_m / min(heights)          # angular outer scale
+            l_in = lmin_m / min(heights)        # angular inner scale
+
+            def make_screens(chunk):
+                """Screen stack for one wind chunk (cached on disk)."""
                 import os
 
-                os.makedirs(self.cache_dir, exist_ok=True)
-                cache_path = os.path.join(
-                    self.cache_dir,
-                    f"atm_{self.realization}_{telescope}_{sindx}_"
-                    f"{n}_{dtheta:.6e}_{len(heights)}.npz",
-                )
-            if cache_path is not None and os.path.exists(cache_path):
-                with np.load(cache_path) as f:
-                    screens = jnp.asarray(f["screens"])
-            else:
+                cache_path = None
+                if self.cache_dir is not None:
+                    os.makedirs(self.cache_dir, exist_ok=True)
+                    cache_path = os.path.join(
+                        self.cache_dir,
+                        f"atm_{self.realization}_{telescope}_{sindx}_"
+                        f"{n}_{dtheta:.6e}_{len(heights)}_{chunk}.npz",
+                    )
+                if (
+                    cache_path is not None
+                    and os.path.exists(cache_path)
+                    and not self.overwrite_cache
+                ):
+                    with np.load(cache_path) as f:
+                        return jnp.asarray(f["screens"])
                 stack = []
                 for s in range(len(heights)):
                     scr = kolmogorov_screen(
-                        n, dtheta, max(l0, 4 * dtheta), (key1, (sindx << 8) | s)
+                        n,
+                        dtheta,
+                        max(l0, 4 * dtheta),
+                        (key1, (sindx << 8) | s),
+                        counter=chunk,
+                        lmin_rad=l_in,
                     )
-                    # higher screens contribute less power
-                    stack.append(scr / (s + 1.0))
+                    stack.append(scr * w_scr[s])
                 stack = np.stack(stack)
                 if cache_path is not None:
                     np.savez_compressed(cache_path, screens=stack)
-                screens = jnp.asarray(stack)
+                return jnp.asarray(stack)
 
-            atm = _observe_screens(
-                screens,
-                az_min - 0.02,
-                el_min - 0.02,
-                dtheta,
-                dtheta,
-                jnp.asarray(az_det),
-                jnp.asarray(el_det),
-                jnp.asarray(tvec),
-                jnp.asarray(np.array(rates, dtype=np.float32)),
-            )
+            if self.cache_only:
+                for c in range(n_chunk):
+                    make_screens(c)
+                continue
+
+            rates_j = jnp.asarray(np.array(rates, dtype=np.float32))
+
+            def observe(screens, sl, t0):
+                """Observe a coarse-sample slice against one screen stack;
+                the wind phase restarts at each chunk's start time t0."""
+                return _observe_screens(
+                    screens,
+                    az_min - 0.02,
+                    el_min - 0.02,
+                    dtheta,
+                    dtheta,
+                    jnp.asarray(az_c[:, sl]),
+                    jnp.asarray(el_c[:, sl]),
+                    jnp.asarray(t_c[sl] - t0),
+                    rates_j,
+                )
+
+            if n_chunk == 1:
+                atm_c = observe(make_screens(0), slice(0, n_c), 0.0)
+            else:
+                fade_s = self.fade_time.to_value(u.s)
+                bounds = [
+                    int(np.searchsorted(t_c, k * duration / n_chunk))
+                    for k in range(n_chunk)
+                ] + [n_c]
+                parts = []
+                prev_screens = None
+                for k in range(n_chunk):
+                    scr_k = make_screens(k)
+                    lo, hi = bounds[k], bounds[k + 1]
+                    if hi <= lo:
+                        prev_screens = scr_k
+                        continue
+                    t0_k = float(k * duration / n_chunk)
+                    vals = observe(scr_k, slice(lo, hi), t0_k)
+                    if k > 0 and fade_s > 0 and prev_screens is not None:
+                        # crossfade from the previous realization
+                        t_rel = t_c[lo:hi] - t0_k
+                        wgt = jnp.asarray(
+                            np.clip(t_rel / fade_s, 0.0, 1.0)[None, :]
+                        )
+                        if float(wgt.min()) < 1.0:
+                            t0_prev = float((k - 1) * duration / n_chunk)
+                            vals_prev = observe(
+                                prev_screens, slice(lo, hi), t0_prev
+                            )
+                            vals = wgt * vals + (1.0 - wgt) * vals_prev
+                    parts.append(vals)
+                    prev_screens = scr_k
+                atm_c = jnp.concatenate(parts, axis=1)
+
+            if stride == 1:
+                atm = atm_c
+            else:
+                # linear interpolation back to the data rate
+                pos = jnp.asarray(
+                    np.interp(tvec, t_c, np.arange(n_c)).astype(np.float32)
+                )
+                j0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_c - 2)
+                fj = pos - j0
+                atm = atm_c[:, j0] * (1.0 - fj)[None, :] + atm_c[
+                    :, j0 + 1
+                ] * fj[None, :]
             # band-dependent amplitude (reference: gain calibrated by PWV
             # absorption via libaatm; here ops/atm_utils.py tables):
             # fluctuations trace the wet absorption of each detector band,
