@@ -47,6 +47,43 @@ def _load_measured_baseline():
         return json.load(f)
 
 
+def _probe_tpu(attempts=5, per_timeout=240):
+    """Probe the remote-TPU tunnel in disposable subprocesses.
+
+    Returns (ok, attempts_used).  Retries with linear backoff: a wedged
+    tunnel often recovers within minutes, and one failed probe must never
+    again turn the round's official number into a CPU measurement.
+    """
+    import subprocess
+
+    for attempt in range(1, attempts + 1):
+        try:
+            probe = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, jax.numpy as jnp; "
+                    "assert jax.default_backend() != 'cpu'; "
+                    "print(float(jnp.sum(jnp.ones((8,)))))",
+                ],
+                capture_output=True,
+                timeout=per_timeout,
+            )
+            if probe.returncode == 0:
+                return True, attempt
+        except Exception:
+            pass
+        if attempt < attempts:
+            wait = 30 * attempt
+            print(
+                f"# TPU probe attempt {attempt}/{attempts} failed; "
+                f"retrying in {wait}s",
+                file=sys.stderr,
+            )
+            time.sleep(wait)
+    return False, attempts
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true", help="tiny case (CPU ok)")
@@ -85,33 +122,23 @@ def main():
     if args.profile:
         return run_profile(args)
 
+    probe_retries = 0
     if args.platform is None and os.environ.get("JAX_PLATFORMS", "") not in (
         "", "cpu"
     ) and not args.tiny:
         # the remote-TPU tunnel can wedge hard enough that device init
         # hangs forever; probe it in a disposable subprocess so a dead
         # tunnel degrades to an explicit CPU-fallback measurement instead
-        # of hanging the benchmark driver
-        import subprocess
-
-        try:
-            probe = subprocess.run(
-                [
-                    sys.executable,
-                    "-c",
-                    "import jax, jax.numpy as jnp; "
-                    "print(float(jnp.sum(jnp.ones((8,)))))",
-                ],
-                capture_output=True,
-                timeout=300,
-            )
-            ok = probe.returncode == 0
-        except Exception:
-            ok = False
+        # of hanging the benchmark driver.  The tunnel also recovers from
+        # transient wedges, so the probe RETRIES with backoff (~15 min
+    # total) before giving up — a single failed probe produced two
+        # rounds of worthless CPU-fallback official numbers.
+        ok, probe_retries = _probe_tpu(attempts=5, per_timeout=240)
         if not ok:
             print(
-                "# TPU device init failed/hung; falling back to CPU "
-                "(metric tagged cpu_fallback)",
+                "# TPU device init failed/hung after "
+                f"{probe_retries} probe attempts over ~15 min; falling "
+                "back to CPU (metric tagged cpu_fallback)",
                 file=sys.stderr,
             )
             args.platform = "cpu"
@@ -205,6 +232,8 @@ def main():
                 json_line = line
         if proc.returncode == 0 and json_line:
             result = json.loads(json_line)
+            if probe_retries:
+                result["probe_retries"] = probe_retries
             sys.stderr.write(proc.stderr or "")
             return finish(args, result)
         last_error = ((proc.stdout or "") + (proc.stderr or ""))[-300:]
@@ -212,6 +241,20 @@ def main():
             f"# bench case {n_det}x{n_samp} failed; falling back",
             file=sys.stderr,
         )
+        if args.platform is None:
+            # a failed case may mean the tunnel wedged mid-run, not that
+            # the case is too big: re-probe (with retries) so the next,
+            # smaller case gets a healthy device rather than inheriting a
+            # dead tunnel
+            ok, extra = _probe_tpu(attempts=3, per_timeout=240)
+            probe_retries += extra
+            if not ok:
+                print(
+                    "# tunnel unrecoverable between cases; remaining "
+                    "cases will fall back to CPU",
+                    file=sys.stderr,
+                )
+                args.platform = "cpu"
     raise RuntimeError(f"all bench cases failed; last: {last_error!r}")
 
 

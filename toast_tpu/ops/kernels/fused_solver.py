@@ -360,6 +360,13 @@ def prepare_fused_plan(
         "n_base": n_base,
         "n_det": n_det,
     }
+    # long observations: chunk the statistics sweeps so peak HBM is
+    # O(chunk + runs), not O(samples x stat-width)
+    plan["chunks"] = (
+        _make_chunk_plan(plan["bounds1"], pix_flat.shape[0], n_runs)
+        if pix_flat.shape[0] > _CHUNK_THRESHOLD
+        else None
+    )
     if len(_FUSED_PLAN_CACHE) > 4:
         _FUSED_PLAN_CACHE.clear()
     _FUSED_PLAN_CACHE[fp_key] = plan
@@ -447,9 +454,9 @@ def _run_sums_sorted(flat_cols, bounds1, order, good_sorted):
     )
 
 
-@partial(jax.jit, static_argnames=("split",))
 def run_stats_pointing(
-    weights, wg, good_count, bounds1, order, good_sorted, split=None
+    weights, wg, good_count, bounds1, order, good_sorted, split=None,
+    chunks=None,
 ):
     """Pointing-dependent per-run statistics (TOD-independent).
 
@@ -462,6 +469,20 @@ def run_stats_pointing(
     caches the equivalent covariance products across MC iterations via
     ``mc_mode``, ref:src/toast/ops/mapmaker.py:118).
     """
+    if chunks is not None:
+        return _run_stats_chunked(
+            "pointing", (weights, wg, good_count), bounds1, order,
+            good_sorted, chunks,
+        )
+    return _run_stats_pointing_jit(
+        weights, wg, good_count, bounds1, order, good_sorted, split=split
+    )
+
+
+@partial(jax.jit, static_argnames=("split",))
+def _run_stats_pointing_jit(
+    weights, wg, good_count, bounds1, order, good_sorted, split=None
+):
     nnz = weights.shape[-1]
     wgw = weights * wg[:, None]
     flat_cols = [wgw[:, i] for i in range(nnz)]
@@ -490,17 +511,27 @@ def run_stats_pointing(
     return _run_sums_sorted(flat_cols, bounds1, order, good_sorted)
 
 
-@jax.jit
-def run_stats_tod(tod, weights, wg, bounds1, order, good_sorted):
+def run_stats_tod(tod, weights, wg, bounds1, order, good_sorted, chunks=None):
     """TOD-dependent per-run statistics: one (n_runs_b, 4) group
     ``[y (nnz), z]``.  The per-realization hot path: 4 columns instead of
     16 keeps both gather sweeps ~3x cheaper than a combined pass.
 
-    (A 2-columns-at-a-time variant was measured WORSE on memory — 7.8 GB
-    vs 5.2 GB AOT temp at 1.3e8 samples — because the (n_blocks, k, B)
-    transient pads k to 8 sublanes either way; single-chip observations
-    beyond ~6e7 samples should stream as multiple observations instead.)
+    With ``chunks`` (from the plan, for observations past ~3e7 samples)
+    the sweep runs as a lax.scan over fixed-size sample chunks so peak HBM
+    is O(chunk + runs) instead of O(samples x stat-width) — the 128x2^20
+    flagship case needs ~6 GB of transients one-shot but <1 GB chunked
+    (the reference handles long observations by sample distribution,
+    ref:src/toast/dist.py:205; on one chip the chunk loop plays that role).
     """
+    if chunks is not None:
+        return _run_stats_chunked(
+            "tod", (tod, weights, wg), bounds1, order, good_sorted, chunks
+        )
+    return _run_stats_tod_jit(tod, weights, wg, bounds1, order, good_sorted)
+
+
+@jax.jit
+def _run_stats_tod_jit(tod, weights, wg, bounds1, order, good_sorted):
     nnz = weights.shape[-1]
     wgt = wg * tod
     flat_cols = [wgt * weights[:, i] for i in range(nnz)]
@@ -508,13 +539,17 @@ def run_stats_tod(tod, weights, wg, bounds1, order, good_sorted):
     return _run_sums_sorted(flat_cols, bounds1, order, good_sorted)
 
 
-def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted):
+def run_stats_sorted(tod, weights, wg, good_count, bounds1, order, good_sorted,
+                     chunks=None):
     """All per-run statistics in the combined legacy layout
     ``[W (nnz), n, y (nnz), z, tri, hits, pad]`` (two separate passes).
     """
     nnz = weights.shape[-1]
-    pt = run_stats_pointing(weights, wg, good_count, bounds1, order, good_sorted)
-    td = run_stats_tod(tod, weights, wg, bounds1, order, good_sorted)
+    pt = run_stats_pointing(
+        weights, wg, good_count, bounds1, order, good_sorted, chunks=chunks
+    )
+    td = run_stats_tod(tod, weights, wg, bounds1, order, good_sorted,
+                       chunks=chunks)
     return _merge_stats(pt, td, nnz)
 
 
@@ -534,6 +569,191 @@ def _merge_stats(pt_groups, tod_groups, nnz):
     return tuple(
         jnp.stack(cols[s : s + 4], axis=-1) for s in range(0, len(cols), 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# chunked statistics: O(chunk + runs) HBM for arbitrarily long observations
+# ---------------------------------------------------------------------------
+
+_CHUNK_SAMPLES = 1 << 23   # 8.4M samples per chunk: ~400 MB of transients
+_CHUNK_THRESHOLD = 1 << 25  # one-shot sweep up to 33.5M samples (measured fit)
+
+
+def _make_chunk_plan(bounds1, N, n_runs, chunk_samples=None):
+    """Host-side chunk grid for the chunked statistics sweep.
+
+    Splits the flat sample axis into fixed chunks of ``C`` samples (a
+    multiple of the stat block) and records, per chunk, the index ``o`` of
+    the run active at the chunk start.  Runs overlapping a chunk are the
+    contiguous window ``[o, o + W)`` so the per-chunk partial sums land in
+    the global time-ordered accumulator via ONE contiguous
+    read-add-write (dynamic_update_slice) — never a scatter.
+
+    Two tiny device fetches (the per-chunk run offsets); cached in the
+    plan, so Monte-Carlo realizations over a fixed scan pay nothing.
+    """
+    C = int(chunk_samples or _CHUNK_SAMPLES)
+    C = max(_STAT_BLOCK, (C // _STAT_BLOCK) * _STAT_BLOCK)
+    n_full = N // C
+    if n_full == 0:
+        return None
+    tail = N - n_full * C
+    n_chunks = n_full + (1 if tail else 0)
+    starts = np.arange(n_chunks, dtype=np.int64) * C
+    ends = np.minimum(starts + C, N) - 1
+    # run active at a sample p: largest j with bounds1[j] <= p
+    q = jnp.searchsorted(
+        bounds1,
+        jnp.asarray(np.concatenate([starts, ends]), jnp.int32),
+        side="right",
+    )
+    q = np.asarray(q).astype(np.int64) - 1
+    o, o_end = q[:n_chunks], q[n_chunks:]
+    # W local runs per chunk (lbl window of W+1 bounds includes the first
+    # beyond-chunk bound); +1 slack, rounded to a sublane multiple
+    W = int(np.max(o_end - o + 1)) + 1
+    W = -(-W // 8) * 8
+    bounds1_ext = jnp.concatenate(
+        [bounds1, jnp.full((W + 2,), np.int32(N), jnp.int32)]
+    )
+    return {
+        "C": C,
+        "W": W,
+        "n_full": int(n_full),
+        "tail": int(tail),
+        "tail_pad": int(-(-tail // _STAT_BLOCK) * _STAT_BLOCK),
+        "o": jnp.asarray(o[:n_full], jnp.int32),
+        "starts": jnp.asarray(starts[:n_full], jnp.int32),
+        "o_tail": jnp.int32(o[n_full]) if tail else None,
+        "bounds1_ext": bounds1_ext,
+    }
+
+
+def _chunk_cols(kind, slices):
+    """The per-sample statistic columns of one chunk, padded to a
+    4-multiple (same column order as the one-shot sweeps)."""
+    if kind == "tod":
+        tod, weights, wg = slices
+        wgt = wg * tod
+        cols = [wgt * weights[:, i] for i in range(weights.shape[-1])]
+        cols.append(wgt)
+    else:
+        weights, wg, good = slices
+        nnz = weights.shape[-1]
+        wgw = weights * wg[:, None]
+        cols = [wgw[:, i] for i in range(nnz)]
+        cols.append(wg)
+        for i in range(nnz):
+            for j in range(i, nnz):
+                cols.append(wgw[:, i] * weights[:, j])
+        cols.append(good)
+    while len(cols) % 4:
+        cols.append(jnp.zeros_like(cols[0]))
+    return cols
+
+
+def _chunk_time_sums(cols, lbl, C_real):
+    """Per-run partial sums of one chunk's columns, local time order.
+
+    ``cols``: k arrays of C samples (C a stat-block multiple, zero beyond
+    ``C_real``).  ``lbl``: (W+1,) non-decreasing local run boundaries in
+    [0, C_real] with lbl[0] == 0; local run i covers [lbl[i], lbl[i+1]).
+    Same blocked boundary-differencing as ``_run_sums_sorted`` — within-
+    block prefix diffs plus crossed-block corrections — restricted to the
+    chunk, so the transient is O(C), not O(N).
+    """
+    k = len(cols)
+    C = cols[0].shape[0]
+    B = _STAT_BLOCK
+    n_blocks = C // B
+    x = jnp.stack([c.reshape(n_blocks, B) for c in cols], axis=1)
+    local = jnp.cumsum(x, axis=-1)
+    block_sums = local[:, :, -1]
+    safe = jnp.clip(lbl - 1, 0, C - 1)
+    loc_at = jnp.where(
+        (lbl % B == 0)[:, None], 0.0, local[safe // B, :, safe % B]
+    )
+    sums = loc_at[1:] - loc_at[:-1]
+    W = sums.shape[0]
+    bdry = (jnp.arange(n_blocks, dtype=jnp.int32) + 1) * B
+    r_of_b = jnp.searchsorted(lbl, bdry, side="left").astype(jnp.int32) - 1
+    r_of_b = jnp.where(bdry <= C_real, jnp.clip(r_of_b, 0, W - 1), W)
+    corr = jax.ops.segment_sum(
+        block_sums, r_of_b, num_segments=W + 1, indices_are_sorted=True
+    )[:W]
+    return sums + corr
+
+
+@partial(jax.jit, static_argnames=("kind", "C", "W", "n_runs_b", "k"))
+def _chunked_scan(arrays, bounds1_ext, o_arr, starts_arr, kind, C, W,
+                  n_runs_b, k):
+    """lax.scan over full chunks, accumulating time-ordered run sums."""
+    acc0 = jnp.zeros((n_runs_b + W, k), jnp.float32)
+
+    def body(acc, xs):
+        o_c, start = xs
+        sl = tuple(
+            jax.lax.dynamic_slice_in_dim(a, start, C, axis=0)
+            for a in arrays
+        )
+        cols = _chunk_cols(kind, sl)
+        bs = jax.lax.dynamic_slice(bounds1_ext, (o_c + 1,), (W,))
+        lbl = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.clip(bs - start, 0, C)]
+        )
+        sums = _chunk_time_sums(cols, lbl, jnp.int32(C))
+        cur = jax.lax.dynamic_slice(acc, (o_c, 0), (W, k))
+        return jax.lax.dynamic_update_slice(acc, cur + sums, (o_c, 0)), None
+
+    acc, _ = jax.lax.scan(body, acc0, (o_arr, starts_arr))
+    return acc
+
+
+@partial(jax.jit, static_argnames=("kind", "C_pad", "C_real", "W", "k"),
+         donate_argnums=(3,))
+def _chunked_tail(arrays_tail, bounds1_ext, o_tail, acc, start_tail, kind,
+                  C_pad, C_real, W, k):
+    """The final partial chunk (static size), added into the accumulator."""
+    cols = _chunk_cols(kind, arrays_tail)
+    if C_pad != C_real:
+        cols = [jnp.pad(c, (0, C_pad - C_real)) for c in cols]
+    bs = jax.lax.dynamic_slice(bounds1_ext, (o_tail + 1,), (W,))
+    lbl = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.clip(bs - start_tail, 0, C_real)]
+    )
+    sums = _chunk_time_sums(cols, lbl, jnp.int32(C_real))
+    cur = jax.lax.dynamic_slice(acc, (o_tail, 0), (W, k))
+    return jax.lax.dynamic_update_slice(acc, cur + sums, (o_tail, 0))
+
+
+@jax.jit
+def _finish_chunked(acc, order, good_sorted):
+    """Time-order accumulator -> pixel-sorted (n_runs_b, 4) groups."""
+    sums_time = acc[: order.shape[0]]
+    sorted_sums = jnp.where(good_sorted[:, None], sums_time[order], 0.0)
+    k = sorted_sums.shape[1]
+    return tuple(sorted_sums[:, s : s + 4] for s in range(0, k, 4))
+
+
+def _run_stats_chunked(kind, arrays, bounds1, order, good_sorted, chunks):
+    """Chunked statistics sweep dispatcher (see run_stats_tod)."""
+    nnz = arrays[1].shape[-1] if kind == "tod" else arrays[0].shape[-1]
+    k = nnz + 1 if kind == "tod" else nnz + 1 + nnz * (nnz + 1) // 2 + 1
+    k = -(-k // 4) * 4
+    C, W = chunks["C"], chunks["W"]
+    acc = _chunked_scan(
+        arrays, chunks["bounds1_ext"], chunks["o"], chunks["starts"],
+        kind=kind, C=C, W=W, n_runs_b=order.shape[0], k=k,
+    )
+    if chunks["tail"]:
+        nf = chunks["n_full"]
+        tail_arrays = tuple(a[nf * C :] for a in arrays)
+        acc = _chunked_tail(
+            tail_arrays, chunks["bounds1_ext"], chunks["o_tail"], acc,
+            jnp.int32(nf * C), kind=kind, C_pad=chunks["tail_pad"],
+            C_real=chunks["tail"], W=W, k=k,
+        )
+    return _finish_chunked(acc, order, good_sorted)
 
 
 # ---------------------------------------------------------------------------

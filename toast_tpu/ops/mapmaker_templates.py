@@ -341,12 +341,13 @@ class SolveAmplitudes(Operator):
         if cached is None:
             with _seg("pt_stats"):
                 pt_stats = run_stats_pointing(
-                wts.reshape(-1, nnz),
-                wg.reshape(-1),
-                good.reshape(-1),
+                    wts.reshape(-1, nnz),
+                    wg.reshape(-1),
+                    good.reshape(-1),
                     plan["bounds1"],
                     plan["order"],
                     plan["good_sorted"],
+                    chunks=plan.get("chunks"),
                 )
             if pt_key:
                 if len(_POINTING_STATS_CACHE) > 2:
@@ -362,6 +363,7 @@ class SolveAmplitudes(Operator):
                 plan["bounds1"],
                 plan["order"],
                 plan["good_sorted"],
+                chunks=plan.get("chunks"),
             )
 
         # solver covariance + rcond from the same statistics
@@ -793,6 +795,7 @@ class SolveAmplitudes(Operator):
                 pt = run_stats_pointing(
                     wts.reshape(-1, nnz), wg.reshape(-1), good.reshape(-1),
                     plan["bounds1"], plan["order"], plan["good_sorted"],
+                    chunks=plan.get("chunks"),
                 )
                 if cache_ok:
                     if len(_POINTING_STATS_CACHE) > 4:
@@ -801,6 +804,7 @@ class SolveAmplitudes(Operator):
             td = run_stats_tod(
                 tod.reshape(-1), wts.reshape(-1, nnz), wg.reshape(-1),
                 plan["bounds1"], plan["order"], plan["good_sorted"],
+                chunks=plan.get("chunks"),
             )
             invnpp_glob, hits_glob = accumulate_global_cov(
                 pt, plan["hit_bounds"], plan["hit_valid"], plan["hit_pix"],

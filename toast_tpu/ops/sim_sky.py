@@ -194,8 +194,11 @@ class SimCatalog(Operator):
                     ],
                     dtype=jnp.float32,
                 )
-                cosang = jnp.clip(jnp.einsum("dnk,k->dn", vdir, svec), -1.0, 1.0)
-                # small-angle: dist^2 = 2(1-cos)
-                dist2 = 2.0 * (1.0 - cosang)
+                # chord distance |v - s|^2 == 2(1-cos), but WITHOUT the
+                # f32 cancellation of 1-cos near the source center (which
+                # quantizes the distance to ~sqrt(eps/2) ~ 3.5e-4 rad and
+                # cost 0.4% of the center amplitude at a 30' beam)
+                diff = vdir - svec
+                dist2 = jnp.sum(diff * diff, axis=-1)
                 total = total + src["flux_K"] * jnp.exp(-0.5 * dist2 / sigma**2)
             field.data = field.data.at[didx].add(total)
