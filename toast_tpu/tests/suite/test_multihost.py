@@ -17,7 +17,11 @@ import sys
 import numpy as np
 import pytest
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import toast_tpu as _tt
+
+# directory containing the toast_tpu package (repo root, or site-packages
+# for an installed copy) — inserted into worker sys.path
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(_tt.__file__)))
 
 _WORKER = r"""
 import json
