@@ -209,6 +209,50 @@ class PixelData:
         arr = multihost_utils.process_allgather(self._data)
         self._data = jnp.sum(jnp.asarray(arr), axis=0)
 
+    def _owner_assignment(self, comm):
+        """Deterministic load-balanced submap owners, cached on the
+        distribution keyed by the hit-set fingerprint.
+
+        Hit sets are stable across the many syncs of a solve (same
+        pointing), so the metadata allgather and the greedy assignment
+        (``ref:src/toast/pixels.py:245-315``) run once per pointing, not
+        once per call.
+        """
+        dist = self._dist
+        n_submap = dist.n_submap
+        local_hit = np.zeros(n_submap, dtype=bool)
+        local_hit[dist.local_submaps] = True
+        key = local_hit.tobytes()
+        cached = getattr(dist, "_owner_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2], local_hit
+        all_hit = np.stack(comm.allgather(local_hit))
+        # greedy: each hit submap goes to its least-loaded hitter
+        owner = np.full(n_submap, -1, dtype=np.int64)
+        load = np.zeros(comm.world_size, dtype=np.int64)
+        for s in np.nonzero(all_hit.any(axis=0))[0]:
+            hitters = np.nonzero(all_hit[:, s])[0]
+            p = hitters[np.argmin(load[hitters])]
+            owner[s] = p
+            load[p] += 1
+        dist._owner_cache = (key, owner, all_hit)
+        return owner, all_hit, local_hit
+
+    def _pack_blocks(self, ids, blocks):
+        return (
+            np.asarray(len(ids), dtype=np.int64).tobytes()
+            + np.ascontiguousarray(ids, dtype=np.int32).tobytes()
+            + np.ascontiguousarray(blocks).tobytes()
+        )
+
+    def _unpack_blocks(self, payload, nps):
+        n = int(np.frombuffer(payload[:8], np.int64)[0])
+        ids = np.frombuffer(payload[8 : 8 + 4 * n], np.int32)
+        blocks = np.frombuffer(
+            payload[8 + 4 * n :], self.dtype
+        ).reshape(n, nps, self._n_value)
+        return ids, blocks
+
     def sync_alltoallv(self):
         """Owner-based submap reduction across processes.
 
@@ -217,19 +261,21 @@ class PixelData:
         assigned an owner process by load balancing
         (``ref:src/toast/pixels.py:245-315``), contributions flow to the
         owner (phase 1), owners reduce, and the reduced submaps flow back
-        out (phase 2).  Only HIT submaps ever cross the wire — total
-        payload is ``sum_p hit_p`` submaps versus ``P x n_submap`` for the
-        dense allreduce, which is what makes nside>=2048 multi-process
-        solves viable over DCN.
+        to their hitters (phase 2).  Afterwards each process holds the
+        globally-reduced values in its LOCAL (hit) submaps — exactly the
+        reference semantics; non-hit submaps are zero.
 
-        The jax.distributed host channel exposes allgather (not
-        point-to-point), so both phases ride compressed allgathers; the
-        owner structure keeps the payload equal to the hit volume (each
-        process sends each hit submap exactly once: phase 1 ships
-        hit-but-not-owned, phase 2 ships owned).
+        Bulk bytes ride the point-to-point socket mesh
+        (:mod:`toast_tpu.parallel.p2p`): a process receives only the
+        blocks addressed to it, so receive volume equals the hit volume
+        (phase 1: owners receive their submaps' contributions; phase 2:
+        hitters receive their reduced submaps) versus ``P x n_submap``
+        blocks for the dense allreduce.  If the mesh cannot be
+        established the phases fall back to compressed allgathers.
 
-        The payload byte counts of the last call are recorded in
-        ``self.last_sync_volume`` for tests/telemetry.
+        True per-process sent/received byte counts of the last call are
+        recorded in ``self.last_sync_volume`` (``alltoallv_bytes`` is the
+        receive side).
         """
         comm = self._dist.comm
         if comm is None or getattr(comm, "world_size", 1) == 1:
@@ -240,52 +286,90 @@ class PixelData:
         me = comm.world_rank
         wsize = comm.world_size
 
-        # metadata: who hits what (n_submap bools per process — tiny)
-        local_hit = np.zeros(n_submap, dtype=bool)
-        local_hit[dist.local_submaps] = True
-        all_hit = np.stack(comm.allgather(local_hit))
-
-        # deterministic load-balanced owner assignment (identical on all
-        # processes): each hit submap goes to its least-loaded hitter
-        owner = np.full(n_submap, -1, dtype=np.int64)
-        load = np.zeros(wsize, dtype=np.int64)
-        for s in np.nonzero(all_hit.any(axis=0))[0]:
-            hitters = np.nonzero(all_hit[:, s])[0]
-            p = hitters[np.argmin(load[hitters])]
-            owner[s] = p
-            load[p] += 1
-
+        owner, all_hit, local_hit = self._owner_assignment(comm)
         arr = self.submap_view().copy()  # (n_submap, nps, n_value)
         owned = owner == me
 
-        # phase 1: ship hit-but-not-owned submaps; owners reduce
-        send1 = local_hit & ~owned
-        ids1 = np.nonzero(send1)[0]
-        recv1 = comm.allgather((ids1, arr[ids1]))
-        for rank, (ids, blocks) in enumerate(recv1):
-            if rank == me or len(ids) == 0:
-                continue
-            sel = owner[ids] == me
-            if np.any(sel):
-                arr[ids[sel]] += blocks[sel]
+        from ..parallel.p2p import mesh_available
 
-        # phase 2: owners publish reduced submaps; everyone reassembles
-        ids2 = np.nonzero(owned)[0]
-        recv2 = comm.allgather((ids2, arr[ids2]))
-        out = np.zeros_like(arr)
-        for ids, blocks in recv2:
-            if len(ids):
+        mesh = mesh_available(comm)
+        sent = 0
+        received = 0
+
+        if mesh is not None:
+            # phase 1: ship hit-but-not-owned submaps DIRECTLY to owners
+            ids1 = np.nonzero(local_hit & ~owned)[0]
+            send = {}
+            for p in range(wsize):
+                if p == me:
+                    continue
+                sel = ids1[owner[ids1] == p]
+                if len(sel):
+                    send[p] = self._pack_blocks(sel, arr[sel])
+                    sent += len(send[p])
+            recv = mesh.alltoallv(send)
+            for p, payload in recv.items():
+                if not payload:
+                    continue
+                received += len(payload)
+                ids, blocks = self._unpack_blocks(payload, nps)
+                arr[ids] += blocks
+            # phase 2: owners return reduced submaps to their hitters
+            ids2 = np.nonzero(owned)[0]
+            send = {}
+            for p in range(wsize):
+                if p == me:
+                    continue
+                sel = ids2[all_hit[p, ids2]]
+                if len(sel):
+                    send[p] = self._pack_blocks(sel, arr[sel])
+                    sent += len(send[p])
+            out = np.zeros_like(arr)
+            out[ids2] = arr[ids2]
+            recv = mesh.alltoallv(send)
+            for p, payload in recv.items():
+                if not payload:
+                    continue
+                received += len(payload)
+                ids, blocks = self._unpack_blocks(payload, nps)
                 out[ids] = blocks
+        else:  # pragma: no cover - restricted environments
+            # allgather fallback: compressed payloads, replicated receive
+            ids1 = np.nonzero(local_hit & ~owned)[0]
+            recv1 = comm.allgather((ids1, arr[ids1]))
+            sent += ids1.size and self._pack_len(ids1.size, nps)
+            for rank, (ids, blocks) in enumerate(recv1):
+                if rank == me or len(ids) == 0:
+                    continue
+                received += self._pack_len(len(ids), nps)
+                sel = owner[ids] == me
+                if np.any(sel):
+                    arr[ids[sel]] += blocks[sel]
+            ids2 = np.nonzero(owned)[0]
+            recv2 = comm.allgather((ids2, arr[ids2]))
+            sent += ids2.size and self._pack_len(ids2.size, nps)
+            out = np.zeros_like(arr)
+            for ids, blocks in recv2:
+                if len(ids) == 0:
+                    continue
+                received += self._pack_len(len(ids), nps)
+                keep = local_hit[ids]
+                out[ids[keep]] = blocks[keep]
 
         blk_bytes = nps * self._n_value * self.dtype.itemsize
         self.last_sync_volume = {
-            "alltoallv_bytes": int((int(all_hit.sum())) * blk_bytes),
+            "alltoallv_bytes": int(received),
+            "alltoallv_send_bytes": int(sent),
+            "transport": "p2p" if mesh is not None else "allgather",
             "allreduce_bytes": int(wsize * n_submap * blk_bytes),
         }
 
         full = np.zeros(self._data.shape, dtype=self.dtype)
         full[: n_submap * nps] = out.reshape(n_submap * nps, self._n_value)
         self._data = self._place(jnp.asarray(full))
+
+    def _pack_len(self, n_ids, nps):
+        return 8 + 4 * n_ids + n_ids * nps * self._n_value * self.dtype.itemsize
 
     def stats(self):
         """Per-component mean/min/max/rms over nonzero pixels."""

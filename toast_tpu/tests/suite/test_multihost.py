@@ -219,9 +219,30 @@ pd_b.set_numpy(vals)
 pd_a.sync_allreduce()
 pd_b.sync_alltoallv()
 
-np.testing.assert_allclose(pd_a.numpy(), pd_b.numpy(), rtol=0, atol=1e-6)
+# reference semantics: after alltoallv each process holds the globally
+# reduced values in its LOCAL (hit) submaps; non-hit submaps stay zero
+a = pd_a.numpy().reshape(n_submap, nps, 3)
+b = pd_b.numpy().reshape(n_submap, nps, 3)
+hit_mask = np.zeros(n_submap, dtype=bool)
+hit_mask[np.unique(mine)] = True
+np.testing.assert_allclose(a[hit_mask], b[hit_mask], rtol=0, atol=1e-6)
+assert np.all(b[~hit_mask] == 0.0)
+
 vol = pd_b.last_sync_volume
+assert vol["transport"] == "p2p", vol
 assert vol["alltoallv_bytes"] < vol["allreduce_bytes"] / 2, vol
+# true receive accounting: phase 1 owners receive other hitters'
+# contributions, phase 2 hitters receive their reduced non-owned submaps
+owner = dist._owner_cache[1]
+all_hit = dist._owner_cache[2]
+blocks_in = int(
+    (all_hit[:, owner == rank].sum() - all_hit[rank, owner == rank].sum())
+    + (hit_mask & (owner != rank)).sum()
+)
+blk = nps * 3 * 4
+lo = blocks_in * blk
+hi = blocks_in * (blk + 4) + 8 * 2 * (nproc - 1)
+assert lo <= vol["alltoallv_bytes"] <= hi, (vol, blocks_in)
 
 with open(os.environ["TOAST_MH_OUT"] + f".{rank}", "w") as f:
     json.dump({"ok": True, "volume": vol}, f)
