@@ -121,3 +121,36 @@ def pixels_healpix(quats, shared_flags, shared_flag_mask, nside, nest=True):
         pix = vec2pix_ring_jax(nside, vdir)
     good = (shared_flags.astype(jnp.uint32) & jnp.uint32(shared_flag_mask)) == 0
     return jnp.where(good[None, :], pix, jnp.int32(-1))
+
+
+# --- fused quats-free variants --------------------------------------------
+#
+# For large (n_det, n_samp) blocks the detector-quaternion intermediate is
+# the biggest HBM tensor of the whole pipeline (n_det x n_samp x 4 f32 —
+# 2.1 GB for the 128x2^20 flagship case).  Composing the boresight product
+# INTO the pixel/weight kernels lets XLA regenerate quats per tile instead
+# of writing them: the reference avoids full quats the MPI way (detector
+# chunking, ref:src/toast/ops/pixels_healpix/pixels_healpix.py pipelines);
+# on TPU, operator fusion is the equivalent.
+
+
+@partial(jax.jit, static_argnames=("nside", "nest"))
+def pixels_healpix_fused(
+    focalplane, boresight, dp_flags, dp_mask, shared_flags, shared_flag_mask,
+    nside, nest=True,
+):
+    """Boresight -> HEALPix pixels without materializing quaternions."""
+    quats = pointing_detector(focalplane, boresight, dp_flags, dp_mask)
+    return pixels_healpix(quats, shared_flags, shared_flag_mask, nside, nest)
+
+
+@partial(jax.jit, static_argnames=("iau", "has_hwp"))
+def stokes_weights_iqu_fused(
+    focalplane, boresight, dp_flags, dp_mask, hwp_angle, epsilon, gamma, cal,
+    iau=False, has_hwp=True,
+):
+    """Boresight -> IQU Stokes weights without materializing quaternions."""
+    quats = pointing_detector(focalplane, boresight, dp_flags, dp_mask)
+    return stokes_weights_iqu(
+        quats, hwp_angle if has_hwp else None, epsilon, gamma, cal, iau=iau
+    )

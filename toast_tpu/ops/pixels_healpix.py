@@ -16,7 +16,12 @@ from ..models.defaults import default_values as defaults
 from ..pixels import PixelDistribution
 from ..utils.timing import function_timer
 from .kernels.pointing import pixels_healpix as k_pixels_healpix
+from .kernels.pointing import pixels_healpix_fused as k_pixels_healpix_fused
 from .operator import Operator, single_obs_view
+
+# above this (n_det x n_samp) size, skip materializing detector quats and
+# fuse the boresight product into the pixel/weight kernels
+_FUSE_QUATS_THRESHOLD = 1 << 25
 from functools import partial
 
 import jax
@@ -116,20 +121,37 @@ class PixelsHealpix(Operator):
             # like the reference, the detector pointing operator's quats key
             # takes precedence (ref:ops/pixels_healpix/pixels_healpix.py)
             quat_key = self.quats
+            fused = None
             if self.detector_pointing is not None:
                 quat_key = self.detector_pointing.quats
                 if quat_key not in ob.detdata:
-                    self.detector_pointing.exec(
-                        single_obs_view(data, ob), detectors=dets
-                    )
-            quats = ob.detdata[quat_key].data
+                    if (
+                        len(dets) * ob.n_local_samples > _FUSE_QUATS_THRESHOLD
+                        and hasattr(self.detector_pointing, "kernel_inputs")
+                    ):
+                        # large block: compose the boresight product into
+                        # the pixel kernel instead of materializing the
+                        # (n_det, n_samp, 4) quats (kernels/pointing.py
+                        # fused variants)
+                        fused = self.detector_pointing.kernel_inputs(ob, dets)
+                    else:
+                        self.detector_pointing.exec(
+                            single_obs_view(data, ob), detectors=dets
+                        )
             if self.shared_flags is not None and self.shared_flags in ob.shared:
                 flags = ob.shared.jax_view(self.shared_flags)
                 mask = self.shared_flag_mask
             else:
                 flags = jnp.zeros(ob.n_local_samples, dtype=jnp.uint8)
                 mask = 0
-            cache_key = (id(quats), id(flags), mask, self.nside, self.nest)
+            if fused is None:
+                quats = ob.detdata[quat_key].data
+                cache_key = (id(quats), id(flags), mask, self.nside, self.nest)
+            else:
+                cache_key = (
+                    id(fused[1]), id(fused[2]), fused[3], id(flags), mask,
+                    self.nside, self.nest,
+                )
             cache_tag = f"_cache_{self.pixels}"
             if (
                 self.pixels in ob.detdata
@@ -137,7 +159,14 @@ class PixelsHealpix(Operator):
             ):
                 pix = ob.detdata[self.pixels].data
             else:
-                pix = k_pixels_healpix(quats, flags, mask, self.nside, self.nest)
+                if fused is None:
+                    pix = k_pixels_healpix(
+                        quats, flags, mask, self.nside, self.nest
+                    )
+                else:
+                    pix = k_pixels_healpix_fused(
+                        *fused, flags, mask, self.nside, self.nest
+                    )
                 ob.detdata.ensure(
                     self.pixels, sample_shape=(), dtype=np.int32, detectors=dets
                 )

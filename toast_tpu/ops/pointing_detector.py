@@ -35,24 +35,29 @@ class PointingDetectorSimple(Operator):
     coord_in = Unicode(None, allow_none=True, help="Input coordinate frame")
     coord_out = Unicode(None, allow_none=True, help="Output coordinate frame")
 
+    def kernel_inputs(self, ob, dets):
+        """The boresight-product kernel operands for one observation:
+        ``(fp_quats_f32, boresight, flags, mask)``.  Shared with the
+        fused quats-free paths in PixelsHealpix / StokesWeights."""
+        fp = ob.telescope.focalplane
+        fp_quats = np.array([fp[d]["quat"] for d in dets], dtype=np.float64)
+        # optional coordinate rotation folded into the boresight
+        bore = ob.shared.jax_view(self.boresight)
+        if self.shared_flags is not None and self.shared_flags in ob.shared:
+            flags = ob.shared.jax_view(self.shared_flags)
+            mask = self.shared_flag_mask
+        else:
+            flags = jnp.zeros(ob.n_local_samples, dtype=jnp.uint8)
+            mask = 0
+        return jnp.asarray(fp_quats, dtype=jnp.float32), bore, flags, mask
+
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
                 continue
-            fp = ob.telescope.focalplane
-            fp_quats = np.array(
-                [fp[d]["quat"] for d in dets], dtype=np.float64
-            )
-            # optional coordinate rotation folded into the boresight
-            bore = ob.shared.jax_view(self.boresight)
-            if self.shared_flags is not None and self.shared_flags in ob.shared:
-                flags = ob.shared.jax_view(self.shared_flags)
-                mask = self.shared_flag_mask
-            else:
-                flags = jnp.zeros(ob.n_local_samples, dtype=jnp.uint8)
-                mask = 0
+            fp_quats, bore, flags, mask = self.kernel_inputs(ob, dets)
             # skip recomputation when inputs are unchanged (array identities
             # change whenever shared data or flags are updated)
             cache_key = (id(bore), id(flags), mask, tuple(dets))
@@ -62,9 +67,7 @@ class PointingDetectorSimple(Operator):
                 and ob._internal.get(cache_tag) == cache_key
             ):
                 continue
-            quats = k_pointing_detector(
-                jnp.asarray(fp_quats, dtype=jnp.float32), bore, flags, mask
-            )
+            quats = k_pointing_detector(fp_quats, bore, flags, mask)
             ob.detdata.ensure(
                 self.quats, sample_shape=(4,), dtype=np.float32, detectors=dets
             )

@@ -15,7 +15,9 @@ from ..config.traits import Bool, Instance, Unicode
 from ..models.defaults import default_values as defaults
 from ..utils.timing import function_timer
 from .kernels.pointing import stokes_weights_iqu as k_stokes_iqu
+from .kernels.pointing import stokes_weights_iqu_fused as k_stokes_iqu_fused
 from .operator import Operator, single_obs_view
+from .pixels_healpix import _FUSE_QUATS_THRESHOLD
 
 
 class StokesWeights(Operator):
@@ -43,12 +45,24 @@ class StokesWeights(Operator):
                 continue
             # detector-pointing operator's quats key takes precedence
             quat_key = self.quats
+            fused = None
             if self.detector_pointing is not None:
                 quat_key = self.detector_pointing.quats
                 if quat_key not in ob.detdata:
-                    self.detector_pointing.exec(
-                        single_obs_view(data, ob), detectors=dets
-                    )
+                    if (
+                        self.mode == "IQU"
+                        and len(dets) * ob.n_local_samples
+                        > _FUSE_QUATS_THRESHOLD
+                        and hasattr(self.detector_pointing, "kernel_inputs")
+                    ):
+                        # large block: fuse the boresight product into the
+                        # weights kernel — the (n_det, n_samp, 4) quats
+                        # intermediate never touches HBM
+                        fused = self.detector_pointing.kernel_inputs(ob, dets)
+                    else:
+                        self.detector_pointing.exec(
+                            single_obs_view(data, ob), detectors=dets
+                        )
             fp = ob.telescope.focalplane
             n_det = len(dets)
             cal = np.ones(n_det)
@@ -83,8 +97,14 @@ class StokesWeights(Operator):
             hwp = None
             if self.hwp_angle is not None and self.hwp_angle in ob.shared:
                 hwp = ob.shared.jax_view(self.hwp_angle)
-            quats = ob.detdata[quat_key].data
-            cache_key = (id(quats), id(hwp), self.IAU, tuple(cal))
+            if fused is None:
+                quats = ob.detdata[quat_key].data
+                cache_key = (id(quats), id(hwp), self.IAU, tuple(cal))
+            else:
+                cache_key = (
+                    id(fused[1]), id(fused[2]), fused[3], id(hwp), self.IAU,
+                    tuple(cal),
+                )
             cache_tag = f"_cache_{self.weights}"
             if (
                 self.weights in ob.detdata
@@ -92,14 +112,19 @@ class StokesWeights(Operator):
             ):
                 continue
             ob._internal[cache_tag] = cache_key
-            w = k_stokes_iqu(
-                quats,
-                hwp,
-                jnp.asarray(eps, dtype=jnp.float32),
-                jnp.asarray(gamma, dtype=jnp.float32),
-                jnp.asarray(cal, dtype=jnp.float32),
-                iau=self.IAU,
-            )
+            eps_j = jnp.asarray(eps, dtype=jnp.float32)
+            gamma_j = jnp.asarray(gamma, dtype=jnp.float32)
+            cal_j = jnp.asarray(cal, dtype=jnp.float32)
+            if fused is None:
+                w = k_stokes_iqu(quats, hwp, eps_j, gamma_j, cal_j, iau=self.IAU)
+            else:
+                w = k_stokes_iqu_fused(
+                    *fused,
+                    hwp if hwp is not None
+                    else jnp.zeros((ob.n_local_samples,), jnp.float32),
+                    eps_j, gamma_j, cal_j,
+                    iau=self.IAU, has_hwp=hwp is not None,
+                )
             ob.detdata[self.weights].data = w
 
     def _requires(self):
