@@ -69,10 +69,11 @@ class StokesWeights(Operator):
             if self.cal is not None and self.cal in ob:
                 caldict = ob[self.cal]
                 cal = np.array([caldict.get(d, 1.0) for d in dets])
-            ob.detdata.ensure(
-                self.weights, sample_shape=(nnz,), dtype=np.float32, detectors=dets
-            )
             if self.mode == "I":
+                ob.detdata.ensure(
+                    self.weights, sample_shape=(nnz,), dtype=np.float32,
+                    detectors=dets,
+                )
                 w = jnp.broadcast_to(
                     jnp.asarray(cal, dtype=jnp.float32)[:, None, None],
                     (n_det, ob.n_local_samples, 1),
@@ -106,11 +107,20 @@ class StokesWeights(Operator):
                     tuple(cal),
                 )
             cache_tag = f"_cache_{self.weights}"
+            # the presence test MUST precede detdata.ensure: ensure creates
+            # a zero-filled array, and the fused-path cache key is built
+            # from shared-array identities that legitimately persist across
+            # Monte-Carlo realizations — checking after ensure would keep
+            # the zeros (this exact bug zeroed run 2 of the flagship bench)
             if (
                 self.weights in ob.detdata
                 and ob._internal.get(cache_tag) == cache_key
             ):
                 continue
+            ob.detdata.ensure(
+                self.weights, sample_shape=(nnz,), dtype=np.float32,
+                detectors=dets,
+            )
             ob._internal[cache_tag] = cache_key
             eps_j = jnp.asarray(eps, dtype=jnp.float32)
             gamma_j = jnp.asarray(gamma, dtype=jnp.float32)

@@ -338,6 +338,61 @@ class SSOPatch(Patch):
         return azc - half_az, azc + half_az, elc - self.radius, None
 
 
+class MaxDepthPatch(Patch):
+    """Maximum-depth patch (reference ``schedule_sim_ground.py:816``):
+    tracks a fixed sky CENTER instead of corners — the telescope scans a
+    fixed azimuth throw around the center's current azimuth at (clamped)
+    its current elevation, accumulating depth on one spot.  The primary
+    South-Pole-style deep-survey target type."""
+
+    def __init__(
+        self, name, weight, center_lonlat_deg, radius, throw, scantime,
+    ):
+        self.name = name
+        self.weight = float(weight)
+        self.center = np.radians(
+            np.asarray(center_lonlat_deg, dtype=np.float64)
+        )
+        self.radius = radius.to_value(u.rad)
+        self.throw = throw.to_value(u.rad)
+        self.scantime_s = scantime.to_value(u.second)
+        self.max_time_s = None
+        self.hits = 0
+        self.time_observed = 0.0
+        self.el_time = 0.0
+        self.el_time_weighted = 0.0
+
+    def center_azel(self, site, t):
+        lat = site.lat.to_value(u.rad)
+        lon = site.lon.to_value(u.rad)
+        az, el = coords.radec_to_azel(
+            lat, lon, np.array([t]),
+            np.array([self.center[0]]), np.array([self.center[1]]),
+        )
+        return float(az[0]), float(el[0])
+
+    def corners_azel(self, site, t):
+        """Degenerate 'corners': the fixed az throw at the center's el
+        (reference ``MaxDepthPatch.corner_coordinates``)."""
+        az_c, el_c = self.center_azel(site, t)
+        return (
+            np.array([az_c - self.throw / 2, az_c + self.throw / 2]),
+            np.array([el_c, el_c]),
+        )
+
+    def visible(self, site, t, el_min, el_max, sun_rad, moon_rad, **kw):
+        az_c, el_c = self.center_azel(site, t)
+        # reference visibility window: the center may sit up to `radius`
+        # outside the el limits, the scan elevation is clamped inside
+        if el_c < el_min - self.radius or el_c > el_max + self.radius:
+            return None
+        el = float(np.clip(el_c, el_min, el_max))
+        az = np.array([az_c - self.throw / 2, az_c + self.throw / 2])
+        if not self.avoids(site, t, az, np.array([el, el]), sun_rad, moon_rad):
+            return None
+        return az[0], az[1], el, self.scantime_s
+
+
 class CoolerCyclePatch(Patch):
     """Forced cryocooler-cycle slot (reference ``schedule_sim_ground.py:465``):
     schedulable after ``hold_time_min`` since the last cycle, with priority
@@ -388,6 +443,116 @@ class CoolerCyclePatch(Patch):
         return self.az - 0.01, self.az + 0.01, self.el, self.cycle_s
 
 
+def _extent_at_el(site, patch, t, el, fp_radius):
+    """Azimuthal extent of the patch polygon along elevation ``el``
+    (reference ``current_extent_pole:1768``): corner azimuths within
+    ``fp_radius`` of the line, plus interpolated crossings of polygon
+    edges straddling it.  Returns (az_min, az_max) or None."""
+    azs, els = patch.corners_azel(site, t)
+    n = len(azs)
+    radius = max(np.radians(1.0), fp_radius)
+    cross = []
+    for i in range(n):
+        j = (i + 1) % n
+        if abs(els[i] - el) < radius:
+            cross.append(azs[i])
+        if abs(els[j] - el) < radius:
+            cross.append(azs[j])
+        if abs(els[i] - el) < radius or abs(els[j] - el) < radius:
+            continue
+        if (els[i] - el) * (els[j] - el) < 0:
+            az1, az2 = azs[i], azs[j]
+            el1, el2 = els[i] - el, els[j] - el
+            if az2 - az1 > np.pi:
+                az1 += 2 * np.pi
+            if az1 - az2 > np.pi:
+                az2 += 2 * np.pi
+            cross.append((az1 + el1 * (az2 - az1) / (el1 - el2)) % (2 * np.pi))
+    if not cross:
+        return None
+    cross = np.asarray(cross)
+    # unwind into a compact cluster around the first crossing
+    ref = cross[0]
+    cross = ref + (cross - ref + np.pi) % (2 * np.pi) - np.pi
+    return float(cross.min()), float(cross.max())
+
+
+def _pole_raster_time(
+    el_start, el_stop, az_range, el_rate, el_accel, az_rate_sky,
+    az_accel_mount, raster_el_step,
+):
+    """Duration of an az-locked raster covering one pole elevation step
+    (reference ``get_pole_raster_scan:1614`` kinematics)."""
+    t_accel_el = el_rate / el_accel
+    if el_accel * t_accel_el**2 > raster_el_step:
+        t_el_step = 2 * np.sqrt(raster_el_step / el_accel)
+    else:
+        el_scan = raster_el_step - el_accel * t_accel_el**2
+        t_el_step = 2 * t_accel_el + el_scan / el_rate
+    nstep = max(1, int((el_stop - el_start) / raster_el_step))
+    total = 0.0
+    el = el_start
+    for istep in range(nstep):
+        scan_time = np.cos(el) * az_range / az_rate_sky
+        az_rate_mount = az_rate_sky / np.cos(el)
+        turnaround = az_rate_mount / az_accel_mount * 2
+        total += 2 * scan_time + 2 * turnaround
+        if istep < nstep - 1:
+            el += raster_el_step
+            total += t_el_step
+    return total
+
+
+def _pole_scan_sequence(
+    site, patch, t, el_min, el_max, fp_radius, pole_el_step, pole_ces_s,
+    t_limit, raster=None,
+):
+    """The pole-mode observation of one patch: a sequence of
+    constant-elevation scans stepping UP through the patch (reference
+    ``attempt_scan_pole:1214`` / ``scan_patch_pole:1697``).  Pole
+    scheduling does not wait for sky drift — at a polar site the patch
+    barely moves, so the telescope rasters through it in elevation.
+
+    Returns a list of (el, az_min, az_max, t0, t1) subscans, or None.
+    """
+    azs, els = patch.corners_azel(site, t)
+    el = float(np.min(els)) - fp_radius  # just below the patch
+    if el < el_min or el > el_max:
+        return None
+    subscans = []
+    while t < t_limit:
+        azs, els = patch.corners_azel(site, t)
+        if np.max(els) + fp_radius < el:
+            break  # stepped past the top of the patch
+        # az extent along this elevation, unioned over the scan duration
+        ces = pole_ces_s
+        if raster is not None:
+            ext0 = _extent_at_el(site, patch, t, el, fp_radius)
+            if ext0 is not None:
+                ces = _pole_raster_time(
+                    el, el + pole_el_step, ext0[1] - ext0[0], **raster
+                )
+        lo, hi = None, None
+        for ts in np.arange(t, min(t + ces, t_limit) + 1.0, 60.0):
+            ext = _extent_at_el(site, patch, ts, el, fp_radius)
+            if ext is None:
+                continue
+            lo = ext[0] if lo is None else min(lo, ext[0])
+            hi = ext[1] if hi is None else max(hi, ext[1])
+        if lo is not None:
+            subscans.append((el, lo, hi, t, min(t + ces, t_limit)))
+            t = min(t + ces, t_limit)
+        el += pole_el_step
+        if el > el_max:
+            break
+    if raster is not None and subscans:
+        # az-locked raster: every subscan spans the full union range
+        lo = min(s[1] for s in subscans)
+        hi = max(s[2] for s in subscans)
+        subscans = [(el, lo, hi, t0, t1) for el, _, _, t0, t1 in subscans]
+    return subscans or None
+
+
 def build_schedule(
     telescope_name="telescope",
     site_name="site",
@@ -415,6 +580,16 @@ def build_schedule(
     boresight_angle_time=None,
     ces_min_time=Quantity(1.0, u.second),
     north_south_avoidance=Quantity(0.0, u.deg),
+    pole_mode=False,
+    pole_el_step=Quantity(0.25, u.deg),
+    pole_ces_time=Quantity(20.0, u.minute),
+    pole_raster_scan=False,
+    fp_radius=Quantity(0.0, u.deg),
+    az_rate_sky=Quantity(1.0, u.deg / u.second),
+    az_accel_mount=Quantity(1.0, u.deg / (u.second * u.second)),
+    el_rate=Quantity(1.0, u.deg / u.second),
+    el_accel=Quantity(1.0, u.deg / (u.second * u.second)),
+    pole_raster_el_step=Quantity(0.02, u.deg),
 ):
     """Plan constant-elevation scans of the given patches.
 
@@ -442,7 +617,13 @@ def build_schedule(
       boresight on a time schedule (reference ``--boresight-angle-step-deg``
       / ``--boresight-angle-time-min``);
     * every scan records sun/moon az/el at its endpoints and the mean moon
-      phase, like the reference schedule format.
+      phase, like the reference schedule format;
+    * ``pole_mode`` schedules South-Pole style: corner patches are swept
+      by a SEQUENCE of constant-elevation scans stepping ``pole_el_step``
+      up from just below the patch, each lasting ``pole_ces_time``
+      (reference ``attempt_scan_pole:1214``); ``pole_raster_scan``
+      replaces the fixed CES time with the az-locked raster duration
+      computed from the mount kinematics (``get_pole_raster_scan:1614``).
 
     Returns a GroundSchedule.
     """
@@ -476,6 +657,22 @@ def build_schedule(
         else np.sort(np.asarray([e.to_value(u.rad) for e in elevations]))
     )
     ns_avoid_rad = north_south_avoidance.to_value(u.rad)
+    fp_radius_rad = fp_radius.to_value(u.rad)
+    pole_el_step_rad = pole_el_step.to_value(u.rad)
+    pole_ces_s = pole_ces_time.to_value(u.second)
+    raster = (
+        {
+            "el_rate": el_rate.to_value(u.rad / u.second),
+            "el_accel": el_accel.to_value(u.rad / (u.second * u.second)),
+            "az_rate_sky": az_rate_sky.to_value(u.rad / u.second),
+            "az_accel_mount": az_accel_mount.to_value(
+                u.rad / (u.second * u.second)
+            ),
+            "raster_el_step": pole_raster_el_step.to_value(u.rad),
+        }
+        if pole_raster_scan
+        else None
+    )
     bore_step_rad = boresight_angle_step.to_value(u.rad)
     bore_time_s = (
         None
@@ -497,15 +694,33 @@ def build_schedule(
             score = patch.priority(t)
             if score == -np.inf:
                 continue
-            vis = patch.visible(
-                site,
-                t,
-                el_min_rad,
-                el_max_rad,
-                sun_rad,
-                moon_rad,
-                partial=partial_visibility,
-            )
+            if pole_mode and not isinstance(
+                patch,
+                (HorizontalPatch, SSOPatch, CoolerCyclePatch, MaxDepthPatch),
+            ):
+                # pole visibility criterion (get_constant_elevation_pole:
+                # 1436): the sweep STARTS just below the patch; only that
+                # first elevation must be inside the limits — the patch
+                # top may exceed el_max
+                az_c, els_c = patch.corners_azel(site, t)
+                el0 = float(np.min(els_c)) - fp_radius_rad
+                if el0 < el_min_rad or el0 > el_max_rad:
+                    continue
+                if not patch.avoids(site, t, az_c, els_c, sun_rad, moon_rad):
+                    continue
+                az0 = np.arctan2(np.mean(np.sin(az_c)), np.mean(np.cos(az_c)))
+                az_rel = (az_c - az0 + np.pi) % (2 * np.pi) - np.pi
+                vis = (az0 + az_rel.min(), az0 + az_rel.max(), el0, None)
+            else:
+                vis = patch.visible(
+                    site,
+                    t,
+                    el_min_rad,
+                    el_max_rad,
+                    sun_rad,
+                    moon_rad,
+                    partial=partial_visibility,
+                )
             if vis is None:
                 continue
             if elevation_balance and patch.el_time > 0:
@@ -530,7 +745,8 @@ def build_schedule(
                     if a0 < np.pi + half or a1 > 2 * np.pi - half:
                         continue
             if el_grid is not None and not isinstance(
-                patch, (HorizontalPatch, SSOPatch, CoolerCyclePatch)
+                patch, (HorizontalPatch, SSOPatch, CoolerCyclePatch,
+                        MaxDepthPatch)
             ):
                 # snap the scan elevation UP to the allowed grid (the scan
                 # must still clear the patch bottom)
@@ -586,38 +802,56 @@ def build_schedule(
             else:
                 k = len(scans)
             bore = (k % steps_per_cycle) * bore_step_rad
-        tb = np.array([t, t_end])
-        sun_az_be, sun_el_be = coords.sun_azel(site, tb)
-        moon_az_be, moon_el_be = coords.moon_azel(site, tb)
-        phase = float(np.mean(coords.moon_phase(tb)))
-        scans.append(
-            GroundScan(
-                name=patch.name,
-                start=datetime.fromtimestamp(t, tz=timezone.utc),
-                stop=datetime.fromtimestamp(t_end, tz=timezone.utc),
-                az_min=Quantity(az_min, u.rad),
-                az_max=Quantity(az_max, u.rad),
-                el=Quantity(el_scan, u.rad),
-                scan_indx=scan_idx[patch.name],
-                subscan_indx=0,
-                boresight_angle=Quantity(bore, u.rad),
-                sun_az_begin=Quantity(sun_az_be[0], u.rad),
-                sun_az_end=Quantity(sun_az_be[1], u.rad),
-                sun_el_begin=Quantity(sun_el_be[0], u.rad),
-                sun_el_end=Quantity(sun_el_be[1], u.rad),
-                moon_az_begin=Quantity(moon_az_be[0], u.rad),
-                moon_az_end=Quantity(moon_az_be[1], u.rad),
-                moon_el_begin=Quantity(moon_el_be[0], u.rad),
-                moon_el_end=Quantity(moon_el_be[1], u.rad),
-                moon_phase=phase,
+        def _emit(az_lo, az_hi, el_s, t0, t1, sub):
+            tb = np.array([t0, t1])
+            sun_az_be, sun_el_be = coords.sun_azel(site, tb)
+            moon_az_be, moon_el_be = coords.moon_azel(site, tb)
+            phase = float(np.mean(coords.moon_phase(tb)))
+            scans.append(
+                GroundScan(
+                    name=patch.name,
+                    start=datetime.fromtimestamp(t0, tz=timezone.utc),
+                    stop=datetime.fromtimestamp(t1, tz=timezone.utc),
+                    az_min=Quantity(az_lo, u.rad),
+                    az_max=Quantity(az_hi, u.rad),
+                    el=Quantity(el_s, u.rad),
+                    scan_indx=scan_idx[patch.name],
+                    subscan_indx=sub,
+                    boresight_angle=Quantity(bore, u.rad),
+                    sun_az_begin=Quantity(sun_az_be[0], u.rad),
+                    sun_az_end=Quantity(sun_az_be[1], u.rad),
+                    sun_el_begin=Quantity(sun_el_be[0], u.rad),
+                    sun_el_end=Quantity(sun_el_be[1], u.rad),
+                    moon_az_begin=Quantity(moon_az_be[0], u.rad),
+                    moon_az_end=Quantity(moon_az_be[1], u.rad),
+                    moon_el_begin=Quantity(moon_el_be[0], u.rad),
+                    moon_el_end=Quantity(moon_el_be[1], u.rad),
+                    moon_phase=phase,
+                )
             )
-        )
-        patch.time_observed += t_end - t
-        patch.el_time += t_end - t
-        patch.el_time_weighted += (t_end - t) * el_scan
+            patch.time_observed += t1 - t0
+            patch.el_time += t1 - t0
+            patch.el_time_weighted += (t1 - t0) * el_s
+
+        pole_seq = None
+        if pole_mode and not isinstance(
+            patch, (HorizontalPatch, SSOPatch, CoolerCyclePatch, MaxDepthPatch)
+        ):
+            # South-Pole scheduling: sweep the patch with constant-
+            # elevation subscans stepping up (attempt_scan_pole:1214)
+            pole_seq = _pole_scan_sequence(
+                site, patch, t, el_min_rad, el_max_rad, fp_radius_rad,
+                pole_el_step_rad, pole_ces_s, t_stop, raster=raster,
+            )
+        if pole_seq is not None:
+            for sub, (el_s, az_lo, az_hi, t0, t1) in enumerate(pole_seq):
+                _emit(az_lo, az_hi, el_s, t0, t1, sub)
+            t = pole_seq[-1][4] + gap_s
+        else:
+            _emit(az_min, az_max, el_scan, t, t_end, 0)
+            t = t_end + gap_s
         patch.hits += 1
         scan_idx[patch.name] += 1
-        t = t_end + gap_s
 
     log.info(
         f"build_schedule: {len(scans)} scans of {len(patches)} patches "
@@ -688,6 +922,13 @@ def run_scheduler(opts=None):
         "--north-south-avoidance", default="0 deg",
         help="Reject scans entering this sector around due North/South",
     )
+    parser.add_argument("--pole-mode", action="store_true",
+                        help="South-Pole scheduling: elevation-stepped scans")
+    parser.add_argument("--pole-el-step", default="0.25 deg")
+    parser.add_argument("--pole-ces-time", default="20 min")
+    parser.add_argument("--pole-raster-scan", action="store_true",
+                        help="Az-locked raster timing from mount kinematics")
+    parser.add_argument("--fp-radius", default="0 deg")
     parser.add_argument(
         "--patch",
         action="append",
@@ -749,6 +990,19 @@ def run_scheduler(opts=None):
             patches.append(
                 SSOPatch(name, float(parts[2]), Quantity(float(parts[3]), u.deg))
             )
+        elif kind in ("MAX-DEPTH", "MAX_DEPTH"):
+            # name,MAX-DEPTH,weight,lon_deg,lat_deg,radius_deg,throw_deg,scantime_min
+            # (reference parse_patch_max_depth:3196)
+            patches.append(
+                MaxDepthPatch(
+                    name,
+                    float(parts[2]),
+                    (float(parts[3]), float(parts[4])),
+                    Quantity(float(parts[5]), u.deg),
+                    Quantity(float(parts[6]), u.deg),
+                    Quantity(float(parts[7]), u.minute),
+                )
+            )
         elif kind == "COOLER":
             # name,COOLER,weight,hold_min_h,hold_max_h,cycle_min[,az_deg,el_deg]
             extra = {}
@@ -769,7 +1023,7 @@ def run_scheduler(opts=None):
             raise ValueError(
                 f"Unknown patch type '{parts[1]}' in '{pstr}' — expected a "
                 "numeric weight (rectangle) or HORIZONTAL / WEIGHTED / "
-                "SIDEREAL / SSO / COOLER"
+                "SIDEREAL / SSO / COOLER / MAX-DEPTH"
             )
         else:
             weight = float(parts[1])
@@ -822,6 +1076,11 @@ def run_scheduler(opts=None):
         partial_visibility=args.partial_visibility,
         elevation_balance=args.elevation_balance,
         north_south_avoidance=qs(args.north_south_avoidance),
+        pole_mode=args.pole_mode,
+        pole_el_step=qs(args.pole_el_step),
+        pole_ces_time=qs(args.pole_ces_time),
+        pole_raster_scan=args.pole_raster_scan,
+        fp_radius=qs(args.fp_radius),
     )
     schedule.write(args.out)
     return schedule

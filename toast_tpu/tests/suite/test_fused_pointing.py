@@ -68,3 +68,36 @@ def test_fused_pointing_no_hwp():
     pix2, w2, _ = _expand(data2, force_fused=True)
     np.testing.assert_array_equal(pix1, pix2)
     np.testing.assert_allclose(w1, w2, rtol=0, atol=1e-6)
+
+
+def test_fused_pointing_recompute_after_delete():
+    """MC-realization pattern: deleting the pointing products and
+    re-running the pipeline must RECOMPUTE them (regression: the fused
+    cache key persists across realizations because it is built from
+    shared-array identities; a presence check after detdata.ensure kept
+    the freshly-created zeros)."""
+    import toast_tpu.ops.pixels_healpix as ph
+    import toast_tpu.ops.stokes_weights as sw
+
+    saved = ph._FUSE_QUATS_THRESHOLD
+    ph._FUSE_QUATS_THRESHOLD = 0
+    sw._FUSE_QUATS_THRESHOLD = 0
+    try:
+        data = create_satellite_data(n_pix=2)
+        ob = data.obs[0]
+        dp = ops.PointingDetectorSimple()
+        pix_op = ops.PixelsHealpix(nside=64, detector_pointing=dp)
+        w_op = ops.StokesWeights(mode="IQU", detector_pointing=dp)
+        pipe = ops.Pipeline(operators=[pix_op, w_op])
+        pipe.apply(data)
+        w1 = np.asarray(ob.detdata["weights"].data)
+        assert np.sqrt((w1**2).mean()) > 0.1
+        # the bench/MC reset: free detdata, keep shared arrays
+        for field in list(ob.detdata.keys()):
+            del ob.detdata[field]
+        pipe.apply(data)
+        w2 = np.asarray(ob.detdata["weights"].data)
+        np.testing.assert_allclose(w1, w2, rtol=0, atol=1e-7)
+    finally:
+        ph._FUSE_QUATS_THRESHOLD = saved
+        sw._FUSE_QUATS_THRESHOLD = saved
