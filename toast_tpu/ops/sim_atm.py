@@ -117,6 +117,15 @@ class SimAtmosphere(Operator):
         "quaternions; None uses the default quats_azel key, falling back "
         "to boresight + focalplane offsets",
     )
+    detector_weights = Instance(
+        klass=object,
+        allow_none=True,
+        help="Stokes-weights operator for observing POLARIZED atmosphere: "
+        "the fluctuation field is scaled by (w_I + polarization_fraction "
+        "* w_Q), exactly the reference coupling "
+        "(ref:ops/sim_tod_atm_observe.py:461 'atmdata *= weights_I + "
+        "weights_Q * pfrac').  None leaves the atmosphere unpolarized.",
+    )
     azimuth = Unicode(defaults.azimuth)
     elevation = Unicode(defaults.elevation)
     realization = Int(0)
@@ -485,23 +494,27 @@ class SimAtmosphere(Operator):
 
             airmass = 1.0 / jnp.sin(jnp.asarray(el_det))
             tod = self.gain * jnp.asarray(absorp)[:, None] * atm * airmass
-            if self.polarization_fraction != 0.0:
-                # polarized atmosphere (reference sim_tod_atm_observe
-                # option): fraction grows toward the horizon, projected on
-                # the detector polarization angle gamma
-                try:
-                    gamma = np.array(
-                        [float(fp[d].get("gamma", 0.0)) for d in dets],
-                        dtype=np.float32,
+            if (
+                self.polarization_fraction != 0.0
+                and self.detector_weights is not None
+            ):
+                # polarized atmosphere: scale the fluctuations by
+                # (w_I + pfrac * w_Q) — the reference's constant-fraction
+                # Q-only model (ref:ops/sim_tod_atm_observe.py:461)
+                from .operator import single_obs_view
+
+                wkey = self.detector_weights.weights
+                if wkey not in ob.detdata:
+                    self.detector_weights.exec(
+                        single_obs_view(data, ob), detectors=dets
                     )
-                except (KeyError, TypeError, AttributeError):
-                    gamma = np.zeros(len(dets), dtype=np.float32)
-                pol = (
-                    self.polarization_fraction
-                    * (1.0 - jnp.sin(jnp.asarray(el_det)))
-                    * jnp.cos(2.0 * jnp.asarray(gamma))[:, None]
-                )
-                tod = tod * (1.0 + pol)
+                w = ob.detdata[wkey].data[didx]
+                if w.shape[-1] >= 2:
+                    tod = tod * (
+                        w[..., 0]
+                        + jnp.float32(self.polarization_fraction) * w[..., 1]
+                    )
+                # I-only weights: weights_Q == 0, atmosphere unpolarized
             if self.add_loading:
                 tod = tod + jnp.asarray(loading)[:, None] * airmass
             ob.detdata.ensure(self.det_data, detectors=dets, create_units=u.K)

@@ -177,15 +177,24 @@ def test_atm_cache_and_polarization(tmp_path):
         data2.obs[0].detdata["signal"].numpy(),
     )
 
+    # polarized atmosphere: the reference's constant-fraction Q coupling
+    # (ref:ops/sim_tod_atm_observe.py:461) — tod_pol = tod * (wI + pf*wQ)
     data3 = create_ground_data(n_pix=1, duration_s=120.0)
-    data3.obs[0].detdata.create("signal", units=u.K)
+    ob3 = data3.obs[0]
+    ob3.detdata.create("signal", units=u.K)
+    dp = ops.PointingDetectorSimple(boresight="boresight_azel")
+    wop = ops.StokesWeights(mode="IQU", detector_pointing=dp)
+    pf = 0.2
     ops.SimAtmosphere(
-        add_loading=False, polarization_fraction=0.2, cache_dir=str(tmp_path)
+        add_loading=False, polarization_fraction=pf, cache_dir=str(tmp_path),
+        detector_weights=wop,
     ).apply(data3)
     a = data1.obs[0].detdata["signal"].numpy()
-    b = data3.obs[0].detdata["signal"].numpy()
-    rel = np.abs(b - a).max() / np.abs(a).max()
-    assert 0.001 < rel < 0.5
+    b = ob3.detdata["signal"].numpy()
+    w = np.asarray(ob3.detdata[wop.weights].data)
+    expect = a * (w[..., 0] + pf * w[..., 1])
+    np.testing.assert_allclose(b, expect, rtol=1e-5, atol=1e-7)
+    assert np.abs(b - a).max() / np.abs(a).max() > 0.001
 
 
 def test_atm_scales_with_pwv_and_airmass():
