@@ -100,24 +100,26 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
     print(f"RTT {RTT*1e3:.1f} ms   case {n_det}x{n_samp} nside={nside}",
           flush=True)
 
-    def t(tag, fn, reps=4):
-        out = fn()  # compile + warm
+    def _leaf(out):
         if isinstance(out, (tuple, list, dict)):
             vals = list(out.values()) if isinstance(out, dict) else list(out)
-            leaf = next(v for v in vals if hasattr(v, "block_until_ready"))
-        else:
-            leaf = out
-        force(leaf)
+            return next(v for v in vals if hasattr(v, "block_until_ready"))
+        return out
+
+    def t(tag, fn, reps=4, sync=False):
+        """Time fn.  sync=True forces each rep (RTT subtracted per rep) so
+        large-output stages never hold `reps` result sets in HBM at once."""
+        out = fn()  # compile + warm
+        force(_leaf(out))
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
-        if isinstance(out, (tuple, list, dict)):
-            vals = list(out.values()) if isinstance(out, dict) else list(out)
-            leaf = next(v for v in vals if hasattr(v, "block_until_ready"))
-        else:
-            leaf = out
-        force(leaf)
-        dt = (time.perf_counter() - t0 - RTT) / reps
+            if sync:
+                force(_leaf(out))
+        if not sync:
+            force(_leaf(out))
+        overhead = RTT * (reps if sync else 1)
+        dt = (time.perf_counter() - t0 - overhead) / reps
         print(f"  {tag:36s} {dt*1e3:9.1f} ms  ({dt/N*1e9:7.2f} ns/samp)",
               flush=True)
         results[tag] = dt / N * 1e9
@@ -153,9 +155,18 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
     dets, didx, step, n_base = (
         info["dets"], info["det_idx"], info["step"], info["n_base"]
     )
-    pix = ob.detdata["pixels"].data[didx]
-    wts = ob.detdata["weights"].data[didx]
-    tod = ob.detdata["signal"].data[didx]
+    def _rows(field):
+        # identity [didx] gather would duplicate the largest HBM buffers
+        arr = ob.detdata[field].data
+        if len(didx) == arr.shape[0] and np.array_equal(
+            np.asarray(didx), np.arange(arr.shape[0])
+        ):
+            return arr
+        return arr[didx]
+
+    pix = _rows("pixels")
+    wts = _rows("weights")
+    tod = _rows("signal")
     nse = ob["noise_model"]
     dw = jnp.asarray(np.array(
         [nse.detector_weight(d).value for d in dets], dtype=np.float32))
@@ -175,15 +186,17 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
         return run_stats_pointing(
             wts.reshape(-1, nnz), wg.reshape(-1), good.reshape(-1),
             plan["bounds1"], plan["order"], plan["good_sorted"],
+            chunks=plan.get("chunks"),
         )
-    pt_g, _ = t("run_stats_pointing (cacheable)", stats_pt)
+    pt_g, _ = t("run_stats_pointing (cacheable)", stats_pt, reps=2, sync=True)
 
     def stats_td():
         return run_stats_tod(
             tod.reshape(-1), wts.reshape(-1, nnz), wg.reshape(-1),
             plan["bounds1"], plan["order"], plan["good_sorted"],
+            chunks=plan.get("chunks"),
         )
-    td_g, _ = t("run_stats_tod (per realization)", stats_td)
+    td_g, _ = t("run_stats_tod (per realization)", stats_td, reps=2, sync=True)
 
     def cov():
         acc, hh = accumulate_hit_cov(pt_g, plan["hit_bounds"], nnz)
@@ -225,7 +238,57 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
             pt_g, td_g, amps, plan["amp_sorted"], plan["hit_starts"],
             plan["hit_bounds"], plan["n_hi"], nnz=nnz)
     t("fused_maps", maps)
+
+    if os.environ.get("PROF_MICRO"):
+        micro(t, plan, pt_g, cov_hit, n_det, nnz, results)
     return results
+
+
+def micro(t, plan, pt_g, cov_hit, n_det, nnz, results):
+    """Per-op microbenchmarks of the PCG matvec building blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from toast_tpu.ops.kernels.fused_solver import (
+        _stats_block, _stats_col, amp_expand, expand_hit_to_runs,
+    )
+    from toast_tpu.ops.kernels.mapkernels import segment_sum_sorted
+    from toast_tpu.ops.kernels.pallas_reduce import (
+        amp_expand_pallas, amp_reduce_pallas,
+    )
+    from toast_tpu.pixels.covariance import _apply_tri
+
+    n_runs_b = plan["amp_sorted"].shape[0]
+    n_hi, n_amp = plan["n_hi"], plan["n_amp"]
+    amp_sorted = plan["amp_sorted"]
+    amp_hi = amp_sorted // 128
+    amp_lo = amp_sorted % 128
+    W = _stats_block(pt_g, 0, nnz)
+    nc = _stats_col(pt_g, nnz)
+    a = jnp.ones((n_amp,), jnp.float32)
+    v1 = jnp.ones((n_runs_b,), jnp.float32)
+    vhit = jnp.ones((plan["hit_valid"].shape[0], nnz), jnp.float32)
+    print("  --- matvec micro ---", flush=True)
+    t("amp_expand (XLA onehot)",
+      lambda: amp_expand(a, amp_hi, amp_lo, n_hi), sync=True)
+    t("amp_expand_pallas",
+      lambda: amp_expand_pallas(a, amp_sorted, n_hi), sync=True)
+    t("amp_reduce_pallas",
+      lambda: amp_reduce_pallas(v1, amp_sorted, n_hi, n_amp), sync=True)
+    t("expand_hit_to_runs (k=3)",
+      lambda: expand_hit_to_runs(
+          vhit, plan["hit_starts"], plan["hit_valid"], plan["rank_block"],
+          n_runs_b), sync=True)
+    t("segment_sum_sorted (k=3)",
+      lambda: segment_sum_sorted(W, plan["hit_bounds"]), sync=True)
+    t("apply_tri (hit)",
+      lambda: _apply_tri(cov_hit, vhit, nnz), sync=True)
+
+    @jax.jit
+    def elementwise():
+        a_run = v1
+        return nc * a_run - jnp.sum(W * W, axis=1)
+    t("elementwise (nc*a - sum(W*v))", elementwise, sync=True)
 
 
 if __name__ == "__main__":

@@ -62,7 +62,7 @@ import jax.numpy as jnp
 
 from ...math.fft import irfft_batched as _irfft_b
 from ...pixels.covariance import _apply_tri, _invert_tri
-from .mapkernels import segment_sum_sorted
+from .mapkernels import prefix_blocked, segment_sum_sorted
 
 _LOW = 128          # lane width of the two-level amplitude decomposition
 _FILL = np.int32(2147483647)
@@ -412,7 +412,7 @@ def _run_sums_sorted(flat_cols, bounds1, order, good_sorted):
         [jnp.pad(c, (0, pad)).reshape(n_blocks, B) for c in flat_cols],
         axis=1,
     )  # (n_blocks, k, B)
-    local = jnp.cumsum(x, axis=-1)        # within-block inclusive prefix
+    local = prefix_blocked(x, axis=-1)    # within-block inclusive prefix
     block_sums = local[:, :, -1]          # (n_blocks, k)
 
     # local prefix at every bound: ONE k-wide gather straight out of the
@@ -667,7 +667,7 @@ def _chunk_time_sums(cols, lbl, C_real):
     B = _STAT_BLOCK
     n_blocks = C // B
     x = jnp.stack([c.reshape(n_blocks, B) for c in cols], axis=1)
-    local = jnp.cumsum(x, axis=-1)
+    local = prefix_blocked(x, axis=-1)
     block_sums = local[:, :, -1]
     safe = jnp.clip(lbl - 1, 0, C - 1)
     loc_at = jnp.where(
@@ -793,7 +793,7 @@ def expand_hit_to_runs(vals_hit, hit_starts, hit_valid, rank_block, n_runs_b):
     )
     x = diffs.reshape(n_blocks, B, k).at[:, 0, :].set(0.0)
     seed = vals_hit[jnp.minimum(rank_block, vals_hit.shape[0] - 1)]
-    return (seed[:, None, :] + jnp.cumsum(x, axis=1)).reshape(n_runs_b, k)
+    return (seed[:, None, :] + prefix_blocked(x, axis=1)).reshape(n_runs_b, k)
 
 
 def _onehot_hi(amp_hi, n_hi, dtype=jnp.float32):

@@ -293,6 +293,35 @@ def _twosum(a, b):
     return s, err
 
 
+def prefix_blocked(x, axis=-1):
+    """Inclusive prefix sum along a short blocked axis (<= ~1024 wide).
+
+    On TPU ``jnp.cumsum`` over a 512-wide axis lowers to a QUADRATIC
+    reduce_window (measured 41 ms for 75M f32 on v5e); one triangular MXU
+    contraction does the same prefix in 2 ms.  precision=HIGHEST keeps
+    float32-equivalent accuracy (3-pass bf16 split), and the fixed MXU
+    accumulation order keeps results deterministic.  Other backends keep
+    the linear-time native cumsum.
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.cumsum(x, axis=axis)
+    B = x.shape[axis]
+    tri = jnp.triu(jnp.ones((B, B), x.dtype))
+    ax = axis % x.ndim
+    letters = "defghijlm"
+    in_sub = "".join(
+        "b" if i == ax else letters[i] for i in range(x.ndim)
+    )
+    out_sub = in_sub.replace("b", "c")
+    # NOTE: passing preferred_element_type alongside precision=HIGHEST
+    # silently downgrades this contraction to one bf16 pass on the TPU
+    # backend (measured 2.9e-4 rel err vs 2.8e-6 without it)
+    return jnp.einsum(
+        f"{in_sub},bc->{out_sub}", x, tri,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 @jax.jit
 def segment_sum_sorted(sv, bounds):
     """Accurate segment sums of pre-sorted values.
@@ -318,7 +347,7 @@ def segment_sum_sorted(sv, bounds):
     n_blocks = -(-n // B)
     pad = n_blocks * B - n
     x = jnp.pad(sv, ((0, pad), (0, 0))).reshape(n_blocks, B, k)
-    local = jnp.cumsum(x, axis=1)  # inclusive within-block prefix
+    local = prefix_blocked(x, axis=1)  # inclusive within-block prefix
     block_sums = local[:, -1, :]
     # compensated exclusive prefix over block sums
     def combine(a, b):
