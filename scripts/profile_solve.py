@@ -42,6 +42,7 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
     if results is None:
         results = {}
     N = n_det * n_samp
+    results["_N"] = N
     rate_hz = 100.0
     comm = Comm()
     fp = fake_hexagon_focalplane(
@@ -245,7 +246,15 @@ def main(n_det=None, n_samp=None, nside=None, results=None):
 
 
 def micro(t, plan, pt_g, cov_hit, n_det, nnz, results):
-    """Per-op microbenchmarks of the PCG matvec building blocks."""
+    """Per-op matvec microbenchmarks, RTT-free.
+
+    The remote-tunnel RTT (~35 ms) swamps single-dispatch timings, so
+    each op runs REPS times inside ONE jitted ``lax.fori_loop`` with a
+    scalar dependency chained through iterations (no DCE, no overlap);
+    one dispatch + one fetch amortizes RTT over all reps.
+    """
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -265,30 +274,52 @@ def micro(t, plan, pt_g, cov_hit, n_det, nnz, results):
     amp_lo = amp_sorted % 128
     W = _stats_block(pt_g, 0, nnz)
     nc = _stats_col(pt_g, nnz)
+    N = results.get("_N", n_runs_b)
+    REPS = int(os.environ.get("PROF_MICRO_REPS", "20"))
+    print(f"  --- matvec micro (looped x{REPS} on device) ---", flush=True)
+
+    def loop_time(tag, op):
+        """op: scalar_perturbation -> array; the output's first element
+        feeds the next rep so iterations serialize."""
+
+        @jax.jit
+        def run():
+            def body(i, s):
+                out = op(s * 1e-30)
+                return s + out.reshape(-1)[0]
+
+            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+        float(run())  # compile + warm
+        t0 = _time.perf_counter()
+        f = float(run())
+        dt = (_time.perf_counter() - t0) / REPS
+        print(f"  {tag:36s} {dt*1e3:9.2f} ms  ({dt/N*1e9:7.2f} ns/samp)"
+              f"  [{f:.1e}]", flush=True)
+        results[f"micro_{tag}"] = dt * 1e3
+        return dt
+
     a = jnp.ones((n_amp,), jnp.float32)
     v1 = jnp.ones((n_runs_b,), jnp.float32)
-    vhit = jnp.ones((plan["hit_valid"].shape[0], nnz), jnp.float32)
-    print("  --- matvec micro ---", flush=True)
-    t("amp_expand (XLA onehot)",
-      lambda: amp_expand(a, amp_hi, amp_lo, n_hi), sync=True)
-    t("amp_expand_pallas",
-      lambda: amp_expand_pallas(a, amp_sorted, n_hi), sync=True)
-    t("amp_reduce_pallas",
-      lambda: amp_reduce_pallas(v1, amp_sorted, n_hi, n_amp), sync=True)
-    t("expand_hit_to_runs (k=3)",
-      lambda: expand_hit_to_runs(
-          vhit, plan["hit_starts"], plan["hit_valid"], plan["rank_block"],
-          n_runs_b), sync=True)
-    t("segment_sum_sorted (k=3)",
-      lambda: segment_sum_sorted(W, plan["hit_bounds"]), sync=True)
-    t("apply_tri (hit)",
-      lambda: _apply_tri(cov_hit, vhit, nnz), sync=True)
+    n_hit_b = plan["hit_valid"].shape[0]
+    vhit = jnp.ones((n_hit_b, nnz), jnp.float32)
 
-    @jax.jit
-    def elementwise():
-        a_run = v1
-        return nc * a_run - jnp.sum(W * W, axis=1)
-    t("elementwise (nc*a - sum(W*v))", elementwise, sync=True)
+    loop_time("amp_expand (XLA onehot)",
+              lambda s: amp_expand(a + s, amp_hi, amp_lo, n_hi))
+    loop_time("amp_expand_pallas",
+              lambda s: amp_expand_pallas(a + s, amp_sorted, n_hi))
+    loop_time("amp_reduce_pallas",
+              lambda s: amp_reduce_pallas(v1 + s, amp_sorted, n_hi, n_amp))
+    loop_time("expand_hit_to_runs (k=3)",
+              lambda s: expand_hit_to_runs(
+                  vhit + s, plan["hit_starts"], plan["hit_valid"],
+                  plan["rank_block"], n_runs_b))
+    loop_time("segment_sum_sorted (k=3)",
+              lambda s: segment_sum_sorted(W + s, plan["hit_bounds"]))
+    loop_time("apply_tri (hit)",
+              lambda s: _apply_tri(cov_hit, vhit + s, nnz))
+    loop_time("elementwise (nc*a - sum(W*W))",
+              lambda s: nc * (v1 + s) - jnp.sum(W * W, axis=1))
 
 
 if __name__ == "__main__":

@@ -197,12 +197,101 @@ class SimAtmosphere(Operator):
         "(1 - sin(el)) and the detector polarization angle "
         "(reference sim_tod_atm_observe polarized-atmosphere option)",
     )
+    # ---- reference option-surface parity (ref:ops/sim_tod_atm.py:40-215).
+    # Traits below map onto the screen model where a real analog exists;
+    # slab-volume-only knobs are accepted for config parity and documented.
+    API = Int(0, help="Internal interface version for this operator")
+    view = Unicode(
+        None,
+        allow_none=True,
+        help="Only simulate atmosphere for samples inside this interval "
+        "list (ref sim_tod_atm.py:53)",
+    )
+    shared_flags = Unicode(
+        defaults.shared_flags,
+        allow_none=True,
+        help="Shared flags to exclude from the simulation",
+    )
+    shared_flag_mask = Int(
+        defaults.shared_mask_invalid, help="Bit mask for shared_flags"
+    )
+    det_mask = Int(
+        defaults.det_mask_invalid, help="Detector-selection bit mask"
+    )
+    det_flags = Unicode(
+        defaults.det_flags, allow_none=True, help="Per-detector flags"
+    )
+    det_flag_mask = Int(
+        defaults.det_mask_invalid, help="Bit mask for det_flags"
+    )
+    turnaround_interval = Unicode(
+        "turnaround",
+        allow_none=True,
+        help="Interval name marking turnarounds; when present, the screen "
+        "footprint's azimuth range is estimated from constant-velocity "
+        "samples only (ref sim_tod_atm.py:99)",
+    )
+    field_of_view = Quantity(
+        None,
+        allow_none=True,
+        help="Override the focalplane field of view: the screen footprint "
+        "margin grows to cover boresight span + fov/2 (ref "
+        "sim_tod_atm.py:203)",
+    )
+    n_bandpass_freqs = Int(
+        100,
+        help="Number of frequency steps when band-averaging the "
+        "absorption/loading couplings (ref sim_tod_atm.py:171)",
+    )
+    xstep = Quantity(
+        Qty(100.0, u.meter),
+        help="Physical size of a screen cell at the lowest screen: the "
+        "screen grid is refined beyond screen_res when the scan span "
+        "needs finer cells (slab-volume analog, ref sim_tod_atm.py:140)",
+    )
+    ystep = Quantity(
+        Qty(100.0, u.meter),
+        help="Accepted for config parity: the frozen screens are "
+        "isotropic, xstep governs the cell size",
+    )
+    zstep = Quantity(
+        Qty(100.0, u.meter),
+        help="Accepted for config parity: altitude is discretized by the "
+        "scale_heights screen stack, not by volume elements",
+    )
+    zatm = Quantity(
+        Qty(40000.0, u.meter), help="Atmosphere extent for temperature profile"
+    )
+    zmax = Quantity(
+        Qty(2000.0, u.meter),
+        help="Atmosphere extent for water-vapor turbulence: screens above "
+        "zmax are dropped from the stack (ref sim_tod_atm.py:136)",
+    )
+    nelem_sim_max = Int(
+        10000,
+        help="Accepted for config parity: the screen model has no sparse "
+        "element slices; memory scales with screen_res^2 instead",
+    )
+    corr_lim = Float(
+        1.0e-3,
+        help="Accepted for config parity: the FFT screen synthesis is "
+        "exact, no correlation-matrix truncation applies",
+    )
+    output_dir = Unicode(
+        None,
+        allow_none=True,
+        help="Directory for debug products (spectrum/TOD dumps)",
+    )
+    debug_spectrum = Bool(
+        False, help="Dump the Kolmogorov screen spectra to output_dir"
+    )
+    debug_tod = Bool(False, help="Dump the simulated TOD to output_dir")
 
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         log = Logger.get()
         for ob in data.obs:
-            dets = ob.select_local_detectors(detectors)
+            dets = ob.select_local_detectors(detectors, flagmask=self.det_mask)
             if len(dets) == 0:
                 continue
             times = np.asarray(ob.shared[self.times])
@@ -253,10 +342,36 @@ class SimAtmosphere(Operator):
 
             # screen geometry: cover the scan range + wind drift + margins
             heights = [float(h) for h in self.scale_heights.split(",")][: self.n_screen]
-            az_min = float(az_det.min())
-            az_max = float(az_det.max())
+            # screens above the water-vapor turbulence extent are dropped
+            # (ref sim_tod_atm.py:136 zmax)
+            zmax_m = self.zmax.to_value(u.meter)
+            kept = [h for h in heights if h <= zmax_m]
+            heights = kept if kept else heights[:1]
+            # scan-range estimate: exclude turnaround samples when the
+            # interval list is available (ref sim_tod_atm.py:99) so a slow
+            # turnaround overshoot does not inflate the screen footprint
+            az_est = az_det
+            if (
+                self.turnaround_interval is not None
+                and self.turnaround_interval in ob.intervals
+            ):
+                scanning = ob.view_mask(self.turnaround_interval) == 0.0
+                if scanning.any() and not scanning.all():
+                    az_est = az_det[:, scanning]
+            az_min = float(az_est.min())
+            az_max = float(az_est.max())
             el_min = float(el_det.min())
             el_max = float(el_det.max())
+            if self.field_of_view is not None:
+                # explicit fov: margin from the boresight span instead of
+                # the (possibly subset) detector extremes
+                half_fov = 0.5 * self.field_of_view.to_value(u.rad)
+                ctr_az = 0.5 * (az_min + az_max)
+                ctr_el = 0.5 * (el_min + el_max)
+                az_min = min(az_min, ctr_az - half_fov)
+                az_max = max(az_max, ctr_az + half_fov)
+                el_min = min(el_min, ctr_el - half_fov)
+                el_max = max(el_max, ctr_el + half_fov)
             duration = float(tvec[-1]) if len(tvec) > 1 else 1.0
 
             sindx = int(ob.session.uid if ob.session else 0) & 0xFFFFFFFF
@@ -324,6 +439,13 @@ class SimAtmosphere(Operator):
             az_span = (float(az_c.max()) - az_min) + drift + 0.05
             el_span = (el_max - el_min) + 0.05
             span = max(az_span, el_span)
+            # honor xstep: refine the grid beyond screen_res when the
+            # requested physical cell size needs it (cell at the lowest
+            # screen = dtheta * h_min); bounded to keep screens in HBM
+            want_n = int(np.ceil(
+                span * min(heights) / max(self.xstep.to_value(u.meter), 1.0)
+            )) + 2
+            n = min(max(n, want_n), 4096)
             dtheta = span / (n - 2)
             l0 = lmax_m / min(heights)          # angular outer scale
             l_in = lmin_m / min(heights)        # angular inner scale
@@ -361,6 +483,15 @@ class SimAtmosphere(Operator):
                 stack = np.stack(stack)
                 if cache_path is not None:
                     np.savez_compressed(cache_path, screens=stack)
+                if self.debug_spectrum and self.output_dir is not None:
+                    os.makedirs(self.output_dir, exist_ok=True)
+                    np.save(
+                        os.path.join(
+                            self.output_dir,
+                            f"atm_screens_{ob.name}_{chunk}.npy",
+                        ),
+                        np.asarray(stack),
+                    )
                 return jnp.asarray(stack)
 
             if self.cache_only:
@@ -474,6 +605,7 @@ class SimAtmosphere(Operator):
             for i, det in enumerate(dets):
                 band = _band(det)
                 if band not in band_cache:
+                    nstep = max(3, int(self.n_bandpass_freqs))
                     band_cache[band] = (
                         band_averaged(
                             lambda nu: atm_absorption_coefficient(
@@ -481,6 +613,7 @@ class SimAtmosphere(Operator):
                             ),
                             band[0],
                             band[1],
+                            nstep=nstep,
                         ),
                         band_averaged(
                             lambda nu: atm_atmospheric_loading(
@@ -488,6 +621,7 @@ class SimAtmosphere(Operator):
                             ),
                             band[0],
                             band[1],
+                            nstep=nstep,
                         ),
                     )
                 absorp[i], loading[i] = band_cache[band]
@@ -517,6 +651,30 @@ class SimAtmosphere(Operator):
                 # I-only weights: weights_Q == 0, atmosphere unpolarized
             if self.add_loading:
                 tod = tod + jnp.asarray(loading)[:, None] * airmass
+            # sample exclusion: shared flags + optional view restriction
+            # (ref sim_tod_atm.py:53,74)
+            smask = None
+            if (
+                self.shared_flags is not None
+                and self.shared_flags in ob.shared
+            ):
+                sf = np.asarray(ob.shared[self.shared_flags])
+                smask = (sf & self.shared_flag_mask) == 0
+            if self.view is not None and self.view in ob.intervals:
+                inview = ob.view_mask(self.view) != 0.0
+                smask = inview if smask is None else (smask & inview)
+            if smask is not None and not smask.all():
+                tod = tod * jnp.asarray(smask.astype(np.float32))[None, :]
+            if self.debug_tod and self.output_dir is not None:
+                import os as _os
+
+                _os.makedirs(self.output_dir, exist_ok=True)
+                np.save(
+                    _os.path.join(
+                        self.output_dir, f"atm_tod_{ob.name}.npy"
+                    ),
+                    np.asarray(tod),
+                )
             ob.detdata.ensure(self.det_data, detectors=dets, create_units=u.K)
             field = ob.detdata[self.det_data]
             field.data = field.data.at[didx].add(tod.astype(jnp.float32))

@@ -319,3 +319,60 @@ def test_atm_cache_only_and_reuse(tmp_path):
     np.testing.assert_allclose(
         cached, ob2.detdata["signal"].numpy(), rtol=0, atol=1e-6
     )
+
+
+def test_atm_option_surface(tmp_path):
+    """Reference option-surface traits: view/flags masking, zmax screen
+    cut, field_of_view margin, xstep refinement, debug dumps
+    (ref:ops/sim_tod_atm.py:40-215)."""
+    data = create_ground_data(n_pix=1, duration_s=120.0)
+    ob = data.obs[0]
+    n = ob.n_local_samples
+    ob.detdata.create("signal", units=u.K)
+
+    # a view covering only the first half of the samples
+    from toast_tpu.models.intervals import IntervalList
+
+    times = np.asarray(ob.shared["times"])
+    half = IntervalList(times, samplespans=[(0, n // 2 - 1)])
+    ob.intervals["first_half"] = half
+
+    out = tmp_path / "atm_debug"
+    atm = ops.SimAtmosphere(
+        gain=3e-4,
+        add_loading=False,
+        view="first_half",
+        zmax=Quantity(2500.0, u.meter),
+        field_of_view=Quantity(10.0, u.deg),
+        n_bandpass_freqs=11,
+        xstep=Quantity(30.0, u.meter),
+        output_dir=str(out),
+        debug_tod=True,
+        debug_spectrum=True,
+    )
+    atm.apply(data)
+    sig = ob.detdata["signal"].numpy()
+    # samples outside the view stay exactly zero, inside are nonzero
+    assert np.all(sig[:, n // 2:] == 0.0)
+    assert np.any(sig[:, : n // 2] != 0.0)
+    # debug products written
+    import os
+
+    files = os.listdir(out)
+    assert any(f.startswith("atm_tod_") for f in files)
+    assert any(f.startswith("atm_screens_") for f in files)
+
+    # shared-flag masking: flag a tail region and check it is zeroed
+    data2 = create_ground_data(n_pix=1, duration_s=120.0)
+    ob2 = data2.obs[0]
+    ob2.detdata.create("signal", units=u.K)
+    flags = np.zeros(ob2.n_local_samples, dtype=np.uint8)
+    flags[-100:] = 1
+    ob2.shared.set("flags", flags)
+    atm2 = ops.SimAtmosphere(
+        gain=3e-4, add_loading=False, shared_flag_mask=1
+    )
+    atm2.apply(data2)
+    sig2 = ob2.detdata["signal"].numpy()
+    assert np.all(sig2[:, -100:] == 0.0)
+    assert np.any(sig2[:, :-100] != 0.0)
