@@ -921,15 +921,28 @@ def fused_offset_solve(
             vals_hit, hit_starts, hit_valid, rank_block, n_runs_b
         )
 
+    amp_hi = amp_sorted // _LOW
+    amp_lo = amp_sorted % _LOW
+
     if use_pallas_reduce:
-        from .pallas_reduce import amp_reduce_pallas
+        from .pallas_reduce import amp_expand_pallas, amp_reduce_pallas
 
         def reduce1(v):
             return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
+
+        # the expansion twin: the XLA one-hot expand materializes an
+        # (n_runs_b, n_hi) operand in HBM — ~18 GB at the 128x2^20
+        # flagship (n_hi 175) — where the Pallas VMEM-table gather
+        # streams 8 B/run (bitwise-equal result)
+        def expand_amp(a_):
+            return amp_expand_pallas(a_, amp_sorted, n_hi)
     else:
 
         def reduce1(v):
             return amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
+
+        def expand_amp(a_):
+            return amp_expand(a_, amp_hi, amp_lo, n_hi)
 
     # rcond cut at run granularity (pixel constant per run -> exact)
     good_hit = (rcond_hit > 0).astype(jnp.float32)
@@ -939,9 +952,6 @@ def fused_offset_solve(
     yc = y * good_run[:, None]
     zc = z * good_run
     hc = hits_run * good_run
-
-    amp_hi = amp_sorted // _LOW
-    amp_lo = amp_sorted % _LOW
 
     # diagonal, baseline flags, preconditioner — all from run sums
     diag_n = reduce1(nc)
@@ -967,7 +977,7 @@ def fused_offset_solve(
         return r * precond_diag * amp_mask
 
     def matvec(a):
-        a_run = amp_expand(a, amp_hi, amp_lo, n_hi)
+        a_run = expand_amp(a)
         zmap = bin_runs(Wc * a_run[:, None])
         binned = _apply_tri(cov_hit, zmap, nnz)
         val_run = expand(binned)
@@ -1080,10 +1090,13 @@ def fused_offset_solve_multi(
         )
 
     if use_pallas_reduce:
-        from .pallas_reduce import amp_reduce_pallas
+        from .pallas_reduce import amp_expand_pallas, amp_reduce_pallas
 
         def reduce1(v, pk):
             return amp_reduce_pallas(v, pk["amp_sorted"], n_hi, n_amp_obs)
+
+        def expand_amp(a_k, pk):
+            return amp_expand_pallas(a_k, pk["amp_sorted"], n_hi)
     else:
 
         def reduce1(v, pk):
@@ -1091,6 +1104,11 @@ def fused_offset_solve_multi(
                 v[:, None], pk["amp_sorted"] // _LOW,
                 pk["amp_sorted"] % _LOW, n_hi, n_amp_obs,
             )[:, 0]
+
+        def expand_amp(a_k, pk):
+            return amp_expand(
+                a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
+            )
 
     plans = {
         "amp_sorted": amp_sorted,
@@ -1139,9 +1157,7 @@ def fused_offset_solve_multi(
 
         def scan_zmap(zmap, xs):
             a_k, W_k, pk = xs
-            a_run = amp_expand(
-                a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
-            )
+            a_run = expand_amp(a_k, pk)
             return (
                 bin_to_global(W_k * a_run[:, None], pk, zmap, good_hit_of(pk)),
                 None,
@@ -1156,9 +1172,7 @@ def fused_offset_solve_multi(
             a_k, nc_k, W_k, pk = xs
             b_loc = binned[pk["hit_pix"]] * good_hit_of(pk)[:, None]
             val_run = expand(b_loc, pk)
-            a_run = amp_expand(
-                a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
-            )
+            a_run = expand_amp(a_k, pk)
             v = nc_k * a_run - jnp.sum(W_k * val_run, axis=1)
             return carry, reduce1(v, pk)
 
@@ -1231,9 +1245,7 @@ def fused_offset_solve_multi(
         ones = jnp.ones_like(pk["hit_valid"], jnp.float32)
         ok = pk["hit_valid"].astype(jnp.float32)
         zraw = bin_to_global(y_k, pk, zraw, ok)
-        a_run = amp_expand(
-            a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
-        )
+        a_run = expand_amp(a_k, pk)
         zclean = bin_to_global(y_k - W_k * a_run[:, None], pk, zclean, ok)
         return (zraw, zclean), None
 
@@ -1320,10 +1332,10 @@ def accumulate_global_cov(pt_groups, hit_bounds, hit_valid, hit_pix,
 
 
 
-@partial(jax.jit, static_argnames=("n_hi", "nnz"))
+@partial(jax.jit, static_argnames=("n_hi", "nnz", "use_pallas"))
 def fused_maps(
     pt_groups, tod_groups, amps, amp_sorted, hit_starts, hit_bounds, n_hi,
-    nnz=3,
+    nnz=3, use_pallas=False,
 ):
     """Hit-space products from the solved amplitudes, zero sample passes.
 
@@ -1337,9 +1349,12 @@ def fused_maps(
     y = _stats_block(tod_groups, 0, nnz)
     n_tri = nnz * (nnz + 1) // 2
 
-    amp_hi = amp_sorted // _LOW
-    amp_lo = amp_sorted % _LOW
-    a_run = amp_expand(amps, amp_hi, amp_lo, n_hi)
+    if use_pallas:
+        from .pallas_reduce import amp_expand_pallas
+
+        a_run = amp_expand_pallas(amps, amp_sorted, n_hi)
+    else:
+        a_run = amp_expand(amps, amp_sorted // _LOW, amp_sorted % _LOW, n_hi)
 
     def bin_runs(vals):
         return segment_sum_sorted(vals, hit_bounds)
@@ -1546,14 +1561,20 @@ def fused_stacked_solve(
     amp_lo = amp_sorted % _LOW
 
     if use_pallas_reduce:
-        from .pallas_reduce import amp_reduce_pallas
+        from .pallas_reduce import amp_expand_pallas, amp_reduce_pallas
 
         def reduce1(v):
             return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
+
+        def expand_amp(a_):
+            return amp_expand_pallas(a_, amp_sorted, n_hi)
     else:
 
         def reduce1(v):
             return amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
+
+        def expand_amp(a_):
+            return amp_expand(a_, amp_hi, amp_lo, n_hi)
 
     # rcond cut at run granularity
     good_hit = (rcond_hit > 0).astype(jnp.float32)
@@ -1639,7 +1660,7 @@ def fused_stacked_solve(
     def matvec(x):
         a = x[:n_amp]
         ab = x[n_amp:].reshape(n_det, K)
-        a_run = amp_expand(a, amp_hi, amp_lo, n_hi)
+        a_run = expand_amp(a)
         ab_run = det_expand(ab)  # (n_runs_b, K)
         zmap = bin_runs(
             Wc * a_run[:, None]

@@ -247,6 +247,8 @@ class MapMaker(Operator):
         tmpl = self.template_matrix.templates[0]
         amps = data[amplitudes_key][tmpl.name].local
 
+        import jax as _jax
+
         zmap_raw, zmap_clean, invnpp_hit, hits_hit = fused_maps(
             state["pt_stats"],
             state["tod_stats"],
@@ -256,6 +258,9 @@ class MapMaker(Operator):
             plan["hit_bounds"],
             plan["n_hi"],
             nnz=nnz,
+            use_pallas=(
+                _jax.default_backend() == "tpu" and plan["n_hi"] <= 2048
+            ),
         )
         cov_hit, rcond_hit = invert_hit_cov(
             invnpp_hit, float(self.map_rcond_threshold), nnz

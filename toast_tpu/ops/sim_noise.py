@@ -38,10 +38,27 @@ class SimNoise(Operator):
     @function_timer
     def _exec(self, data, detectors=None, **kwargs):
         from ..utils.guards import defer_check, drain_checks
+        from ..utils.timing import GlobalTimers, function_timing_enabled
+
+        class _seg:
+            __slots__ = ("key",)
+
+            def __init__(self, key):
+                self.key = f"sim_noise.{key}"
+
+            def __enter__(self):
+                if function_timing_enabled():
+                    GlobalTimers.get().start(self.key)
+                return self
+
+            def __exit__(self, *exc):
+                if function_timing_enabled():
+                    GlobalTimers.get().stop(self.key)
 
         # settle any previously queued integrity checks (one round trip for
         # scalars that finished long ago) before producing new data
-        drain_checks()
+        with _seg("drain"):
+            drain_checks()
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
@@ -54,24 +71,29 @@ class SimNoise(Operator):
             sindx = int(ob.session.uid) & 0xFFFFFFFF
             telescope = int(ob.telescope.uid) & 0xFFFF
 
-            ob.detdata.ensure(
-                self.det_data,
-                detectors=dets,
-                create_units=self.det_data_units,
-            )
-            (rate, _, _, _, _) = rate_from_times(np.asarray(ob.shared[self.times]))
+            with _seg("ensure"):
+                ob.detdata.ensure(
+                    self.det_data,
+                    detectors=dets,
+                    create_units=self.det_data_units,
+                )
+            with _seg("rate"):
+                (rate, _, _, _, _) = rate_from_times(
+                    np.asarray(ob.shared[self.times])
+                )
 
             # collect streams with nonzero weight for these detectors
-            keys = nse.all_keys_for_dets(dets)
-            if len(keys) == 0:
-                continue
-            freq0 = nse.freq(keys[0]).to_value(u.Hz)
-            psds = np.empty((len(keys), len(freq0)))
-            for i, k in enumerate(keys):
-                f = nse.freq(k).to_value(u.Hz)
-                if len(f) != len(freq0) or f[0] != freq0[0] or f[-1] != freq0[-1]:
-                    raise RuntimeError("All PSDs must share a frequency grid")
-                psds[i] = nse.psd(k).to_value(u.K2_s)
+            with _seg("psds"):
+                keys = nse.all_keys_for_dets(dets)
+                if len(keys) == 0:
+                    continue
+                freq0 = nse.freq(keys[0]).to_value(u.Hz)
+                psds = np.empty((len(keys), len(freq0)))
+                for i, k in enumerate(keys):
+                    f = nse.freq(k).to_value(u.Hz)
+                    if len(f) != len(freq0) or f[0] != freq0[0] or f[-1] != freq0[-1]:
+                        raise RuntimeError("All PSDs must share a frequency grid")
+                    psds[i] = nse.psd(k).to_value(u.K2_s)
 
             stream_indices = [nse.index(k) & 0xFFFFFFFF for k in keys]
             # chunk long-stream batches: the 2x-oversampled complex spectra
@@ -80,37 +102,38 @@ class SimNoise(Operator):
             max_chunk = max(1, int(6.0e9 / (24 * 2 * ob.n_local_samples)))
             # round down to a power of two: bounded recompilation
             max_chunk = 1 << (max_chunk.bit_length() - 1)
-            if len(keys) <= max_chunk:
-                noise = sim_noise_batch(
-                    self.realization,
-                    telescope,
-                    self.component,
-                    sindx,
-                    stream_indices,
-                    rate,
-                    ob.local_index_offset,
-                    ob.n_local_samples,
-                    freq0,
-                    psds,
-                )
-            else:
-                parts = []
-                for s0 in range(0, len(keys), max_chunk):
-                    parts.append(
-                        sim_noise_batch(
-                            self.realization,
-                            telescope,
-                            self.component,
-                            sindx,
-                            stream_indices[s0 : s0 + max_chunk],
-                            rate,
-                            ob.local_index_offset,
-                            ob.n_local_samples,
-                            freq0,
-                            psds[s0 : s0 + max_chunk],
-                        )
+            with _seg("batch_dispatch"):
+                if len(keys) <= max_chunk:
+                    noise = sim_noise_batch(
+                        self.realization,
+                        telescope,
+                        self.component,
+                        sindx,
+                        stream_indices,
+                        rate,
+                        ob.local_index_offset,
+                        ob.n_local_samples,
+                        freq0,
+                        psds,
                     )
-                noise = jnp.concatenate(parts, axis=0)
+                else:
+                    parts = []
+                    for s0 in range(0, len(keys), max_chunk):
+                        parts.append(
+                            sim_noise_batch(
+                                self.realization,
+                                telescope,
+                                self.component,
+                                sindx,
+                                stream_indices[s0 : s0 + max_chunk],
+                                rate,
+                                ob.local_index_offset,
+                                ob.n_local_samples,
+                                freq0,
+                                psds[s0 : s0 + max_chunk],
+                            )
+                        )
+                    noise = jnp.concatenate(parts, axis=0)
 
             # guard against backend FFT faults emitting NaN rows (a fault
             # mode observed on this backend for non-8-aligned batches; the
@@ -121,30 +144,32 @@ class SimNoise(Operator):
             # of the program; it is fetched — batched, one round trip — at
             # the next drain point (next SimNoise, any file write, exit),
             # always before data leaves the process.
-            defer_check(
-                f"SimNoise obs '{ob.name}'",
-                jnp.sum(~jnp.isfinite(noise), dtype=jnp.int32),
-            )
+            with _seg("guard"):
+                defer_check(
+                    f"SimNoise obs '{ob.name}'",
+                    jnp.sum(~jnp.isfinite(noise), dtype=jnp.int32),
+                )
 
             # mixing matrix: detector tod += sum_k weight(det,k) * stream_k
-            if nse.mixing_is_identity(dets, keys):
-                det_noise = noise
-            else:
-                mix = np.zeros((len(dets), len(keys)), dtype=np.float32)
-                for i, d in enumerate(dets):
-                    for j, k in enumerate(keys):
-                        mix[i, j] = nse.weight(d, k)
-                det_noise = jnp.asarray(mix) @ noise
+            with _seg("mix_add"):
+                if nse.mixing_is_identity(dets, keys):
+                    det_noise = noise
+                else:
+                    mix = np.zeros((len(dets), len(keys)), dtype=np.float32)
+                    for i, d in enumerate(dets):
+                        for j, k in enumerate(keys):
+                            mix[i, j] = nse.weight(d, k)
+                    det_noise = jnp.asarray(mix) @ noise
 
-            field = ob.detdata[self.det_data]
-            det_idx = np.array([field.index(d) for d in dets])
-            if len(det_idx) == field.data.shape[0] and np.array_equal(
-                det_idx, np.arange(field.data.shape[0])
-            ):
-                # full in-order detector set: plain add, no scatter
-                field.data = field.data + det_noise
-            else:
-                field.data = field.data.at[det_idx].add(det_noise)
+                field = ob.detdata[self.det_data]
+                det_idx = np.array([field.index(d) for d in dets])
+                if len(det_idx) == field.data.shape[0] and np.array_equal(
+                    det_idx, np.arange(field.data.shape[0])
+                ):
+                    # full in-order detector set: plain add, no scatter
+                    field.data = field.data + det_noise
+                else:
+                    field.data = field.data.at[det_idx].add(det_noise)
 
     def _requires(self):
         return {
