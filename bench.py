@@ -465,9 +465,12 @@ def run_case(args, comm, n_det, n_samp, nside, rate_hz, on_tpu):
         for o in data.obs:
             if "quats" in o.detdata:
                 del o.detdata["quats"]
-        # force completion: block_until_ready can return early through the
-        # remote TPU tunnel, a scalar fetch cannot
-        float(jnp.sum(data.obs[-1].detdata["weights"].data[0, :8]))
+        # NO device sync here: the solver's plan/stats fetches already
+        # order against the queued noise+pointing programs, and leaving
+        # the queue running lets the map-maker's host-side planning
+        # overlap the device synthesis (a mid-pass scalar fetch costs a
+        # full idle round trip through the remote tunnel).  t1 therefore
+        # splits host dispatch, not device completion.
         t1 = time.perf_counter()
         tmpl = Offset(step_time=Quantity(60.0, u.second))
         tm = ops.TemplateMatrix(templates=[tmpl])

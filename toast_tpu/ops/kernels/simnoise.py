@@ -32,6 +32,10 @@ from ...math.rng import threefry2x64_jax
 
 _INV24 = 1.0 / float(1 << 24)
 
+# device rows of sqrt(interp_psd * norm), keyed on (psd bytes hash, psd
+# byte length, freq bytes hash, fftlen, rate, norm) — see sim_noise_batch
+_SCALE_CACHE: dict = {}
+
 
 def interpolate_psd_loglog(freq, psd, interp_freq):
     """Log-log PSD interpolation with shift regularization (host, f64).
@@ -221,22 +225,39 @@ def sim_noise_batch(
     fftlen = fft_length(samples, oversample)
     npsd = fftlen // 2 + 1
     norm = rate * float(npsd - 1)
-    interp_freq = np.fft.rfftfreq(fftlen, 1.0 / rate)
 
     # deduplicate identical PSDs (focalplanes usually share noise params)
     # and expand to per-stream scales ON DEVICE — only the unique rows are
-    # transferred (a full (n_stream, npsd) host array would be ~100s of MB)
+    # transferred (a full (n_stream, npsd) host array would be ~100s of MB).
+    # The interpolated device rows are cached across calls: the host-side
+    # log-log interpolation runs over npsd ~ 1e6 float64 points (tens of
+    # ms), and Monte-Carlo realizations / chunked stream batches reuse the
+    # same PSDs with only the RNG keys changing.
+    interp_freq = None
     seen = {}
     inverse = np.empty(len(stream_indices), dtype=np.int32)
     uniques = []
+    fkey = (hash(np.asarray(freq, np.float64).tobytes()), fftlen,
+            float(rate), float(norm))
     for i in range(len(stream_indices)):
         key = psds[i].tobytes()
         if key not in seen:
             seen[key] = len(uniques)
-            interp_psd = interpolate_psd_loglog(freq, psds[i], interp_freq)
-            uniques.append(np.sqrt(interp_psd * norm).astype(np.float32))
+            ckey = (hash(key), len(key)) + fkey
+            row = _SCALE_CACHE.get(ckey)
+            if row is None:
+                if interp_freq is None:
+                    interp_freq = np.fft.rfftfreq(fftlen, 1.0 / rate)
+                interp_psd = interpolate_psd_loglog(freq, psds[i], interp_freq)
+                row = jnp.asarray(
+                    np.sqrt(interp_psd * norm).astype(np.float32)
+                )
+                if len(_SCALE_CACHE) >= 64:
+                    _SCALE_CACHE.pop(next(iter(_SCALE_CACHE)))
+                _SCALE_CACHE[ckey] = row
+            uniques.append(row)
         inverse[i] = seen[key]
-    unique_scales = jnp.asarray(np.stack(uniques))
+    unique_scales = jnp.stack(uniques)
     scales = unique_scales[jnp.asarray(inverse)]
 
     key1 = (

@@ -55,10 +55,7 @@ class SimNoise(Operator):
                 if function_timing_enabled():
                     GlobalTimers.get().stop(self.key)
 
-        # settle any previously queued integrity checks (one round trip for
-        # scalars that finished long ago) before producing new data
-        with _seg("drain"):
-            drain_checks()
+        drained = False
         for ob in data.obs:
             dets = ob.select_local_detectors(detectors)
             if len(dets) == 0:
@@ -144,6 +141,15 @@ class SimNoise(Operator):
             # of the program; it is fetched — batched, one round trip — at
             # the next drain point (next SimNoise, any file write, exit),
             # always before data leaves the process.
+            # settle previously queued integrity checks (one round trip for
+            # scalars that finished long ago) AFTER dispatching this batch:
+            # the fetch round trip then overlaps the device synthesis
+            # instead of stalling an idle device, and still precedes any
+            # use of the new data
+            if not drained:
+                with _seg("drain"):
+                    drain_checks()
+                drained = True
             with _seg("guard"):
                 defer_check(
                     f"SimNoise obs '{ob.name}'",
