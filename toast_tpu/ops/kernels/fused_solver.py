@@ -925,24 +925,23 @@ def fused_offset_solve(
     amp_lo = amp_sorted % _LOW
 
     if use_pallas_reduce:
-        from .pallas_reduce import amp_expand_pallas, amp_reduce_pallas
+        from .pallas_reduce import amp_reduce_pallas
 
         def reduce1(v):
             return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
-
-        # the expansion twin: the XLA one-hot expand materializes an
-        # (n_runs_b, n_hi) operand in HBM — ~18 GB at the 128x2^20
-        # flagship (n_hi 175) — where the Pallas VMEM-table gather
-        # streams 8 B/run (bitwise-equal result)
-        def expand_amp(a_):
-            return amp_expand_pallas(a_, amp_sorted, n_hi)
     else:
 
         def reduce1(v):
             return amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
 
-        def expand_amp(a_):
-            return amp_expand(a_, amp_hi, amp_lo, n_hi)
+    # expansion always uses the XLA one-hot formulation: XLA fuses the
+    # one-hot into the dot (nothing n_runs x n_hi is ever materialized),
+    # while the Pallas VMEM-table gather pays one (block, n_hi) bf16 MXU
+    # pass per block — work that scales as n_runs x n_amp and measurably
+    # loses at flagship sizes (end-to-end fetch_wait 2031 ms with XLA
+    # expand vs 2447 ms with Pallas expand at 128 x 2^20, n_hi 175)
+    def expand_amp(a_):
+        return amp_expand(a_, amp_hi, amp_lo, n_hi)
 
     # rcond cut at run granularity (pixel constant per run -> exact)
     good_hit = (rcond_hit > 0).astype(jnp.float32)
@@ -1090,13 +1089,10 @@ def fused_offset_solve_multi(
         )
 
     if use_pallas_reduce:
-        from .pallas_reduce import amp_expand_pallas, amp_reduce_pallas
+        from .pallas_reduce import amp_reduce_pallas
 
         def reduce1(v, pk):
             return amp_reduce_pallas(v, pk["amp_sorted"], n_hi, n_amp_obs)
-
-        def expand_amp(a_k, pk):
-            return amp_expand_pallas(a_k, pk["amp_sorted"], n_hi)
     else:
 
         def reduce1(v, pk):
@@ -1105,10 +1101,13 @@ def fused_offset_solve_multi(
                 pk["amp_sorted"] % _LOW, n_hi, n_amp_obs,
             )[:, 0]
 
-        def expand_amp(a_k, pk):
-            return amp_expand(
-                a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
-            )
+    # XLA one-hot expansion in all cases: see fused_offset_solve — the
+    # Pallas VMEM-table variant's MXU work scales as n_runs x n_amp and
+    # regressed the flagship solve by ~400 ms end to end
+    def expand_amp(a_k, pk):
+        return amp_expand(
+            a_k, pk["amp_sorted"] // _LOW, pk["amp_sorted"] % _LOW, n_hi
+        )
 
     plans = {
         "amp_sorted": amp_sorted,
@@ -1349,12 +1348,11 @@ def fused_maps(
     y = _stats_block(tod_groups, 0, nnz)
     n_tri = nnz * (nnz + 1) // 2
 
-    if use_pallas:
-        from .pallas_reduce import amp_expand_pallas
-
-        a_run = amp_expand_pallas(amps, amp_sorted, n_hi)
-    else:
-        a_run = amp_expand(amps, amp_sorted // _LOW, amp_sorted % _LOW, n_hi)
+    # use_pallas retained for call-signature/cache stability; XLA's fused
+    # one-hot expand measured faster at every production size (see
+    # fused_offset_solve)
+    del use_pallas
+    a_run = amp_expand(amps, amp_sorted // _LOW, amp_sorted % _LOW, n_hi)
 
     def bin_runs(vals):
         return segment_sum_sorted(vals, hit_bounds)
@@ -1561,20 +1559,18 @@ def fused_stacked_solve(
     amp_lo = amp_sorted % _LOW
 
     if use_pallas_reduce:
-        from .pallas_reduce import amp_expand_pallas, amp_reduce_pallas
+        from .pallas_reduce import amp_reduce_pallas
 
         def reduce1(v):
             return amp_reduce_pallas(v, amp_sorted, n_hi, n_amp)
-
-        def expand_amp(a_):
-            return amp_expand_pallas(a_, amp_sorted, n_hi)
     else:
 
         def reduce1(v):
             return amp_reduce(v[:, None], amp_hi, amp_lo, n_hi, n_amp)[:, 0]
 
-        def expand_amp(a_):
-            return amp_expand(a_, amp_hi, amp_lo, n_hi)
+    # XLA one-hot expansion (see fused_offset_solve for the measurement)
+    def expand_amp(a_):
+        return amp_expand(a_, amp_hi, amp_lo, n_hi)
 
     # rcond cut at run granularity
     good_hit = (rcond_hit > 0).astype(jnp.float32)
